@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate: run graft.Verify
+first (sbt "runMain graft.Verify <sfDir> <outDir>"), then this script
+compares each query's parquet output against its DuckDB oracle.
+
+Usage: python3 scripts/check.py [sfDir] [outDir]
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+fails, passes, skips = [], [], []
+for name in sorted(os.listdir(out)):
+    d = f"{out}/{name}"
+    if not os.path.isdir(d):
+        continue
+    got = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")],
+                    ignore_index=True)
+    if name not in oracle:
+        skips.append((name, len(got)))
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        fails.append((name, f"columns differ: got {list(g.columns)} vs oracle {list(e.columns)}"))
+        continue
+    if len(g) != len(e):
+        fails.append((name, f"row count: got {len(g)} vs oracle {len(e)}"))
+        continue
+    try:
+        pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+        passes.append(name)
+    except AssertionError as ae:
+        # show first differing rows
+        diff = (g != e) & ~(g.isna() & e.isna())
+        rows = diff.any(axis=1)
+        idx = list(g.index[rows])[:3]
+        msg = str(ae).splitlines()[0]
+        detail = "; ".join(
+            f"row {i}: got {g.loc[i].to_dict()} exp {e.loc[i].to_dict()}" for i in idx)
+        fails.append((name, f"{msg} | {detail[:500]}"))
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+print(f"ROWS-ONLY {len(skips)}: {' '.join(n for n, _ in skips)}")
+print(f"FAIL {len(fails)}")
+for n, m in fails:
+    print(f"  {n}: {m}")
+sys.exit(1 if fails else 0)

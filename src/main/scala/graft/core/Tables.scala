@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Accessors for the driver test tables (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Each accessor is a plain declarative parquet scan, so Catalyst applies
+  * column pruning and filter pushdown per query — at 100 TB these become
+  * partitioned catalog tables and the same plans get partition pruning
+  * for free. Never cache here: caching would pin columns the query
+  * doesn't need and defeat pruning.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw nanos (legacy flag) and convert to
+    * TimestampType by integer-dividing to micros — the same truncation
+    * DuckDB applies, so oracle comparisons agree to the microsecond. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register all tables as temp views for spark.sql(...) entry points. */
+  def registerAll(): Unit =
+    names.foreach(n => t(n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The SURVEY §2C relational transform library: pure DataFrame => DataFrame
+  * functions, no state, no driver-side row iteration. Each maps 1:1 to a
+  * reference behavior (file:line cited per function into /root/reference/).
+  */
+object RelationalOps {
+
+  /** F1: projection + type cast + rename (industry_code_glue_job.py:35-47).
+    * `casts` maps column name -> target Spark type name; `renames` old->new. */
+  def conform(df: DataFrame, keep: Seq[String],
+              casts: Map[String, String] = Map.empty,
+              renames: Map[String, String] = Map.empty): DataFrame = {
+    val projected = df.select(keep.map { c =>
+      val cast = casts.get(c).map(t => col(c).cast(t)).getOrElse(col(c))
+      cast.as(renames.getOrElse(c, c))
+    }: _*)
+    projected
+  }
+
+  /** F4: unpivot wide -> long (yfinance_operator.py:110-113, pandas .stack).
+    * Spark-native `unpivot` — stays in whole-stage codegen, no shuffle. */
+  def unpivotWide(df: DataFrame, ids: Seq[String], values: Seq[String],
+                  varName: String, valName: String): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray, varName, valName)
+
+  /** F5: anti-join completeness check (yfinance_operator.py:118-127):
+    * requested keys with no fetched row. Broadcast-friendly: the requested
+    * side is usually a small dim — Catalyst broadcasts it automatically. */
+  def missingKeys(requested: DataFrame, fetched: DataFrame,
+                  keys: Seq[String]): DataFrame =
+    requested.join(fetched, keys, "left_anti")
+
+  /** F8: derived column from string slicing — `matures_in` =
+    * last-4-digit year minus the 4 digits 5 back (bonds extractors.py:83). */
+  def maturesIn(key: Column): Column =
+    (substring(key, -4, 4).cast("int") - substring(key, -9, 4).cast("int"))
+      .as("matures_in")
+
+  /** F11: bucket rows by code length ∈ {2,4,6,8} -> GICS category
+    * (industry_code extractors.py:85-97). */
+  def bucketByCodeLength(code: Column): Column =
+    when(length(code) === 2, "sector")
+      .when(length(code) === 4, "industry_group")
+      .when(length(code) === 6, "industry")
+      .when(length(code) === 8, "sub_industry")
+      .otherwise("unknown")
+
+  /** F13: zero-fill for missing series points (bonds extractors.py:62-75):
+    * left-join the expected key grid to actuals, coalesce value columns to 0. */
+  def zeroFill(expected: DataFrame, actual: DataFrame, keys: Seq[String],
+               valueCols: Seq[String]): DataFrame = {
+    val joined = expected.join(actual, keys, "left_outer")
+    valueCols.foldLeft(joined) { (df, c) =>
+      val dt = df.schema(c).dataType
+      df.withColumn(c, coalesce(col(c), lit(0).cast(dt)))
+    }
+  }
+
+  /** F14: key normalization (bonds_meta extractors.py:43-49):
+    * strip/replace-space-with-underscore/lower. */
+  def normalizeKey(c: Column): Column =
+    lower(regexp_replace(trim(c), " ", "_"))
+
+  /** F16: literal tagging (index/msci/coin/bonds extractors). */
+  def tagLit(df: DataFrame, name: String, value: String): DataFrame =
+    df.withColumn(name, lit(value))
+
+  /** F17: non-empty assertion (data-quality gate; e.g. tasks.py:61-62).
+    * `limit(1)` probe, not `count()` — O(first partition), not a full scan. */
+  def assertNonEmpty(df: DataFrame, what: String): DataFrame = {
+    require(!df.isEmpty, s"data-quality gate: $what returned no rows")
+    df
+  }
+
+  /** F9: group-by-day regroup (bonds extractors.py:53-95) — a `ymd` column
+    * derived from the leading 10 chars of an ISO timestamp string; the
+    * "grouping" is the shuffle implied by a partitioned write on it. */
+  def withYmd(df: DataFrame, tsStringCol: String): DataFrame =
+    df.withColumn("ymd", substring(col(tsStringCol), 1, 10))
+}

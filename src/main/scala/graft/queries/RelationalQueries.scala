@@ -1,0 +1,487 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.operators.{CalendarOps, RelationalOps}
+
+/** The SURVEY §2C relational surface + the classic-operator checklist
+  * (joins, aggregations, windows, sorts/limits, set ops), expressed over
+  * the driver test tables with DuckDB oracle twins.
+  *
+  * Scale notes apply to every query here: aggregations are partial
+  * (map-side combine) by construction; dim joins (region/nation/supplier)
+  * are broadcast; only genuinely key-wide shuffles (groupBy on fact keys)
+  * move data. Doubles are rounded identically on both engine and oracle
+  * sides before any sort/limit, so result sets are deterministic.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  // --- Aggregation core -------------------------------------------------
+
+  private val q1 = Q(
+    "q1_pricing_summary",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).lineitem
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_extendedprice"), 4).as("avg_price"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           | round(sum(l_quantity), 2) AS sum_qty,
+           | round(sum(l_extendedprice), 2) AS sum_base_price,
+           | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           | round(avg(l_quantity), 4) AS avg_qty,
+           | round(avg(l_extendedprice), 4) AS avg_price,
+           | round(avg(l_discount), 4) AS avg_disc,
+           | count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    headline = true)
+
+  // --- Joins ------------------------------------------------------------
+
+  /** customer ⋈ orders ⋈ lineitem, top-10 orders by revenue. Revenue is
+    * rounded before the sort so the top-10 cut is identical on both sides;
+    * ties broken by orderkey. Planned as two shuffles + TakeOrderedAndProject. */
+  private val q3 = Q(
+    "q3_top_revenue_orders",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      tt.lineitem
+        .join(tt.orders, $"l_orderkey" === $"o_orderkey")
+        .join(tt.customer, $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"c_mktsegment")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+          $"c_mktsegment", $"revenue")
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           |       c_mktsegment,
+           |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |GROUP BY l_orderkey, o_orderdate, c_mktsegment
+           |ORDER BY revenue DESC, l_orderkey
+           |LIMIT 10""".stripMargin),
+    headline = true)
+
+  /** Fact ⋈ three dims; dims explicitly broadcast (at 100 TB the fact side
+    * shuffles once for the groupBy, dims never shuffle). */
+  private val q5 = Q(
+    "q5_region_revenue",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      tt.lineitem
+        .join(broadcast(tt.supplier), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(tt.nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(tt.region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name")
+    },
+    Some("""SELECT r_name,
+           |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |       count(*) AS n_items
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name
+           |ORDER BY r_name""".stripMargin),
+    headline = true)
+
+  /** S3: ticker-universe lookup — dim keys + market→suffix map literal
+    * (yfinance_operator.py:60-82, suffix map at :17), as a broadcast join
+    * plus `typedLit(Map)` lookup. */
+  private val s3Lookup = Q(
+    "s3_dim_lookup_symbols",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      val suffix = typedLit(Map(
+        "AFRICA" -> "AF", "AMERICA" -> "AM", "ASIA" -> "AS",
+        "EUROPE" -> "EU", "MIDDLE EAST" -> "ME"))
+      tt.customer
+        .join(broadcast(tt.nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(tt.region), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey",
+          concat($"c_name", lit("."), suffix($"r_name")).as("symbol"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey,
+           |       c_name || '.' ||
+           |       CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+           |            WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+           |            WHEN 'MIDDLE EAST' THEN 'ME' END AS symbol
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** F5: anti-join completeness — customers that never ordered. */
+  private val f5 = Q(
+    "f5_anti_join_missing",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      RelationalOps.missingKeys(
+        tt.customer.select($"c_custkey", $"c_name"),
+        tt.orders.select($"o_custkey".as("c_custkey")),
+        Seq("c_custkey"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Semi-join (EXISTS): suppliers with any 1998 shipment. */
+  private val semi = Q(
+    "semi_join_active_suppliers",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      tt.supplier
+        .join(tt.lineitem.filter(year($"l_shipdate") === 1998)
+          .select($"l_suppkey".as("s_suppkey")), Seq("s_suppkey"), "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier s
+           |WHERE EXISTS (SELECT 1 FROM lineitem l
+           |              WHERE l.l_suppkey = s.s_suppkey
+           |                AND year(l_shipdate) = 1998)
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** Correlated scalar subquery (the F6 pattern generalized; TPC-H q17
+    * shape) — run through spark.sql so Catalyst's decorrelation is the
+    * code path under test. */
+  private val q17 = Q(
+    "q17_correlated_subquery",
+    (s, dir) => {
+      t(s, dir).lineitem.createOrReplaceTempView("lineitem_q17")
+      s.sql(
+        """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+          |FROM lineitem_q17 l1
+          |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+          |                    FROM lineitem_q17 l2
+          |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    },
+    Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+           |FROM lineitem l1
+           |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+           |                    FROM lineitem l2
+           |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin),
+    headline = true)
+
+  // --- Calendar / working day (F3, F6, F7, F18) -------------------------
+
+  private val f3 = Q(
+    "f3_calendar_dim",
+    (s, dir) => CalendarOps.calendarDim(s, 2024, 2025)
+      .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))
+      .orderBy("date"),
+    Some {
+      val monthCase = (1 to 12).map(m =>
+        s"WHEN $m THEN '${Seq("Jan","Feb","Mar","Apr","May","Jun","Jul","Aug","Sep","Oct","Nov","Dec")(m - 1)}'")
+        .mkString(" ")
+      val dayCase = Seq("일요일","월요일","화요일","수요일","목요일","금요일","토요일")
+        .zipWithIndex.map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+      s"""WITH days AS (
+         |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2025-12-31',
+         |                                INTERVAL 1 DAY))::DATE AS date)
+         |SELECT strftime(date, '%Y-%m-%d') AS date,
+         |       year(date)::INT AS year,
+         |       quarter(date)::INT AS quarter,
+         |       year(date)::VARCHAR || 'Q' || quarter(date)::VARCHAR AS quarter_id,
+         |       month(date)::INT AS month_num,
+         |       strftime(date, '%Y%m') AS month_id,
+         |       CASE month(date) $monthCase END AS month_name,
+         |       day(date)::INT AS day_of_month,
+         |       dayofweek(date)::INT AS day_of_week,
+         |       CASE dayofweek(date) $dayCase END AS day_name,
+         |       dayofweek(date) IN (0, 6) AS is_market_holiday
+         |FROM days ORDER BY date""".stripMargin
+    })
+
+  private val f6 = Q(
+    "f6_prev_working_day",
+    (s, dir) => {
+      val cal = CalendarOps.calendarDim(s, 2025, 2025)
+      CalendarOps.previousWorkingDay(cal)
+        .select(
+          date_format(col("date"), "yyyy-MM-dd").as("date"),
+          col("is_market_holiday"),
+          date_format(col("previous_working_day"), "yyyy-MM-dd")
+            .as("previous_working_day"))
+        .orderBy("date")
+    },
+    Some("""WITH dim_calendar AS (
+           |  SELECT d::DATE AS date, dayofweek(d) IN (0, 6) AS is_market_holiday
+           |  FROM (SELECT unnest(generate_series(DATE '2025-01-01',
+           |                 DATE '2025-12-31', INTERVAL 1 DAY)) AS d))
+           |SELECT strftime(dc.date, '%Y-%m-%d') AS date, dc.is_market_holiday,
+           |       strftime((SELECT max(s.date) FROM dim_calendar s
+           |         WHERE s.date < dc.date AND s.is_market_holiday = false),
+           |         '%Y-%m-%d') AS previous_working_day
+           |FROM dim_calendar dc ORDER BY dc.date""".stripMargin))
+
+  private val f7 = Q(
+    "f7_interval_formats",
+    (s, dir) => {
+      import s.implicits._
+      val d = to_date($"o_orderdate")
+      t(s, dir).orders.select(
+        $"o_orderkey",
+        CalendarOps.formatForInterval(d, "DAILY").as("fmt_daily"),
+        CalendarOps.formatForInterval(d, "MONTHLY").as("fmt_monthly"),
+        CalendarOps.formatForInterval(d, "QUARTERLY").as("fmt_quarterly"),
+        CalendarOps.formatForInterval(d, "YEARLY").as("fmt_yearly"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |       strftime(o_orderdate, '%Y%m%d') AS fmt_daily,
+           |       strftime(o_orderdate, '%Y%m') AS fmt_monthly,
+           |       year(o_orderdate)::VARCHAR || 'Q' || quarter(o_orderdate)::VARCHAR
+           |         AS fmt_quarterly,
+           |       year(o_orderdate)::VARCHAR AS fmt_yearly
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  private val f18 = Q(
+    "f18_year_end_last_weekday",
+    (s, dir) => {
+      import s.implicits._
+      s.sql("SELECT explode(sequence(2015, 2030)) AS year")
+        .select($"year",
+          date_format(CalendarOps.yearEndLastWeekday($"year"), "yyyy-MM-dd")
+            .as("last_weekday"))
+        .orderBy($"year")
+    },
+    Some("""SELECT y::INT AS year,
+           |       strftime(make_date(y::INT, 12, 31) -
+           |         CASE dayofweek(make_date(y::INT, 12, 31))
+           |           WHEN 0 THEN 2 WHEN 6 THEN 1 ELSE 0 END,
+           |         '%Y-%m-%d') AS last_weekday
+           |FROM (SELECT unnest(generate_series(2015, 2030)) AS y)
+           |ORDER BY year""".stripMargin))
+
+  // --- Reshaping (F1, F4, F11, F13, F14, F8) ----------------------------
+
+  private val f1 = Q(
+    "f1_conform_cast_rename",
+    (s, dir) => {
+      val conformed = RelationalOps.conform(
+        t(s, dir).lineitem,
+        keep = Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag"),
+        casts = Map("l_shipdate" -> "date"),
+        renames = Map("l_orderkey" -> "order_key", "l_linenumber" -> "line_number",
+          "l_shipdate" -> "ship_date", "l_returnflag" -> "return_flag"))
+      conformed
+        .withColumn("ship_date", date_format(col("ship_date"), "yyyy-MM-dd"))
+        .orderBy("order_key", "line_number")
+    },
+    Some("""SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+           |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+           |       l_returnflag AS return_flag
+           |FROM lineitem ORDER BY order_key, line_number""".stripMargin))
+
+  private val f4 = Q(
+    "f4_unpivot_measures",
+    (s, dir) => {
+      import s.implicits._
+      val long = RelationalOps.unpivotWide(
+        t(s, dir).lineitem,
+        ids = Seq("l_orderkey", "l_linenumber"),
+        values = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        varName = "measure", valName = "value")
+      long.groupBy($"measure")
+        .agg(round(sum($"value"), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy($"measure")
+    },
+    Some("""WITH long AS (
+           |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+           |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+           |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+           |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+           |SELECT measure, round(sum(value), 2) AS total, count(*) AS n
+           |FROM long GROUP BY measure ORDER BY measure""".stripMargin))
+
+  private val pivotQ = Q(
+    "pivot_returnflag",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).lineitem
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum($"l_quantity"), 2))
+        .orderBy($"l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+           |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+           |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+           |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+           |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
+
+  private val f11 = Q(
+    "f11_bucket_code_length",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).part
+        .withColumn("category",
+          RelationalOps.bucketByCodeLength($"p_partkey".cast("string")))
+        .groupBy($"category").agg(count(lit(1)).as("n"))
+        .orderBy($"category")
+    },
+    Some("""SELECT CASE length(CAST(p_partkey AS VARCHAR))
+           |         WHEN 2 THEN 'sector' WHEN 4 THEN 'industry_group'
+           |         WHEN 6 THEN 'industry' WHEN 8 THEN 'sub_industry'
+           |         ELSE 'unknown' END AS category,
+           |       count(*) AS n
+           |FROM part GROUP BY 1 ORDER BY category""".stripMargin))
+
+  private val f13 = Q(
+    "f13_zero_fill_grid",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir).orders
+      val days = o.select(to_date($"o_orderdate").as("order_date")).distinct()
+      val statuses = o.select($"o_orderstatus").distinct()
+      val grid = days.crossJoin(broadcast(statuses))
+      val actual = o.groupBy(to_date($"o_orderdate").as("order_date"), $"o_orderstatus")
+        .agg(round(sum($"o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      RelationalOps.zeroFill(grid, actual,
+        keys = Seq("order_date", "o_orderstatus"), valueCols = Seq("total", "n"))
+        .withColumn("order_date", date_format($"order_date", "yyyy-MM-dd"))
+        .orderBy($"order_date", $"o_orderstatus")
+    },
+    Some("""WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders),
+           |statuses AS (SELECT DISTINCT o_orderstatus FROM orders),
+           |actual AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderstatus,
+           |         round(sum(o_totalprice), 2) AS total, count(*) AS n
+           |  FROM orders GROUP BY 1, 2)
+           |SELECT strftime(d.order_date, '%Y-%m-%d') AS order_date, s.o_orderstatus,
+           |       coalesce(a.total, 0) AS total, coalesce(a.n, 0) AS n
+           |FROM days d CROSS JOIN statuses s
+           |LEFT JOIN actual a ON a.order_date = d.order_date
+           |                  AND a.o_orderstatus = s.o_orderstatus
+           |ORDER BY d.order_date, s.o_orderstatus""".stripMargin))
+
+  private val f14 = Q(
+    "f14_normalize_keys",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).part
+        .select(RelationalOps.normalizeKey($"p_type").as("type_key"), $"p_retailprice")
+        .groupBy($"type_key")
+        .agg(count(lit(1)).as("n"), round(min($"p_retailprice"), 2).as("min_price"))
+        .orderBy($"type_key")
+    },
+    Some("""SELECT lower(replace(trim(p_type), ' ', '_')) AS type_key,
+           |       count(*) AS n, round(min(p_retailprice), 2) AS min_price
+           |FROM part GROUP BY 1 ORDER BY type_key""".stripMargin))
+
+  private val f8 = Q(
+    "f8_string_slice_maturity",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).orders
+        .select($"o_orderkey",
+          concat(lit("KR_"),
+            (year($"o_orderdate") - ($"o_orderkey" % 5)).cast("string"),
+            lit("-"),
+            (year($"o_orderdate") + ($"o_orderkey" % 7)).cast("string")).as("bond_key"))
+        .withColumn("matures_in", RelationalOps.maturesIn($"bond_key"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |       'KR_' || (year(o_orderdate) - o_orderkey % 5)::VARCHAR || '-'
+           |             || (year(o_orderdate) + o_orderkey % 7)::VARCHAR AS bond_key,
+           |       (CAST(right('KR_' || (year(o_orderdate) - o_orderkey % 5)::VARCHAR || '-'
+           |                 || (year(o_orderdate) + o_orderkey % 7)::VARCHAR, 4) AS INT)
+           |        - CAST(substr('KR_' || (year(o_orderdate) - o_orderkey % 5)::VARCHAR || '-'
+           |                 || (year(o_orderdate) + o_orderkey % 7)::VARCHAR, 4, 4) AS INT))
+           |         AS matures_in
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  // --- Set ops ----------------------------------------------------------
+
+  private val setExcept = Q(
+    "setops_except",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir).customer
+      c.filter($"c_acctbal" > 1000).select($"c_custkey")
+        .except(c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+           |EXCEPT
+           |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           |ORDER BY c_custkey""".stripMargin))
+
+  private val setUnion = Q(
+    "setops_union_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      tt.customer.select($"c_nationkey".as("nationkey"))
+        .union(tt.supplier.select($"s_nationkey".as("nationkey")))
+        .distinct()
+        .orderBy($"nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+           |UNION
+           |SELECT s_nationkey FROM supplier
+           |ORDER BY nationkey""".stripMargin))
+
+  // --- Windows / top-k --------------------------------------------------
+
+  private val topk = Q(
+    "window_topk_per_group",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      t(s, dir).customer
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"c_mktsegment", $"rk", $"c_custkey", round($"c_acctbal", 2).as("acctbal"))
+        .orderBy($"c_mktsegment", $"rk")
+    },
+    Some("""SELECT c_mktsegment, rk::INT AS rk, c_custkey, round(c_acctbal, 2) AS acctbal
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
+           |      FROM customer)
+           |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin))
+
+  private val all0: Seq[Q] = Seq(
+    q1, q3, q5, s3Lookup, f5, semi, q17,
+    f3, f6, f7, f18,
+    f1, f4, pivotQ, f11, f13, f14, f8,
+    setExcept, setUnion, topk)
+
+  def all: Seq[Q] = all0
+}
