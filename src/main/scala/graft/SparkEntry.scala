@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   /** The full query registry, grouped by SURVEY.md §2 plane. */
-  def registry: Seq[Q] = RelationalQueries.all
+  def registry: Seq[Q] =
+    RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [EXT] Text-analysis operator library (SURVEY §2E): token counting,
+  * quality scoring, language ID, fingerprinting — over `documents.text`.
+  *
+  * Scale posture: every op here is a pure column expression (whole-stage
+  * codegen, zero UDFs, zero shuffles) — at 100 TB these run scan-local at
+  * parquet-read speed. Hashing is portable-by-construction: the 32-bit
+  * integer hash of a string is the first 8 hex digits of its md5, so the
+  * DuckDB oracle can compute bit-identical values.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** BPE-ish sub-word token count: runs of letters, runs of digits, and
+    * single other non-space chars each count as one token. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Portable 32-bit string hash: first 8 md5 hex digits as unsigned int.
+    * DuckDB twin: `('0x' || substr(md5(s),1,8))::BIGINT`. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Stopword list shared with the oracle side (subset of the synthetic
+    * vocabulary playing the role of function words). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Ratio of stopword tokens to all tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    round(
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+        .cast("double") / size(toks), 6)
+  }
+
+  /** Ratio of non-alphanumeric, non-space chars to total length. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+      .cast("double") / length(text), 6)
+
+  /** Mean token length — a crude fluency signal. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    round((length(text) - size(toks) + 1).cast("double") / size(toks), 6)
+  }
+
+  /** Composite quality score in [0,1]: long enough, low punctuation,
+    * sane stopword density. Weights are arbitrary but fixed; the oracle
+    * twin recomputes the same formula. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(lenScore * 0.5 + punctPenalty * 0.3 + stopScore * 0.2, 6)
+  }
+
+  /** Per-language marker tokens for the n-gram-ish language heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "und", "das"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "et", "les"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  /** Heuristic language ID: argmax of marker-token hit counts, ties and
+    * zero-hits fall back to "und"→first maximal in declaration order. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, "und")) { case (acc, (lang, s)) =>
+      acc.when(s === best, lang)
+    }.otherwise("und")
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * token bag — identical docs (up to word order/duplication) collide. */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Order-sensitive rolling fingerprint: left-fold polynomial hash
+    * `acc = (acc*31 + hash32(token)) mod 1e9+7` — mod keeps the fold in
+    * 64-bit range under ANSI arithmetic on both engines. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 31 + hash32(t)) % 1000000007L)
+
+  /** Word-level n-gram shingles: token[i..i+n-1] joined by a space.
+    * Documents shorter than n tokens yield an empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{DedupOps, TextOps}
+
+/** [EXT] Deduplication queries over `documents` (SURVEY §2E): exact
+  * hash-groupBy, inverted-index n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale notes: candidate generation is always an equi-join on a derived
+  * key (shingle / LSH bucket / simhash prefix) — never an all-pairs cross
+  * join. DuckDB oracles rerun the identical integer arithmetic, so pair
+  * sets match exactly.
+  */
+object DedupQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir).documents
+
+  /** Shared DuckDB CTE: tokens + distinct 2-gram shingles per doc. */
+  private val shingleCte =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([array_to_string(toks[i:i+1],' ')
+      |                        FOR i IN generate_series(1, len(toks)-1)]) s
+      |       FROM d)""".stripMargin
+
+  private val exact = Q(
+    "dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.exactDedupSummary(docs(s, dir), md5($"text"), "doc_id")
+        .orderBy($"keep_id")
+    },
+    Some("""SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+           |       count(*) AS n_dups
+           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin))
+
+  private val keepFirst = Q(
+    "dedup_keep_first",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.keepFirst(docs(s, dir), Seq("lang", "source"), "doc_id")
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang, source FROM (
+           |  SELECT doc_id, lang, source,
+           |         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) rn
+           |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
+  private val jaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val withShingles = docs(s, dir)
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      DedupOps.jaccardPairs(withShingles, "doc_id", "shingles", 0.5)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""$shingleCte,
+            |post AS (SELECT doc_id, unnest(s) tok FROM sh),
+            |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+            |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id)
+            |SELECT a AS id_a, b AS id_b,
+            |       round(len(list_intersect(sa.s, sb.s))::DOUBLE
+            |             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+            |FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+            |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+            |      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin),
+    headline = true)
+
+  /** MinHash(k=16) + LSH(4 bands × 4 rows) candidates, verified with true
+    * Jaccard ≥ 0.8 — the scale path for near-dup dedup: candidate cost is
+    * Σ bucket², not N². */
+  private val minhash = Q(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val withShingles = docs(s, dir)
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+        .select($"doc_id", array_distinct($"shingles").as("shingles"))
+      val signed = withShingles.withColumn("sig",
+        DedupOps.minhashSignature($"shingles", 16))
+      val cands = DedupOps.lshCandidatePairs(signed, "doc_id", "sig", 4, 4)
+      val sets = withShingles.select($"doc_id".as("id"), $"shingles".as("ss"))
+      cands
+        .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("ss", "s_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("ss", "s_b"), "id_b")
+        .withColumn("jaccard", round(
+          size(array_intersect($"s_a", $"s_b")).cast("double") /
+            size(array_union($"s_a", $"s_b")), 6))
+        .filter($"jaccard" >= 0.8)
+        .select($"id_a", $"id_b", $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some {
+      val coeffs = DedupOps.minhashCoeffs(16)
+      val p = DedupOps.minhashPrime
+      val sigExpr = coeffs.map { case (a, b) =>
+        s"coalesce(list_min([(${a}*h + ${b}) % $p FOR h IN hs]), $p)"
+      }.mkString("[", ",\n      ", "]")
+      s"""$shingleCte,
+         |h AS (SELECT doc_id, [('0x'||substr(md5(t),1,8))::BIGINT FOR t IN s] hs FROM sh),
+         |sig AS (SELECT doc_id, $sigExpr sig FROM h),
+         |banded AS (SELECT doc_id, b AS band,
+         |             array_to_string(sig[4*b+1 : 4*b+4], ',') AS bucket
+         |           FROM sig, generate_series(0,3) g(b)),
+         |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+         |         FROM banded l JOIN banded r
+         |           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+         |SELECT a AS id_a, b AS id_b,
+         |       round(len(list_intersect(sa.s, sb.s))::DOUBLE
+         |             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+         |FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+         |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+         |      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    headline = true)
+
+  /** Per-doc 32-bit SimHash + near-dup pairs at hamming ≤ 2. Pairing is
+    * done via a band join on the two simhash halves (any pair within
+    * hamming ≤ 2 of a 32-bit value shares at least one exact 16-bit half
+    * only if both diff bits fall in one half — so band on 4 bytes instead:
+    * here, with hamming ≤ 2 and 4 bands of 8 bits, ≥2 bands must match;
+    * we join on any single matching band which is a superset, then filter
+    * by true hamming — no pairs are missed). */
+  private val simhashQ = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val sim = docs(s, dir)
+        .withColumn("hs", transform(TextOps.tokens($"text"), TextOps.hash32(_)))
+        .select($"doc_id", DedupOps.simhash32FromHashes($"hs").as("simhash"))
+      // band on 4 × 8-bit chunks: hamming ≤ 2 ⟹ ≥ 2 of 4 chunks equal ⟹
+      // at least one chunk equal — the join below cannot miss a pair.
+      val banded = sim.select($"doc_id", $"simhash",
+        posexplode(array((0 until 4).map(b =>
+          pmod(shiftright($"simhash", 8 * b), lit(256L))): _*)))
+        .select($"doc_id", $"simhash", $"pos".as("band"), $"col".as("chunk"))
+      banded.as("l").join(banded.as("r"),
+          $"l.band" === $"r.band" && $"l.chunk" === $"r.chunk" &&
+            $"l.doc_id" < $"r.doc_id")
+        .select($"l.doc_id".as("id_a"), $"r.doc_id".as("id_b"),
+          DedupOps.hamming($"l.simhash", $"r.simhash").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 2)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+           |h AS (SELECT doc_id, [('0x'||substr(md5(t),1,8))::BIGINT FOR t IN toks] hs FROM d),
+           |sim AS (SELECT doc_id,
+           |          list_sum([CASE WHEN list_sum([((h//(2**j)::BIGINT)%2)*2-1 FOR h IN hs]) > 0
+           |                         THEN (2**j)::BIGINT ELSE 0 END
+           |                    FOR j IN generate_series(0,31)]) simhash
+           |        FROM h)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  def all: Seq[Q] = Seq(exact, keepFirst, jaccard, minhash, simhashQ)
+}

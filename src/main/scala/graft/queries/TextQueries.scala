@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.TextOps
+
+/** [EXT] Text-analysis queries over `documents` (SURVEY §2E): token
+  * counting, quality scoring, language ID, fingerprinting, word
+  * frequency. All pure column expressions — scan-local at scale except
+  * the one explode+groupBy (word_freq), which shuffles on the token.
+  *
+  * DuckDB twins recompute the same arithmetic: the shared 32-bit hash is
+  * `('0x' || substr(md5(s),1,8))::BIGINT` ≡ Spark
+  * `conv(substring(md5(s),1,8),16,10)`.
+  */
+object TextQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String) = Tables(s, dir)
+
+  private val tokenStats = Q(
+    "text_token_stats",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).documents.select(
+        $"doc_id",
+        TextOps.tokenCount($"text").as("n_tokens"),
+        TextOps.distinctTokenCount($"text").as("n_distinct"),
+        TextOps.bpeishTokenCount($"text").as("n_bpeish"),
+        TextOps.meanTokenLength($"text").as("mean_token_len"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  len(string_split(text,' ')) AS n_tokens,
+           |  len(list_distinct(string_split(text,' '))) AS n_distinct,
+           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish,
+           |  round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+           |        / len(string_split(text,' ')), 6) AS mean_token_len
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val quality = Q(
+    "text_quality_score",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).documents.select(
+        $"doc_id",
+        TextOps.punctRatio($"text").as("punct_ratio"),
+        TextOps.stopwordRatio($"text").as("stopword_ratio"),
+        TextOps.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id,
+           |    round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+           |          / length(text), 6) AS punct_ratio,
+           |    round(len(list_filter(string_split(text,' '),
+           |              t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+           |          / len(string_split(text,' ')), 6) AS stopword_ratio,
+           |    length(text) AS n
+           |  FROM documents)
+           |SELECT doc_id, punct_ratio, stopword_ratio,
+           |  round(least(n::DOUBLE/500.0, 1.0)*0.5
+           |        + (1.0 - least(punct_ratio*5.0, 1.0))*0.3
+           |        + least(stopword_ratio*4.0, 1.0)*0.2, 6) AS quality
+           |FROM m ORDER BY doc_id""".stripMargin),
+    headline = true)
+
+  private val langIdQ = Q(
+    "text_lang_id",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).documents.select(
+        $"doc_id", $"lang",
+        TextOps.langId($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val scores = TextOps.langMarkers.map { case (lang, markers) =>
+        val in = markers.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($in))) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text,' ') toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |    $scores
+         |  FROM toks),
+         |b AS (SELECT *, $best AS best FROM sc)
+         |SELECT doc_id, lang,
+         |  CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+         |FROM b ORDER BY doc_id""".stripMargin
+    })
+
+  private val fingerprintQ = Q(
+    "text_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).documents.select(
+        $"doc_id",
+        TextOps.bagFingerprint($"text").as("bag_fp"),
+        TextOps.rollingFingerprint($"text").as("rolling_fp"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS bag_fp,
+           |  list_reduce(
+           |    list_prepend(0::BIGINT,
+           |      [('0x'||substr(md5(t),1,8))::BIGINT FOR t IN string_split(text,' ')]),
+           |    (acc, x) -> (acc*31 + x) % 1000000007) AS rolling_fp
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val wordFreq = Q(
+    "text_word_freq",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).documents
+        .select(explode(TextOps.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token")
+        .limit(20)
+    },
+    Some("""SELECT token, count(*) AS n
+           |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+           |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin))
+
+  def all: Seq[Q] = Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq)
+}
