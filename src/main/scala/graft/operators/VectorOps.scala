@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** [EXT] Vector similarity operators over `embeddings.embedding`
+  * (`array<float>`): cosine distance, brute-force top-k, sign-random-
+  * projection LSH bucketing, IVF-style centroid assignment.
+  *
+  * Scale posture: the brute-force path broadcasts the (small) query set
+  * against the full corpus — one map-side pass plus a per-query top-k
+  * window; the LSH path shuffles once on the bucket key so candidate cost
+  * is Σ bucket², not N². All arithmetic is done in double after an
+  * explicit cast from float (left-fold sums), matching the DuckDB oracle.
+  */
+object VectorOps {
+
+  /** Element cast float→double (exact), so sums accumulate in double. */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k neighbors for each query vector.
+    * `queries`/`corpus` must have (idCol, vecCol). The query side is
+    * broadcast (it is the small side by contract); ranking is by cosine
+    * rounded to 6dp then id, so the cut is deterministic and
+    * oracle-stable. Self-pairs are excluded. */
+  def topKNeighbors(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic pseudo-hyperplane weight for (plane i, dim j) — small
+    * signed integers so the oracle recomputes them exactly. */
+  def planeWeight(i: Int, j: Column): Column = (lit(i) * 31 + j * 17) % 13 - 6
+
+  /** Sign-random-projection LSH signature: bit i = 1 iff Σ_j w_ij·v_j > 0,
+    * packed into a long. `dims` must equal the embedding length. */
+  def rpSignature(vec: Column, planes: Int): Column =
+    (0 until planes).map { i =>
+      val proj = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, j) => x * planeWeight(i, j)), lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** IVF-style assignment: nearest centroid (max cosine, tie → min id)
+    * per vector. Centroids are broadcast — one map-side pass. */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String,
+                        centroidIdCol: String, centroidVecCol: String): DataFrame = {
+    val v = vectors.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    val c = centroids.select(col(centroidIdCol).as("centroid_id"),
+      toDouble(col(centroidVecCol)).as("cv"))
+    val scored = v.crossJoin(broadcast(c))
+      .withColumn("cos", round(cosine(col("v"), col("cv")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"), col("cos"))
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Event-stream analytics over `events` in batch form (SURVEY §2E
+  * streaming ops + the gold "backtesting" layer of §7.6): tumbling and
+  * sliding time windows, session windows (gaps-and-islands), JSON
+  * property extraction, as-of enrichment, per-key returns and moving
+  * averages. The same windowed aggregations run under Structured
+  * Streaming in graft.streaming (spec-tested); here they are oracle-
+  * checked on the batch path.
+  *
+  * Scale notes: every query shuffles at most once, on its natural key
+  * (window bucket / user_id); window functions partition by user_id —
+  * bounded state per key, AQE handles skewed users.
+  */
+object EventQueries {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir).events
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  private val tumbling = Q(
+    "events_tumbling_hourly",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select(date_format($"window.start", fmt).as("window_start"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+           |         AS window_start,
+           |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+    headline = true)
+
+  private val sliding = Q(
+    "events_sliding_1h_30m",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(window($"ts", "1 hour", "30 minutes"))
+        // avg rounded at 6dp, not 4: sum(2dp values)/n has ≤5 exact decimal
+        // digits for the common n, so 6dp is never a tie — 4dp hit an exact
+        // midpoint where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree.
+        .agg(count(lit(1)).as("n"), round(avg($"value"), 6).as("avg_value"))
+        .select(date_format($"window.start", fmt).as("window_start"), $"n", $"avg_value")
+        .orderBy($"window_start")
+    },
+    Some("""WITH w AS (
+           |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+           |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+           |           AS window_start, value
+           |  FROM events)
+           |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           |       count(*) AS n, round(avg(value), 6) AS avg_value
+           |FROM w GROUP BY w.window_start ORDER BY window_start""".stripMargin))
+
+  /** Session windows with a 10-minute gap, batch gaps-and-islands form:
+    * a new session starts where the gap from the previous event of the
+    * same user exceeds the timeout; session id is the running count of
+    * starts. One shuffle on user_id. */
+  private val sessions = Q(
+    "events_session_windows",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      ev(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 600L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_seq")
+        .agg(date_format(min($"ts"), fmt).as("session_start"),
+          date_format(max($"ts"), fmt).as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"user_id", $"session_seq")
+    },
+    Some("""WITH flagged AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+           |         THEN 1 ELSE 0 END AS new_session
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sessions AS (
+           |  SELECT user_id, ts, value,
+           |    sum(new_session) OVER
+           |      (PARTITION BY user_id ORDER BY ts
+           |       ROWS UNBOUNDED PRECEDING) AS session_seq
+           |  FROM flagged)
+           |SELECT user_id, session_seq,
+           |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+           |FROM sessions GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin))
+
+  private val jsonProps = Q(
+    "events_json_props",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        // floor, not int-cast: Spark's cast truncates, DuckDB's rounds
+        .groupBy(floor($"k" / 10).cast("int").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), round(avg($"value"), 6).as("avg_value"))
+        .orderBy($"k_bucket")
+    },
+    Some("""SELECT floor(json_extract_string(props, '$.k')::INT / 10)::INT AS k_bucket,
+           |       count(*) AS n, round(avg(value), 6) AS avg_value
+           |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin))
+
+  /** As-of enrichment: each purchase picks up the same user's most recent
+    * view at-or-before it. Spark form: union the two tagged streams, one
+    * window pass per user ordered by (ts, views-first) carrying the last
+    * view forward — the scalable as-of join (single shuffle, no range
+    * join explosion). Oracle: DuckDB's native ASOF JOIN. */
+  private val asof = Q(
+    "events_asof_enrich",
+    (s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      // de-dup views to one row per (user_id, ts) so the as-of pick is
+      // deterministic on both engines
+      val views = e.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("view_value"))
+        .select($"user_id", $"ts", $"view_value", lit(0).as("side"),
+          lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(null).cast("double").as("view_value"),
+          lit(1).as("side"), $"event_id", $"value")
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("last_view", max(when($"side" === 0,
+          struct($"ts", $"view_value"))).over(w))
+        .filter($"side" === 1)
+        .select($"event_id", $"user_id",
+          date_format($"ts", fmt).as("ts"),
+          round($"value", 2).as("purchase_value"),
+          date_format($"last_view.ts", fmt).as("last_view_ts"),
+          round($"last_view.view_value", 2).as("last_view_value"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH v AS (SELECT user_id, ts, max(value) AS view_value
+           |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+           |p AS (SELECT event_id, user_id, ts, value FROM events
+           |      WHERE event_type = 'purchase')
+           |SELECT p.event_id, p.user_id,
+           |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           |       round(p.value, 2) AS purchase_value,
+           |       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS last_view_ts,
+           |       round(v.view_value, 2) AS last_view_value
+           |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+           |ORDER BY p.event_id""".stripMargin),
+    headline = true)
+
+  /** Gold analytics (SURVEY §7.6 backtesting shapes): per-user event-value
+    * returns (lag) and 5-row moving average. */
+  private val returns = Q(
+    "gold_returns_moving_avg",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ma = byUser.rowsBetween(-4, Window.currentRow)
+      ev(s, dir)
+        .withColumn("prev_value", lag($"value", 1).over(byUser))
+        .select($"event_id", $"user_id",
+          round($"value", 2).as("value"),
+          round($"value" / nullif($"prev_value", lit(0.0)) - 1, 6).as("ret"),
+          round(avg($"value").over(ma), 6).as("ma5"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, round(value, 2) AS value,
+           |  round(value / nullif(lag(value) OVER w, 0) - 1, 6) AS ret,
+           |  round(avg(value) OVER
+           |    (PARTITION BY user_id ORDER BY ts, event_id
+           |     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |ORDER BY event_id""".stripMargin),
+    headline = true)
+
+  def all: Seq[Q] = Seq(tumbling, sliding, sessions, jsonProps, asof, returns)
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.VectorOps
+
+/** [EXT] Similarity-search queries over `embeddings` (SURVEY §2E):
+  * brute-force exact top-k (baseline), threshold pairs (exact baseline),
+  * sign-random-projection LSH (the scale path), IVF-style centroid
+  * assignment. Cosines are computed in double and rounded to 6dp before
+  * any ranking cut, so engine and oracle rank identically.
+  */
+object VectorQueries {
+
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir).embeddings
+
+  /** DuckDB cosine between double-cast lists. */
+  private def dcos(a: String, b: String): String =
+    s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
+
+  private val topk = Q(
+    "sim_topk_bruteforce",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      VectorOps.topKNeighbors(e.filter($"vec_id" < 5), e, "vec_id", "embedding", 10)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+            |scored AS (
+            |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
+            |         round(${dcos("q.v", "c.v")}, 6) cos
+            |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+            |SELECT query_id, rank, neighbor_id, cos FROM (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+            |  FROM scored)
+            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    headline = true)
+
+  /** Exact all-pairs threshold query — the O(N²) correctness baseline the
+    * LSH variant below is judged against; never the 100 TB path. */
+  private val pairs = Q(
+    "sim_cosine_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).select($"vec_id",
+        VectorOps.toDouble($"embedding").as("v"))
+      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+        .withColumn("cos", round(VectorOps.cosine($"a.v", $"b.v"), 6))
+        .filter($"cos" >= 0.4)
+        .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"), $"cos")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+            |SELECT a.vec_id id_a, b.vec_id id_b, round(${dcos("a.v", "b.v")}, 6) cos
+            |FROM e a JOIN e b ON a.vec_id < b.vec_id
+            |WHERE round(${dcos("a.v", "b.v")}, 6) >= 0.4
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Sign-random-projection LSH: 16 deterministic pseudo-hyperplanes,
+    * 4 bands × 4 bits; pairs sharing any band bucket are candidates,
+    * verified at cosine ≥ 0.4. The one shuffle is on (band, bucket). */
+  private val lsh = Q(
+    "sim_lsh_rp",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).select($"vec_id",
+        VectorOps.toDouble($"embedding").as("v"))
+      val signed = e.withColumn("sig", VectorOps.rpSignature($"v", 16))
+      val banded = signed.select($"vec_id", $"v",
+        posexplode(array((0 until 4).map(b =>
+          pmod(shiftright($"sig", 4 * b), lit(16L))): _*)))
+        .select($"vec_id", $"v", $"pos".as("band"), $"col".as("bucket"))
+      banded.as("l").join(banded.as("r"),
+          $"l.band" === $"r.band" && $"l.bucket" === $"r.bucket" &&
+            $"l.vec_id" < $"r.vec_id")
+        .select($"l.vec_id".as("id_a"), $"r.vec_id".as("id_b"),
+          round(VectorOps.cosine($"l.v", $"r.v"), 6).as("cos"))
+        .distinct()
+        .filter($"cos" >= 0.4)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+            |sig AS (SELECT vec_id, v,
+            |  list_sum([CASE WHEN list_sum([v[j+1]*((((i*31 + j*17) % 13) - 6)::DOUBLE)
+            |                               FOR j IN generate_series(0, len(v)-1)]) > 0
+            |                 THEN (2**i)::BIGINT ELSE 0 END
+            |            FOR i IN generate_series(0,15)]) sig
+            |  FROM e),
+            |banded AS (SELECT vec_id, v, b band, (sig // (2**(4*b))::BIGINT) % 16 bucket
+            |           FROM sig, generate_series(0,3) g(b)),
+            |cand AS (SELECT DISTINCT l.vec_id a, r.vec_id b
+            |         FROM banded l JOIN banded r
+            |           ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+            |SELECT a id_a, b id_b, round(${dcos("ea.v", "eb.v")}, 6) cos
+            |FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+            |WHERE round(${dcos("ea.v", "eb.v")}, 6) >= 0.4
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  /** IVF-style partition assignment: first 8 vectors act as centroids;
+    * every vector goes to its max-cosine centroid. */
+  private val ivf = Q(
+    "sim_ivf_assign",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      VectorOps.assignToCentroids(e, e.filter($"vec_id" < 8),
+          "vec_id", "embedding", "vec_id", "embedding")
+        .groupBy($"centroid_id")
+        .agg(count(lit(1)).as("n"), round(avg($"cos"), 6).as("avg_cos"))
+        .orderBy($"centroid_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+            |c AS (SELECT vec_id centroid_id, v cv FROM e WHERE vec_id < 8),
+            |scored AS (SELECT e.vec_id, c.centroid_id,
+            |             round(${dcos("e.v", "c.cv")}, 6) cos
+            |           FROM e CROSS JOIN c),
+            |best AS (SELECT * FROM (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) rn FROM scored)
+            |  WHERE rn = 1)
+            |SELECT centroid_id, count(*) n, round(avg(cos), 6) avg_cos
+            |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin))
+
+  def all: Seq[Q] = Seq(topk, pairs, lsh, ivf)
+}
