@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conform: projection + cast + rename (F1)") {
+    val df = Seq(("1", "2024-01-02", "x")).toDF("code", "issue_date", "junk")
+    val out = RelationalOps.conform(df,
+      keep = Seq("code", "issue_date"),
+      casts = Map("issue_date" -> "date"),
+      renames = Map("code" -> "item_code"))
+    assert(out.columns.toSeq === Seq("item_code", "issue_date"))
+    assert(out.schema("issue_date").dataType.typeName === "date")
+    assert(out.head().getDate(1).toString === "2024-01-02")
+  }
+
+  test("unpivot round-trips with pivot (F4)") {
+    val wide = Seq((1, 10.0, 20.0), (2, 30.0, 40.0)).toDF("id", "a", "b")
+    val long = RelationalOps.unpivotWide(wide, Seq("id"), Seq("a", "b"), "k", "v")
+    assert(long.count() === 4)
+    val back = long.groupBy("id").pivot("k", Seq("a", "b")).agg(first("v"))
+    assert(back.orderBy("id").collect().toSeq ===
+      wide.orderBy("id").collect().toSeq)
+  }
+
+  test("missingKeys finds unfetched tickers (F5)") {
+    val requested = Seq("AAA", "BBB", "CCC").toDF("ticker")
+    val fetched = Seq("AAA").toDF("ticker")
+    val missing = RelationalOps.missingKeys(requested, fetched, Seq("ticker"))
+      .as[String].collect().sorted
+    assert(missing === Array("BBB", "CCC"))
+  }
+
+  test("maturesIn slices years from bond key (F8)") {
+    val out = Seq("Corp_bond_2010-2034").toDF("k")
+      .select(RelationalOps.maturesIn($"k")).as[Int].head()
+    assert(out === 24)
+  }
+
+  test("bucketByCodeLength buckets GICS codes (F11)") {
+    val out = Seq("10", "1010", "101010", "10101010", "abc").toDF("c")
+      .select(RelationalOps.bucketByCodeLength($"c")).as[String].collect()
+    assert(out === Array("sector", "industry_group", "industry", "sub_industry", "unknown"))
+  }
+
+  test("zeroFill completes the grid (F13)") {
+    val expected = Seq(("d1", "A"), ("d1", "B"), ("d2", "A")).toDF("d", "s")
+    val actual = Seq(("d1", "A", 5.0)).toDF("d", "s", "v")
+    val out = RelationalOps.zeroFill(expected, actual, Seq("d", "s"), Seq("v"))
+    assert(out.count() === 3)
+    assert(out.filter($"d" === "d2" && $"s" === "A").select($"v").as[Double].head() === 0.0)
+  }
+
+  test("normalizeKey snake-cases scraped headers (F14)") {
+    val out = Seq("  Issue Date ").toDF("k")
+      .select(RelationalOps.normalizeKey($"k")).as[String].head()
+    assert(out === "issue_date")
+  }
+
+  test("assertNonEmpty gates empty frames (F17)") {
+    val ok = Seq(1).toDF("x")
+    assert(RelationalOps.assertNonEmpty(ok, "ok").count() === 1)
+    intercept[IllegalArgumentException] {
+      RelationalOps.assertNonEmpty(ok.filter($"x" > 1), "empty")
+    }
+  }
+
+  test("withYmd derives partition key from ISO timestamp string (F9)") {
+    val out = RelationalOps.withYmd(
+      Seq("2024-03-05T10:00:00").toDF("ts"), "ts")
+      .select($"ymd").as[String].head()
+    assert(out === "2024-03-05")
+  }
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts") {
+    val r = Seq("the quick brown fox the").toDF("text").select(
+      TextOps.tokenCount($"text"),
+      TextOps.distinctTokenCount($"text"),
+      TextOps.bpeishTokenCount($"text")).head()
+    assert(r.getInt(0) === 5)
+    assert(r.getInt(1) === 4)
+    assert(r.getInt(2) === 5)
+  }
+
+  test("bpeish splits punctuation and digits") {
+    val n = Seq("ab12cd, x!").toDF("t")
+      .select(TextOps.bpeishTokenCount($"t")).as[Int].head()
+    // ab | 12 | cd | , | x | ! = 6
+    assert(n === 6)
+  }
+
+  test("shingles: n=2 over 3 tokens gives 2; short docs give empty") {
+    val out = Seq("a b c", "a").toDF("t")
+      .select(TextOps.shingles($"t", 2).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b", "b c"))
+    assert(out(1) === Seq.empty)
+  }
+
+  test("hash32 is stable and 32-bit") {
+    val h = Seq("abc", "abc", "abd").toDF("t")
+      .select(TextOps.hash32($"t")).as[Long].collect()
+    assert(h(0) === h(1))
+    assert(h(0) !== h(2))
+    assert(h.forall(x => x >= 0 && x < (1L << 32)))
+  }
+
+  test("fingerprints: order-insensitive bag vs order-sensitive rolling") {
+    val df = Seq("a b c", "c b a", "a b d").toDF("t").select(
+      TextOps.bagFingerprint($"t").as("bag"),
+      TextOps.rollingFingerprint($"t").as("roll"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) === rows(1).getString(0)) // same bag
+    assert(rows(0).getLong(1) !== rows(1).getLong(1))     // different order
+    assert(rows(0).getString(0) !== rows(2).getString(0))
+  }
+
+  test("langId picks marker-majority language, und on no markers") {
+    val out = Seq("the a of x", "der und das x", "xyz qqq").toDF("t")
+      .select(TextOps.langId($"t")).as[String].collect()
+    assert(out === Array("en", "de", "und"))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val q = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .select(TextOps.qualityScore($"text").as("q"))
+      .agg(min($"q"), max($"q")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedupSummary groups identical texts (keep min id)") {
+    val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "q")).toDF("doc_id", "text")
+    val out = DedupOps.exactDedupSummary(docs, md5($"text"), "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("keep_id") === 1L)
+    assert(out(0).getAs[Long]("n_dups") === 2L)
+  }
+
+  test("keepFirst keeps one row per key by tiebreak") {
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b")).toDF("id", "k")
+    val out = DedupOps.keepFirst(df, Seq("k"), "id")
+      .select($"id").as[Long].collect().sorted
+    assert(out === Array(1L, 2L))
+  }
+
+  test("jaccardPairs finds crafted near-dups and skips far pairs") {
+    val docs = Seq(
+      (1L, Seq("a b", "b c", "c d")),
+      (2L, Seq("a b", "b c", "c e")),  // jaccard 2/4 = 0.5
+      (3L, Seq("q r"))).toDF("doc_id", "sh")
+    val out = DedupOps.jaccardPairs(docs, "doc_id", "sh", 0.5).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("id_a") === 1L)
+    assert(out(0).getAs[Double]("jaccard") === 0.5)
+  }
+
+  test("LSH candidates contain every pair the exact Jaccard path confirms") {
+    // real documents at sf0.001: LSH(4x4) over minhash(16) must recall all
+    // pairs with true jaccard >= 0.8 that the exact inverted-index finds
+    val docs = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .select($"doc_id", array_distinct(TextOps.shingles($"text", 2)).as("sh"))
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "sh", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val signed = docs.withColumn("sig", DedupOps.minhashSignature($"sh", 16))
+    val cands = DedupOps.lshCandidatePairs(signed, "doc_id", "sig", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(cands),
+      s"missed: ${exact -- cands} (exact=${exact.size}, cands=${cands.size})")
+  }
+
+  test("simhash: identical token bags collide, hamming 0") {
+    val df = Seq((1L, "x y z"), (2L, "x y z")).toDF("id", "t")
+      .withColumn("hs", transform(TextOps.tokens($"t"), TextOps.hash32(_)))
+      .select($"id", DedupOps.simhash32FromHashes($"hs").as("sh"))
+    val v = df.select($"sh").as[Long].collect()
+    assert(v(0) === v(1))
+    assert(v(0) >= 0 && v(0) < (1L << 32))
+  }
+}
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0))).toDF("a", "b")
+      .select(round(VectorOps.cosine($"a", $"b"), 6).as("c"))
+    assert(df.as[Double].collect().toSeq === Seq(1.0, 0.0, -1.0))
+  }
+
+  test("topKNeighbors: k results per query, self excluded, rank ordered") {
+    val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
+    val out = VectorOps.topKNeighbors(e.filter($"vec_id" < 2), e,
+      "vec_id", "embedding", 5).collect()
+    assert(out.length === 10)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length === 5)
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") === q))
+      val cosines = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cosines.sameElements(cosines.sortBy(-_)))
+    }
+  }
+
+  test("rpSignature deterministic and within 16 bits") {
+    val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+    val sigs = e.select(VectorOps.rpSignature($"v", 16).as("s")).as[Long].collect()
+    assert(sigs.forall(s => s >= 0 && s < (1L << 16)))
+    val sigs2 = e.select(VectorOps.rpSignature($"v", 16).as("s")).as[Long].collect()
+    assert(sigs.sameElements(sigs2))
+  }
+}
