@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{Layout, PartitionLedger, SchemaRegistry, Writers}
+import graft.operators.{CalendarOps, RelationalOps}
+import graft.sources.{Connector, Retry}
+
+/** Pipeline layer (SURVEY §2D C1–C7 + §3 lifecycles E1–E3): the
+  * reference's Airflow DAG semantics as plain Scala around Spark jobs.
+  *
+  * - C1 short-circuit: the market-open *decision query* runs on the
+  *   engine (F6 over dim_calendar); a holiday yields Skipped without
+  *   touching the source.
+  * - C2 branch: SchemaRegistry.ensure infers a schema only on first run.
+  * - C3 backfill idempotence: every bronze write is a dynamic partition
+  *   overwrite of exactly `ymd=d`; `runRange` + PartitionLedger gives
+  *   resumable catchup.
+  * - C4 retries: Retry.withRetries around the connector fetch.
+  * - C5 fan-out: `Seq[IngestJob].map(_.runFor(d))` inside one Spark app.
+  * - C6 XCom: plain Scala values between stages.
+  * - C7 scheduling stays external; jobs take `(source, logicalDate)`.
+  */
+sealed trait StageResult
+case object Ran extends StageResult
+case class Skipped(reason: String) extends StageResult
+case class Failed(error: Throwable) extends StageResult
+
+/** E1: bronze ingest job — decision query, fetch w/ retry, non-empty
+  * gate, idempotent partitioned bronze write, ledger mark. */
+final class IngestJob(
+    spark: SparkSession,
+    layout: Layout,
+    connector: Connector,
+    ledger: PartitionLedger,
+    calendar: Option[DataFrame] = None,
+    retries: Int = 3,
+    format: String = "json") {
+
+  /** C1: previous-working-day decision (the reference's
+    * get_workday_info → verify_market_open, brz_kr_etf_daily.py:21-33,
+    * tasks.py:13-27). Returns None when `date` is a holiday. */
+  def previousWorkingDay(date: String): Option[String] =
+    calendar.flatMap { cal =>
+      val row = CalendarOps.previousWorkingDay(cal)
+        .filter(col("date") === lit(date))
+        .select(col("is_market_holiday"),
+          col("previous_working_day").cast("string"))
+        .collect().headOption
+      row match {
+        case Some(r) if !r.getBoolean(0) => Option(r.getString(1))
+        case _ => None
+      }
+    }
+
+  def runFor(date: String): StageResult = {
+    if (ledger.isProcessed(connector.name, date))
+      return Skipped(s"already processed $date")
+    if (calendar.isDefined && previousWorkingDay(date).isEmpty)
+      return Skipped(s"$date is a market holiday")
+    try {
+      val raw = Retry.withRetries(retries)(connector.fetchRaw(date))
+      if (raw.isEmpty) return Skipped(s"no payload for $date")
+      val bronze = RelationalOps.assertNonEmpty(
+        connector.toBronze(spark, raw), connector.name)
+      Writers.writeForDate(bronze,
+        layout.source("bronze", connector.name), date, format)
+      ledger.markProcessed(connector.name, date)
+      Ran
+    } catch { case e: Throwable => Failed(e) }
+  }
+
+  /** C3: resumable backfill over a date range. */
+  def runRange(dates: Seq[String]): Map[String, StageResult] =
+    ledger.unprocessed(connector.name, dates)
+      .map(d => d -> runFor(d)).toMap
+}
+
+/** E2: silver conformance job — availability check (S17), schema-registry
+  * ensure (C2/S16), the reference's conform SQL verbatim in Spark dialect
+  * (industry_code_glue_job.py:38-47), audit stamps (F2), parquet +
+  * warehouse writes (K3/K4). */
+final class SilverIndustryCodeJob(
+    spark: SparkSession, layout: Layout, registry: SchemaRegistry) {
+
+  def bronzePath: String = layout.source("bronze", "krx_codes")
+
+  def available(ymd: String): Boolean =
+    new java.io.File(s"$bronzePath/ymd=$ymd").exists
+
+  def runFor(ymd: String): StageResult = {
+    if (!available(ymd)) return Skipped(s"bronze krx_codes ymd=$ymd not landed")
+    try {
+      val schema = registry.ensure(spark, "krx_codes", bronzePath)
+      val bronze = spark.read.schema(schema).json(s"$bronzePath/ymd=$ymd")
+      bronze.createOrReplaceTempView("brz_industry_code")
+      // reference SQL verbatim (industry_code_glue_job.py:38-47)
+      val conformed = spark.sql(
+        """SELECT item_code, item_name, industry_code, market,
+          |       TO_DATE(issue_date, 'yyyy-MM-dd') AS issue_date
+          |FROM brz_industry_code""".stripMargin)
+      val stamped = CalendarOps.withAudit(conformed)
+      Writers.writeSilver(stamped,
+        layout.source("silver", "industry_code") + "/dim_industry_code")
+      Writers.warehouseFullRefresh(stamped, "dim_industry_code")
+      Ran
+    } catch { case e: Throwable => Failed(e) }
+  }
+}
+
+/** E3: calendar dimension build — set-based generation (F3) with
+  * idempotent year-partition overwrite (≡ DELETE WHERE year=, sql.py:36).
+  * The reference generates year+2 at each yearly run
+  * (slv_generate_calendar_yearly.py:54-62). */
+final class CalendarJob(spark: SparkSession, layout: Layout) {
+  def path: String = layout.source("silver", "calendar") + "/dim_calendar"
+
+  def runFor(logicalYear: Int): StageResult =
+    try {
+      val target = logicalYear + 2
+      val dim = CalendarOps.calendarDim(spark, target, target)
+      Writers.writeYearPartition(CalendarOps.withAudit(dim), path)
+      Ran
+    } catch { case e: Throwable => Failed(e) }
+
+  def read(): DataFrame = spark.read.parquet(path)
+}

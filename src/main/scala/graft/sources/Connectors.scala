@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.model.Schemas
+
+/** Source connectors (SURVEY §2A S1–S21).
+  *
+  * Architecture: a connector is driver-side code producing the raw payload
+  * strings an external API would return (pagination loops, retries,
+  * politeness live HERE, outside the query plan — exactly where the
+  * reference keeps them); the engine side is always the same declarative
+  * pipeline: `Dataset[String]` → `from_json(schema)` → conform. In
+  * production the fetch hits HTTP; in this zero-egress build every
+  * connector is backed by fixture files shaped byte-for-byte like the
+  * reference's landed payloads (FIXTURES.md §A) — the Spark-side plumbing
+  * is identical either way.
+  */
+trait Connector {
+  def name: String
+  /** Raw payload strings for one logical date (one element per fetched
+    * object/page), or empty when the source has nothing for that date
+    * (holiday skip, S6). */
+  def fetchRaw(logicalDate: String): Seq[String]
+  /** Parse + project the raw payloads into the bronze-shaped DataFrame. */
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame
+}
+
+/** C4: connector-level retry with delay — the reference's
+  * `retries/retry_delay` default_args (brz_kr_etf_daily.py:36-38). */
+object Retry {
+  def withRetries[T](attempts: Int, delayMs: Long = 0)(f: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return f
+      catch {
+        case e: Throwable =>
+          last = e; i += 1
+          if (i < attempts && delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    throw last
+  }
+}
+
+/** Helper: parse an array-of-records payload with an explicit schema. */
+object Parse {
+  def jsonArray(spark: SparkSession, raw: Seq[String], element: StructType): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[String] = spark.createDataset(raw)
+    ds.select(explode(from_json($"value",
+      org.apache.spark.sql.types.ArrayType(element))).as("r"))
+      .select("r.*")
+  }
+
+  def jsonObject(spark: SparkSession, raw: Seq[String], payload: StructType): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(raw)
+      .select(from_json($"value", payload).as("p"))
+      .select("p.*")
+  }
+}
+
+/** S1: KRX ETF — pagination loop accumulating `items` pages until
+  * totalCount satisfied (tasks.py:30-75); fixture = one page file per
+  * pageNo under `<dir>/ymd=<d>/page_<n>.json`. */
+final class KrEtfConnector(fixtureDir: String) extends Connector {
+  val name = "kr_etf"
+  def fetchRaw(logicalDate: String): Seq[String] = {
+    val dir = new java.io.File(s"$fixtureDir/ymd=$logicalDate")
+    if (!dir.exists) Seq.empty
+    else dir.listFiles().filter(_.getName.startsWith("page_")).sortBy(_.getName)
+      .map(f => java.nio.file.Files.readString(f.toPath)).toSeq
+  }
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
+    import spark.implicits._
+    Parse.jsonObject(spark, raw, Schemas.krEtfPayload)
+      .select(explode($"items").as("r")).select("r.*")
+  }
+}
+
+/** S9: KRX industry codes — flattened records (extractors.py:43-56);
+  * fixture = one JSON-array file per date. */
+final class KrxCodesConnector(fixtureDir: String) extends Connector {
+  val name = "krx_codes"
+  def fetchRaw(logicalDate: String): Seq[String] = {
+    val f = new java.io.File(s"$fixtureDir/ymd=$logicalDate/krx_codes_$logicalDate.json")
+    if (!f.exists) Seq.empty else Seq(java.nio.file.Files.readString(f.toPath))
+  }
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame =
+    Parse.jsonArray(spark, raw, Schemas.krxCodes)
+}
+
+/** S12: KRX market holidays — full payload with `block1` array persisted
+  * under `year=` (tasks.py:8-37). */
+final class MarketHolidayConnector(fixtureDir: String) extends Connector {
+  val name = "kr_market_holiday"
+  def fetchRaw(year: String): Seq[String] = {
+    val f = new java.io.File(s"$fixtureDir/year=$year/data.json")
+    if (!f.exists) Seq.empty else Seq(java.nio.file.Files.readString(f.toPath))
+  }
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
+    import spark.implicits._
+    Parse.jsonObject(spark, raw, Schemas.holidayPayload)
+      .select(explode($"block1").as("r")).select("r.*")
+  }
+}
+
+/** S5: Binance klines — CSV with declared 14-column schema (schema-on-read
+  * over positional arrays, extractors.py:16-33). */
+final class CoinConnector(fixtureDir: String) extends Connector {
+  val name = "coin_data"
+  def fetchRaw(logicalDate: String): Seq[String] = {
+    val f = new java.io.File(s"$fixtureDir/ymd=$logicalDate/${logicalDate}_coin_data.csv")
+    if (!f.exists) Seq.empty else Seq(f.getPath)
+  }
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame =
+    spark.read.schema(Schemas.coin).option("header", "true").csv(raw: _*)
+}
+
+/** S11: NYT archive — nested projection incl. `headline.main` and
+  * `keywords[*].value` (extractors.py:28-42), applied at parse time via
+  * higher-order `transform`. */
+final class NewsConnector(fixtureDir: String) extends Connector {
+  val name = "news"
+  def fetchRaw(logicalDate: String): Seq[String] = {
+    val f = new java.io.File(s"$fixtureDir/ymd=$logicalDate/news.json")
+    if (!f.exists) Seq.empty else Seq(java.nio.file.Files.readString(f.toPath))
+  }
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val docSchema = StructType.fromDDL(
+      """abstract STRING, web_url STRING, headline STRUCT<main: STRING>,
+        |pub_date STRING, section_name STRING, byline STRUCT<original: STRING>,
+        |word_count INT, keywords ARRAY<STRUCT<name: STRING, value: STRING>>
+        |""".stripMargin)
+    Parse.jsonArray(spark, raw, docSchema)
+      .select($"abstract", $"web_url",
+        $"headline.main".as("headline"),
+        $"pub_date", $"section_name",
+        $"byline.original".as("byline"),
+        $"word_count",
+        transform($"keywords", k => k("value")).as("keywords"))
+  }
+}

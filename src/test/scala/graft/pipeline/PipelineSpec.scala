@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.io.{Layout, PartitionLedger, SchemaRegistry, Writers}
+import graft.model.Schemas
+import graft.sources._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class WritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dynamic partition overwrite: rerun replaces only its partition (C3)") {
+    val root = Files.createTempDirectory("graft-io").toString
+    val path = s"$root/bronze/t"
+    val d1 = Seq(("a", 1)).toDF("k", "v")
+    val d2 = Seq(("b", 2)).toDF("k", "v")
+    Writers.writeForDate(d1, path, "2025-01-01", "parquet")
+    Writers.writeForDate(d2, path, "2025-01-02", "parquet")
+    assert(spark.read.parquet(path).count() === 2)
+    // rerun day 1 with different content: day 2 must survive
+    Writers.writeForDate(Seq(("a2", 9)).toDF("k", "v"), path, "2025-01-01", "parquet")
+    val out = spark.read.parquet(path)
+    assert(out.count() === 2)
+    assert(out.filter($"ymd" === "2025-01-01").select($"k").as[String].head() === "a2")
+    assert(out.filter($"ymd" === "2025-01-02").count() === 1)
+  }
+
+  test("idempotence: running the same write twice == once (C3 invariant)") {
+    val root = Files.createTempDirectory("graft-io").toString
+    val path = s"$root/bronze/t"
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    Writers.writeForDate(df, path, "2025-01-01", "parquet")
+    Writers.writeForDate(df, path, "2025-01-01", "parquet")
+    assert(spark.read.parquet(path).count() === 2)
+  }
+}
+
+class LedgerRegistrySpec extends SparkSpec {
+
+  test("partition ledger marks and filters processed dates (S15 bookmark)") {
+    val f = Files.createTempDirectory("graft-ledger").toString + "/ledger.tsv"
+    val l = new PartitionLedger(f)
+    assert(!l.isProcessed("src", "2025-01-01"))
+    l.markProcessed("src", "2025-01-01")
+    l.markProcessed("src", "2025-01-01") // idempotent
+    assert(l.isProcessed("src", "2025-01-01"))
+    assert(l.unprocessed("src", Seq("2025-01-01", "2025-01-02")) === Seq("2025-01-02"))
+    assert(l.unprocessed("other", Seq("2025-01-01")) === Seq("2025-01-01"))
+  }
+
+  test("schema registry infers once then serves the snapshot (C2/S16)") {
+    val dir = Files.createTempDirectory("graft-registry").toString
+    val r = new SchemaRegistry(dir)
+    val fixture = getClass.getResource("/bronze/krx_codes").getPath
+    assert(!r.contains("krx_codes"))
+    val s1 = r.ensure(spark, "krx_codes", fixture)
+    assert(r.contains("krx_codes"))
+    assert(s1.fieldNames.contains("item_code"))
+    // second call must NOT re-infer: point inferFrom at garbage
+    val s2 = r.ensure(spark, "krx_codes", sys.error("re-inferred!"))
+    assert(s2 === s1)
+  }
+}
+
+class ConnectorSpec extends SparkSpec {
+  private def fixture(p: String) = getClass.getResource(s"/bronze/$p").getPath
+
+  test("S1 kr_etf: pagination accumulates pages, payload unwraps to items") {
+    val c = new KrEtfConnector(fixture("kr_etf"))
+    val raw = c.fetchRaw("2025-01-06")
+    assert(raw.length === 2) // two pages
+    val df = c.toBronze(spark, raw)
+    assert(df.count() === 3)
+    assert(df.columns.toSeq === Schemas.krEtfItem.fieldNames.toSeq)
+  }
+
+  test("S9 krx_codes: JSON array parses with declared schema") {
+    val c = new KrxCodesConnector(fixture("krx_codes"))
+    val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))
+    assert(df.count() === 4)
+    assert(df.schema === Schemas.krxCodes)
+  }
+
+  test("S12 market holiday: block1 unwraps per-year") {
+    val c = new MarketHolidayConnector(fixture("kr_market_holiday"))
+    val df = c.toBronze(spark, c.fetchRaw("2025"))
+    assert(df.count() === 3)
+    assert(df.columns.contains("holdy_nm"))
+  }
+
+  test("S5 coin: CSV reads with declared 14-col schema") {
+    val c = new CoinConnector(fixture("coin_data"))
+    val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))
+    assert(df.count() === 2)
+    assert(df.schema === Schemas.coin)
+  }
+
+  test("S11 news: nested projection + keyword value transform (F12)") {
+    import spark.implicits._
+    val c = new NewsConnector(fixture("news"))
+    val df = c.toBronze(spark, c.fetchRaw("2025-01-01"))
+    assert(df.count() === 2)
+    val first = df.orderBy($"pub_date").head()
+    assert(first.getAs[String]("headline") === "Stocks Rise")
+    assert(first.getAs[Seq[String]]("keywords") === Seq("Stocks", "KRX"))
+  }
+
+  test("holiday/missing date yields empty fetch (S6 skip path)") {
+    val c = new KrEtfConnector(fixture("kr_etf"))
+    assert(c.fetchRaw("2025-01-01").isEmpty)
+  }
+
+  test("retry wrapper retries then propagates (C4)") {
+    var calls = 0
+    val out = Retry.withRetries(3) { calls += 1; if (calls < 3) sys.error("flaky"); 42 }
+    assert(out === 42 && calls === 3)
+    intercept[RuntimeException] {
+      Retry.withRetries(2)(sys.error("always"))
+    }
+  }
+}
+
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+  private def fixture(p: String) = getClass.getResource(s"/bronze/$p").getPath
+
+  private def freshLayout() = Layout(Files.createTempDirectory("graft-lake").toString)
+
+  test("E1 ingest: holiday short-circuit (C1), run, ledger skip on rerun") {
+    val layout = freshLayout()
+    val ledger = new PartitionLedger(layout.root + "/ledger.tsv")
+    val cal = graft.operators.CalendarOps.calendarDim(spark, 2025, 2025)
+    val job = new IngestJob(spark, layout, new KrEtfConnector(fixture("kr_etf")),
+      ledger, calendar = Some(cal))
+    // 2025-01-05 is a Sunday -> holiday skip, no fetch
+    assert(job.runFor("2025-01-05") === Skipped("2025-01-05 is a market holiday"))
+    // Monday with fixture data -> Ran, bronze partition written
+    assert(job.runFor("2025-01-06") === Ran)
+    val bronze = spark.read.schema(
+      Schemas.krEtfItem.add("ymd", "string")).json(layout.source("bronze", "kr_etf"))
+    assert(bronze.filter($"ymd" === "2025-01-06").count() === 3)
+    // rerun -> ledger skip
+    assert(job.runFor("2025-01-06") === Skipped("already processed 2025-01-06"))
+    // missing fixture date (a weekday) -> no payload skip
+    assert(job.runFor("2025-01-07") === Skipped("no payload for 2025-01-07"))
+  }
+
+  test("E2 silver conform: reference SQL verbatim, schema == dim_industry_code") {
+    val layout = freshLayout()
+    val ledger = new PartitionLedger(layout.root + "/ledger.tsv")
+    val ingest = new IngestJob(spark, layout,
+      new KrxCodesConnector(fixture("krx_codes")), ledger)
+    assert(ingest.runFor("2025-01-06") === Ran)
+    val registry = new SchemaRegistry(layout.root + "/registry")
+    val silver = new SilverIndustryCodeJob(spark, layout, registry)
+    assert(silver.available("2025-01-06"))
+    assert(!silver.available("2025-01-07"))
+    assert(silver.runFor("2025-01-07") === Skipped("bronze krx_codes ymd=2025-01-07 not landed"))
+    assert(silver.runFor("2025-01-06") === Ran)
+    val out = spark.read.parquet(
+      layout.source("silver", "industry_code") + "/dim_industry_code")
+    assert(out.count() === 4)
+    assert(out.schema.fieldNames.toSeq === Schemas.dimIndustryCode.fieldNames.toSeq)
+    assert(out.schema("issue_date").dataType.typeName === "date")
+    // warehouse table registered (K4)
+    assert(spark.table("dim_industry_code").count() === 4)
+  }
+
+  test("E3 calendar job: year+2 target, idempotent year partition") {
+    val layout = freshLayout()
+    val job = new CalendarJob(spark, layout)
+    assert(job.runFor(2023) === Ran) // generates 2025
+    assert(job.runFor(2023) === Ran) // rerun: idempotent
+    val cal = job.read()
+    assert(cal.filter($"year" === 2025).count() === 365)
+    assert(cal.count() === 365)
+  }
+}
