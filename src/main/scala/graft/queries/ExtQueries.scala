@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TopKAggregator
+import graft.operators.{MultimodalOps, VectorOps}
+
+/** [EXT] queries exercising the custom typed aggregate and the multimodal
+  * column plumbing. */
+object ExtQueries {
+
+  /** Top-k via the bounded-heap Aggregator — identical results to
+    * sim_topk_bruteforce (same oracle), but planned as a hash aggregate
+    * with map-side partial top-k instead of a window sort: the shuffle
+    * carries ≤ k rows per (partition × query) instead of every candidate. */
+  private val topkAgg = Q(
+    "sim_topk_aggregator",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), VectorOps.toDouble($"embedding").as("qv"))
+      val c = e.select($"vec_id".as("neighbor_id"), VectorOps.toDouble($"embedding").as("cv"))
+      val topk = udaf(new TopKAggregator(10))
+      c.crossJoin(broadcast(q))
+        .filter($"query_id" =!= $"neighbor_id")
+        .select($"query_id",
+          round(VectorOps.cosine($"qv", $"cv"), 6).as("cos"), $"neighbor_id")
+        .groupBy($"query_id")
+        .agg(topk($"cos", $"neighbor_id").as("top"))
+        .select($"query_id", posexplode($"top"))
+        .select($"query_id", ($"pos" + 1).as("rank"),
+          $"col._2".as("neighbor_id"), $"col._1".as("cos"))
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+            |scored AS (
+            |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
+            |         round(list_dot_product(q.v,c.v)/(sqrt(list_dot_product(q.v,q.v))*sqrt(list_dot_product(c.v,c.v))), 6) cos
+            |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+            |SELECT query_id, rank, neighbor_id, cos FROM (
+            |  SELECT *, row_number() OVER
+            |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+            |  FROM scored)
+            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
+  /** Multimodal plumbing: build the binary media struct from documents,
+    * extract features through the per-partition decode kernel, aggregate.
+    * Oracle recomputes payload stats straight off the text bytes. */
+  private val multimodal = Q(
+    "multimodal_features",
+    (s, dir) => {
+      import s.implicits._
+      val media = MultimodalOps.fakeMediaFromDocuments(Tables(s, dir).documents)
+      MultimodalOps.extractFeatures(media)
+        .toDF()
+        .select($"doc_id", $"mime", $"n_bytes",
+          round($"byte_mean", 4).as("byte_mean"))
+        .orderBy($"doc_id")
+    },
+    // documents.text is pure ASCII (verified: octet_length == length for
+    // every row), so byte values == character codes and the oracle can use
+    // ascii() per char instead of blob byte access.
+    Some("""SELECT doc_id,
+           |  'application/x-fake-' || regexp_extract(source, '([0-9]+)$', 1) AS mime,
+           |  octet_length(text::BLOB) AS n_bytes,
+           |  round(list_sum([ascii(text[i]) FOR i IN generate_series(1, length(text))])::DOUBLE
+           |        / length(text), 4) AS byte_mean
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin))
+
+  def all: Seq[Q] = Seq(topkAgg, multimodal)
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY §2 streaming row + §2E):
+  * watermarked tumbling/sliding windows, session windows, custom
+  * per-key state via flatMapGroupsWithState, and the incremental file
+  * source that replaces the reference's S3KeySensor + Glue-bookmark
+  * pattern (S15/S17) with `readStream` + `Trigger.AvailableNow`.
+  *
+  * Scale posture: state is bounded per key by watermarks; the shuffle is
+  * on the grouping key exactly as in the batch twin queries
+  * (EventQueries), so a batch-validated plan carries over unchanged.
+  */
+object StreamingOps {
+
+  /** Typed event row matching the `events` table (FIXTURES.md §B). */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** Watermarked tumbling-window counts — streaming twin of
+    * events_tumbling_hourly. Late data beyond `watermark` is dropped and
+    * its window state reclaimed. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows with a gap timeout — streaming twin of
+    * events_session_windows, via the built-in `session_window`. */
+  def sessionAggregate(events: DataFrame, gap: String = "10 minutes",
+                       watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Per-user running aggregate emitted on every update — the custom-state
+    * escape hatch (`flatMapGroupsWithState`) for semantics windows can't
+    * express. State per key is O(1) (count + sum). */
+  case class UserRunning(user_id: Long, n: Long, total: Double)
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserRunning(userId, prev.n + batch.size,
+            prev.total + batch.map(_.value).sum)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Incremental file ingestion: process exactly the files not yet seen
+    * (checkpoint-tracked), then stop — the engine's replacement for
+    * S3KeySensor + job bookmarks. Returns the query after completion. */
+  def processAvailableFiles(spark: SparkSession, srcDir: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            checkpoint: String, outDir: String): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .json(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

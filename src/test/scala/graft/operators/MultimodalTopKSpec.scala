@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TopKAggregator
+import org.apache.spark.sql.functions._
+
+class MultimodalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = MultimodalOps.fakeMediaFromDocuments(
+    graft.core.Tables(spark, graft.TestSpark.sfDir).documents).cache()
+
+  test("media struct has the convention schema and survives parquet") {
+    // simpleString comparison: nullability flags differ between literal
+    // construction and the convention type, which is fine for the contract
+    assert(media.schema("media").dataType.simpleString ===
+      MultimodalOps.mediaType.simpleString)
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("media").dataType.simpleString ===
+      MultimodalOps.mediaType.simpleString)
+    assert(back.count() === media.count())
+  }
+
+  test("decode kernel: n_bytes == payload size, histogram sums to n_bytes") {
+    val f = MultimodalOps.extractFeatures(media)
+    val row = f.filter($"doc_id" === 0).head()
+    val expected = media.filter($"doc_id" === 0)
+      .select(octet_length($"media.payload")).as[Int].head()
+    assert(row.n_bytes === expected)
+    assert(row.histogram16.sum === expected.toLong)
+    assert(row.byte_mean > 0)
+    assert(row.mime.startsWith("application/x-fake-"))
+  }
+
+  test("frame sampling: stride-2 keeps every other 256-byte block") {
+    val df = Seq(("x" * 1000)).toDF("t")
+      .select(MultimodalOps.sampleFrames(to_binary($"t", lit("utf-8")), 2).as("frames"))
+    val frames = df.as[Seq[Array[Byte]]].head()
+    // 1000 bytes -> 4 blocks -> blocks 0 and 2 kept
+    assert(frames.length === 2)
+    assert(frames(0).length === 256)
+    assert(frames(1).length === 256)
+  }
+}
+
+class TopKAggregatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded heap keeps k best, ordered, with map-side partial merge") {
+    val topk = udaf(new TopKAggregator(3))
+    val df = Seq(
+      ("g1", 0.5, 1L), ("g1", 0.9, 2L), ("g1", 0.7, 3L), ("g1", 0.9, 0L),
+      ("g1", 0.1, 4L), ("g2", 0.2, 5L))
+      .toDF("g", "score", "id").repartition(4)
+    val out = df.groupBy($"g").agg(topk($"score", $"id").as("top"))
+      .select($"g", $"top").as[(String, Seq[(Double, Long)])]
+      .collect().toMap
+    // ties broken by id asc: (0.9,0) before (0.9,2)
+    assert(out("g1") === Seq((0.9, 0L), (0.9, 2L), (0.7, 3L)))
+    assert(out("g2") === Seq((0.2, 5L)))
+  }
+
+  test("aggregator result == window row_number result on real embeddings") {
+    val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
+    val viaAgg = graft.queries.ExtQueries.all.find(_.name == "sim_topk_aggregator").get
+      .run(spark, graft.TestSpark.sfDir)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val viaWindow = graft.operators.VectorOps.topKNeighbors(
+      e.filter($"vec_id" < 5), e, "vec_id", "embedding", 10)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(viaAgg.sortBy(t => (t._1, t._2)) === viaWindow.sortBy(t => (t._1, t._2)))
+  }
+}

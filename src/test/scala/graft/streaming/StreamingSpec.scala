@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.StreamingOps._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window with watermark drops late data past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = tumblingCounts(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: two events in hour 10, watermark advances to 11:30-0:10
+    input.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:20:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 11:30:00"), 2, "view", 3.0))
+    q.processAllAvailable()
+    // batch 2: an event 2 hours late for hour 10 — must be dropped;
+    // plus one closing hour 11
+    input.addData(
+      Event(4, ts("2024-01-01 10:30:00"), 3, "click", 9.0), // late, dropped
+      Event(5, ts("2024-01-01 12:30:00"), 2, "view", 4.0))
+    q.processAllAvailable()
+    input.addData(Event(6, ts("2024-01-01 14:00:00"), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("tumbling_out")
+      .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    // hour-10 click window must contain exactly the 2 on-time events
+    assert(out.contains(("10:00", "click", 2L, 3.0)))
+    assert(!out.exists { case (w, t, n, s) => w == "10:00" && n == 3 })
+  }
+
+  test("session windows split on gap > timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionAggregate(input.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0), // same session
+      Event(3, ts("2024-01-01 10:30:00"), 1, "click", 1.0)) // gap 25m: new session
+    q.processAllAvailable()
+    input.addData(Event(9, ts("2024-01-01 13:00:00"), 2, "view", 0.0)) // close user-1 state
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("session_out")
+      .filter($"user_id" === 1).select($"n_events").as[Long].collect().sorted
+    assert(sessions === Array(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(2, ts("2024-01-01 10:01:00"), 7, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val states = spark.table("running_out").as[UserRunning].collect()
+      .sortBy(_.n)
+    assert(states.map(s => (s.n, s.total)).toSeq === Seq((1L, 2.0), (2L, 5.0)))
+  }
+
+  test("AvailableNow file source processes new files only (S15/S17 story)") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val src = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    Files.writeString(java.nio.file.Paths.get(s"$src/a.json"),
+      """{"id":1,"v":"x"}""" + "\n" + """{"id":2,"v":"y"}""")
+    StreamingOps.processAvailableFiles(spark, src, schema, ckpt, out)
+    assert(spark.read.parquet(out).count() === 2)
+    // second run with one extra file: only the new file is processed
+    Files.writeString(java.nio.file.Paths.get(s"$src/b.json"), """{"id":3,"v":"z"}""")
+    StreamingOps.processAvailableFiles(spark, src, schema, ckpt, out)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 3) // not 5: a.json was not reprocessed
+  }
+}
