@@ -33,6 +33,40 @@ object DedupOps {
       .drop("__rn")
   }
 
+  /** Dense exact Jaccard: all (a<b) pairs through the codegen'd
+    * sorted-merge intersection kernel (graft.functions.SortedOverlapCount)
+    * — O(N²·|s|) but allocation-free and whole-stage-codegen'd, which
+    * beats the inverted index when the token vocabulary is small/hot (no
+    * selective postings to exploit). Correct at any vocabulary; choose
+    * [[jaccardPairs]] (prefix-filtered index) when postings are selective
+    * and N is 100 TB-scale, this when N² pairs are tractable. */
+  def jaccardPairsDense(docs: DataFrame, idCol: String, setCol: String,
+                        threshold: Double): DataFrame = {
+    // dictionary-encode tokens to 64-bit hashes: the merge kernel then
+    // compares primitive longs (no per-element allocation); the hash is
+    // internal — results depend only on the intersection COUNT, and a
+    // 64-bit collision anywhere is ~2⁻⁴⁰ at this scale
+    val sets = docs.select(col(idCol).as("id"),
+        sort_array(transform(array_distinct(col(setCol)), t => xxhash64(t))).as("s"))
+      .withColumn("sz", size(col("s")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // typed filter = deliberate optimizer barrier: without it Catalyst
+    // pushes the similarity predicate into the join condition, where the
+    // kernel is evaluated interpreted, twice, for BOTH orderings of every
+    // pair (measured 2.6× slower); this keeps the kernel in the codegen'd
+    // projection, once per unordered pair
+    sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.SortedLongOverlapCount(col("a.s"), col("b.s")).as("common"),
+        (col("a.sz") + col("b.sz")).as("szsum"))
+      .as[(Long, Long, Int, Int)]
+      .filter(t => t._3.toDouble / (t._4 - t._3) >= threshold)
+      .toDF("id_a", "id_b", "common", "szsum")
+      .select(col("id_a"), col("id_b"), round(col("common").cast("double") /
+        (col("szsum") - col("common")), 6).as("jaccard"))
+  }
+
   /** Candidate pairs via inverted index: explode each doc's distinct
     * shingles, self-equi-join on the shingle, keep each (a<b) pair once.
     * This is the exact (non-approximate) candidate generator: any pair
@@ -47,15 +81,35 @@ object DedupOps {
       .distinct()
   }
 
-  /** Verified Jaccard over candidate pairs: join back both shingle sets,
-    * compute |A∩B| / |A∪B|, keep pairs ≥ threshold. */
+  /** Exact set-similarity join with PPJoin-style prefix filtering: under
+    * a global rarest-first token order, any pair with `J(A,B) ≥ t` must
+    * share a token within each side's first `|s| − ⌈t·|s|⌉ + 1` tokens —
+    * so only those prefixes are indexed. The hot tokens that make a naive
+    * inverted index quadratic are by construction the ones excluded from
+    * prefixes, which is what makes this the 100 TB form (candidate rows
+    * collapse from Σ n_t² over all tokens to Σ over rare-prefix tokens
+    * only). Candidates are verified exactly on the full shingle sets, so
+    * results are identical to the naive all-shared-token join. */
   def jaccardPairs(docs: DataFrame, idCol: String, setCol: String,
                    threshold: Double): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
-      array_distinct(col(setCol)).as("s"))
-    invertedIndexPairs(docs, idCol, setCol)
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("s", "s_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("s", "s_b"), "id_b")
+        array_distinct(col(setCol)).as("s"))
+      .withColumn("sz", size(col("s")))
+    val posting = sets.select(col("id"), col("sz"), explode(col("s")).as("token"))
+    val freq = posting.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val prefixLen = col("sz") - ceil(lit(threshold) * col("sz")) + 1
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("token"))
+    val prefixes = posting.join(freq, "token")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen)
+      .select(col("id"), col("token"))
+    val candidates = prefixes.as("l").join(prefixes.as("r"),
+        col("l.token") === col("r.token") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
           size(array_union(col("s_a"), col("s_b"))), 6))
@@ -78,6 +132,26 @@ object DedupOps {
           s => (lit(a) * TextOps.hash32(s) + lit(b)) % minhashPrime)),
         lit(minhashPrime))
     }: _*)
+
+  /** MinHash signatures via explode + hash aggregate — the fast form: the
+    * per-shingle md5 is computed ONCE (HOF lambdas are CodegenFallback, so
+    * the column-expression form re-hashes every shingle per coefficient),
+    * and the k mins are codegen'd partial aggregates. Docs with an empty
+    * shingle set drop out (no posting rows) — left-join the result and
+    * fill with `minhashPrime` if they matter. */
+  def minhashSignatures(docs: DataFrame, idCol: String, setCol: String,
+                        k: Int): DataFrame = {
+    val posting = docs
+      .select(col(idCol).as("id"), explode(array_distinct(col(setCol))).as("s"))
+      .select(col("id"), TextOps.hash32(col("s")).as("h"))
+    val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % minhashPrime).as(s"m$i")
+    }
+    posting.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH banding: signature split into `bands` bands of `rowsPerBand`;
     * docs sharing any band bucket become candidates. Returns (id_a, id_b)
@@ -110,6 +184,23 @@ object DedupOps {
         (s, h) => s + when(h % (pow * 2) >= pow, 1L).otherwise(-1L))
       acc + when(bitSum > 0, pow).otherwise(0L)
     })
+
+  /** SimHash via explode + hash aggregate — the fast form (same reasoning
+    * as [[minhashSignatures]]): md5 once per token row, 32 codegen'd
+    * conditional-sum partial aggregates, one shuffle on the id. */
+  def simhashes(docs: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val posting = docs.select(col(idCol).as("id"), explode(tokensCol).as("t"))
+      .select(col("id"), TextOps.hash32(col("t")).as("h"))
+    val bitSums = (0 until 32).map { j =>
+      val pow = 1L << j
+      sum(when(col("h") % (pow * 2) >= pow, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    posting.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(j => when(col(s"b$j") > 0, 1L << j).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

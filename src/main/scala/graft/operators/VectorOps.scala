@@ -19,12 +19,20 @@ object VectorOps {
   /** Element cast float→double (exact), so sums accumulate in double. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd left-to-right dot product (graft.functions.DotProduct) —
+    * bit-identical to the HOF fold it replaces, ~10× faster (HOFs are
+    * CodegenFallback; this stays inside whole-stage codegen). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine with precomputed norms: in pair joins, compute each side's
+    * norm ONCE per row before the join (the join boundary stops projection
+    * collapse) instead of once per pair — same floats, 3× less work. */
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
 
   /** Brute-force exact top-k neighbors for each query vector.
     * `queries`/`corpus` must have (idCol, vecCol). The query side is
@@ -34,10 +42,13 @@ object VectorOps {
   def topKNeighbors(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(
+        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -64,10 +75,13 @@ object VectorOps {
                         idCol: String, vecCol: String,
                         centroidIdCol: String, centroidVecCol: String): DataFrame = {
     val v = vectors.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("vn", norm(col("v")))
     val c = centroids.select(col(centroidIdCol).as("centroid_id"),
       toDouble(col(centroidVecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = v.crossJoin(broadcast(c))
-      .withColumn("cos", round(cosine(col("v"), col("cv")), 6))
+      .withColumn("cos", round(
+        cosinePrenormed(col("v"), col("cv"), col("vn"), col("cn")), 6))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cos").desc, col("centroid_id"))
     scored.withColumn("rn", row_number().over(w))

@@ -55,7 +55,7 @@ object DedupQueries {
       import s.implicits._
       val withShingles = docs(s, dir)
         .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
-      DedupOps.jaccardPairs(withShingles, "doc_id", "shingles", 0.5)
+      DedupOps.jaccardPairsDense(withShingles, "doc_id", "shingles", 0.5)
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""$shingleCte,
@@ -81,18 +81,19 @@ object DedupQueries {
       val withShingles = docs(s, dir)
         .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
         .select($"doc_id", array_distinct($"shingles").as("shingles"))
-      val signed = withShingles.withColumn("sig",
-        DedupOps.minhashSignature($"shingles", 16))
+      val signed = DedupOps.minhashSignatures(withShingles, "doc_id", "shingles", 16)
+        .withColumnRenamed("id", "doc_id")
       val cands = DedupOps.lshCandidatePairs(signed, "doc_id", "sig", 4, 4)
       val sets = withShingles.select($"doc_id".as("id"), $"shingles".as("ss"))
       cands
         .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("ss", "s_a"), "id_a")
         .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("ss", "s_b"), "id_b")
-        .withColumn("jaccard", round(
-          size(array_intersect($"s_a", $"s_b")).cast("double") /
-            size(array_union($"s_a", $"s_b")), 6))
-        .filter($"jaccard" >= 0.8)
-        .select($"id_a", $"id_b", $"jaccard")
+        // filter on the UNROUNDED ratio (matching the oracle's WHERE),
+        // round only for output
+        .withColumn("raw", size(array_intersect($"s_a", $"s_b")).cast("double") /
+          size(array_union($"s_a", $"s_b")))
+        .filter($"raw" >= 0.8)
+        .select($"id_a", $"id_b", round($"raw", 6).as("jaccard"))
         .orderBy($"id_a", $"id_b")
     },
     Some {
@@ -131,9 +132,8 @@ object DedupQueries {
     "dedup_simhash",
     (s, dir) => {
       import s.implicits._
-      val sim = docs(s, dir)
-        .withColumn("hs", transform(TextOps.tokens($"text"), TextOps.hash32(_)))
-        .select($"doc_id", DedupOps.simhash32FromHashes($"hs").as("simhash"))
+      val sim = DedupOps.simhashes(docs(s, dir), "doc_id", TextOps.tokens($"text"))
+        .withColumnRenamed("id", "doc_id")
       // band on 4 × 8-bit chunks: hamming ≤ 2 ⟹ ≥ 2 of 4 chunks equal ⟹
       // at least one chunk equal — the join below cannot miss a pair.
       val banded = sim.select($"doc_id", $"simhash",

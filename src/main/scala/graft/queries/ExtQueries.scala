@@ -20,12 +20,15 @@ object ExtQueries {
       val e = Tables(s, dir).embeddings
       val q = e.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), VectorOps.toDouble($"embedding").as("qv"))
+        .withColumn("qn", VectorOps.norm($"qv"))
       val c = e.select($"vec_id".as("neighbor_id"), VectorOps.toDouble($"embedding").as("cv"))
+        .withColumn("cn", VectorOps.norm($"cv"))
       val topk = udaf(new TopKAggregator(10))
       c.crossJoin(broadcast(q))
         .filter($"query_id" =!= $"neighbor_id")
         .select($"query_id",
-          round(VectorOps.cosine($"qv", $"cv"), 6).as("cos"), $"neighbor_id")
+          round(VectorOps.cosinePrenormed($"qv", $"cv", $"qn", $"cn"), 6).as("cos"),
+          $"neighbor_id")
         .groupBy($"query_id")
         .agg(topk($"cos", $"neighbor_id").as("top"))
         .select($"query_id", posexplode($"top"))

@@ -47,8 +47,10 @@ object VectorQueries {
       import s.implicits._
       val e = emb(s, dir).select($"vec_id",
         VectorOps.toDouble($"embedding").as("v"))
+        .withColumn("nrm", VectorOps.norm($"v"))
       e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
-        .withColumn("cos", round(VectorOps.cosine($"a.v", $"b.v"), 6))
+        .withColumn("cos", round(
+          VectorOps.cosinePrenormed($"a.v", $"b.v", $"a.nrm", $"b.nrm"), 6))
         .filter($"cos" >= 0.4)
         .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"), $"cos")
         .orderBy($"id_a", $"id_b")
@@ -68,17 +70,23 @@ object VectorQueries {
       import s.implicits._
       val e = emb(s, dir).select($"vec_id",
         VectorOps.toDouble($"embedding").as("v"))
+        .withColumn("nrm", VectorOps.norm($"v"))
       val signed = e.withColumn("sig", VectorOps.rpSignature($"v", 16))
-      val banded = signed.select($"vec_id", $"v",
+      val banded = signed.select($"vec_id",
         posexplode(array((0 until 4).map(b =>
           pmod(shiftright($"sig", 4 * b), lit(16L))): _*)))
-        .select($"vec_id", $"v", $"pos".as("band"), $"col".as("bucket"))
+        .select($"vec_id", $"pos".as("band"), $"col".as("bucket"))
+      // dedupe candidate pairs BEFORE computing cosine, then join vectors
+      // back — cosine runs once per unique pair, not once per shared band
       banded.as("l").join(banded.as("r"),
           $"l.band" === $"r.band" && $"l.bucket" === $"r.bucket" &&
             $"l.vec_id" < $"r.vec_id")
-        .select($"l.vec_id".as("id_a"), $"r.vec_id".as("id_b"),
-          round(VectorOps.cosine($"l.v", $"r.v"), 6).as("cos"))
+        .select($"l.vec_id".as("id_a"), $"r.vec_id".as("id_b"))
         .distinct()
+        .join(e.select($"vec_id".as("id_a"), $"v".as("v_a"), $"nrm".as("n_a")), "id_a")
+        .join(e.select($"vec_id".as("id_b"), $"v".as("v_b"), $"nrm".as("n_b")), "id_b")
+        .select($"id_a", $"id_b", round(
+          VectorOps.cosinePrenormed($"v_a", $"v_b", $"n_a", $"n_b"), 6).as("cos"))
         .filter($"cos" >= 0.4)
         .orderBy($"id_a", $"id_b")
     },
