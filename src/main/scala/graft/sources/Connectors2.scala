@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+import graft.model.Schemas
+import graft.operators.RelationalOps
+
+/** Remaining SURVEY §2A connectors (file 2 of 2): yfinance family
+  * (S2/S19/S20), BOK stats (S4), investing.com indices (S6), bonds
+  * (S7) + metadata (S8), GICS (S10), FX wide matrix (S13), MSCI (S14).
+  * Same architecture as Connectors.scala: fixture-backed driver-side
+  * fetch, declarative Spark-side parse/conform.
+  */
+object FixtureFiles {
+  def readOne(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (!f.exists) Seq.empty else Seq(java.nio.file.Files.readString(f.toPath))
+  }
+  def listDir(dir: String, prefix: String = ""): Seq[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists) Seq.empty
+    else d.listFiles().filter(_.getName.startsWith(prefix)).sortBy(_.getName)
+      .map(_.getPath).toSeq
+  }
+}
+
+/** S2/S19/S20: yfinance OHLCV, already in the post-stack long layout
+  * (yfinance_operator.py:110-113) — CSV with declared schema. The
+  * `query`-mode ticker universe (S3/S20) is the dim lookup composed
+  * upstream; here the landed shape is what matters. */
+final class YFinanceConnector(fixtureDir: String, category: String)
+    extends Connector {
+  val name = category
+  def fetchRaw(logicalDate: String): Seq[String] =
+    FixtureFiles.listDir(s"$fixtureDir/ymd=$logicalDate", "data")
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame =
+    spark.read.schema(Schemas.yfinanceLong).option("header", "true").csv(raw: _*)
+
+  /** F5: the missing-ticker completeness check
+    * (yfinance_operator.py:118-127): requested tickers with no non-null
+    * Close in the fetched frame. */
+  def missingTickers(fetched: DataFrame, requested: DataFrame): DataFrame =
+    RelationalOps.missingKeys(
+      requested,
+      fetched.filter(col("Close").isNotNull).select(col("Ticker")),
+      Seq("Ticker"))
+}
+
+/** S4: Bank of Korea ECOS stats — payload is a list of `row` batches
+  * (bank_of_korea_operator.py:37-44,95); flatten one level then parse
+  * rows (F10). */
+final class BokStatConnector(fixtureDir: String) extends Connector {
+  val name = "economic_indicators"
+  def fetchRaw(logicalDate: String): Seq[String] =
+    FixtureFiles.readOne(s"$fixtureDir/ymd=$logicalDate/data.json")
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(raw)
+      .select(explode(from_json($"value",
+        ArrayType(ArrayType(Schemas.bokStat)))).as("batch"))
+      .select(explode($"batch").as("r"))
+      .select("r.*")
+  }
+}
+
+/** S6: investing.com indices — one record per open market; holidays are
+  * simply absent (extractors.py:42-45), `index_name` tagged by the
+  * fetcher (F16). */
+final class IndexDataConnector(fixtureDir: String) extends Connector {
+  val name = "index_data"
+  def fetchRaw(logicalDate: String): Seq[String] =
+    FixtureFiles.readOne(s"$fixtureDir/ymd=$logicalDate/${logicalDate}_index_data.json")
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame =
+    Parse.jsonArray(spark, raw, StructType.fromDDL(
+      """direction_color STRING, rowDate STRING, rowDateRaw BIGINT,
+        |last_close STRING, last_open STRING, last_max STRING,
+        |last_min STRING, volume STRING, change_precent STRING,
+        |index_name STRING""".stripMargin))
+}
+
+/** S7: Business Insider bond chart points per category, zero-filled rows
+  * included (brz_bonds_daily/extractors.py:62-87). */
+final class BondsConnector(fixtureDir: String, category: String)
+    extends Connector {
+  val name = category
+  def fetchRaw(logicalDate: String): Seq[String] =
+    FixtureFiles.readOne(
+      s"$fixtureDir/ymd=$logicalDate/${category}_$logicalDate.json")
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame =
+    Parse.jsonArray(spark, raw, Schemas.bonds)
+}
+
+/** S8: bond metadata — dynamic scraped key→value maps + name
+  * (brz_bonds_meta_monthly/extractors.py:41-51); parsed as
+  * `map<string,string>`, name promoted to a column (F14 keys already
+  * normalized by the scraper). */
+final class BondsMetaConnector(fixtureDir: String) extends Connector {
+  val name = "bonds_meta"
+  def fetchRaw(logicalDate: String): Seq[String] = {
+    val ym = logicalDate.substring(0, 7)
+    FixtureFiles.readOne(s"$fixtureDir/ymd=$logicalDate/bonds_meta_$ym.json")
+  }
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(raw)
+      .select(explode(from_json($"value",
+        ArrayType(org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))).as("m"))
+      .select(element_at($"m", "name").as("name"),
+        map_filter($"m", (k, _) => k =!= "name").as("attrs"))
+  }
+}
+
+/** S10: GICS classification rows bucketed by code length into the four
+  * category levels (extractors.py:85-97, F11). */
+final class GicsConnector(fixtureDir: String) extends Connector {
+  val name = "gics_codes"
+  def fetchRaw(logicalDate: String): Seq[String] =
+    FixtureFiles.readOne(
+      s"$fixtureDir/ymd=$logicalDate/gics_codes_$logicalDate.json")
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
+    import spark.implicits._
+    Parse.jsonArray(spark, raw, Schemas.gicsCodes)
+      .withColumn("category", RelationalOps.bucketByCodeLength($"code"))
+  }
+}
+
+/** S13: FX close matrix — wide, one DOUBLE column per currency pair,
+  * `Date` pre-renamed to `RecordDate` to dodge the partition-key
+  * collision (extractors.py:27, F15). Silver unpivots to long (F4). */
+final class ExchangeRateConnector(fixtureDir: String) extends Connector {
+  val name = "exchange_rate"
+  def fetchRaw(logicalDate: String): Seq[String] =
+    FixtureFiles.listDir(s"$fixtureDir/ymd=$logicalDate", "")
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(raw: _*)
+
+  /** Silver shape: unpivot the pair columns to (RecordDate, pair, rate). */
+  def toLong(bronze: DataFrame): DataFrame = {
+    val pairCols = bronze.columns.filterNot(_ == "RecordDate")
+    RelationalOps.unpivotWide(bronze, Seq("RecordDate"), pairCols, "pair", "rate")
+  }
+}
+
+/** S14: MSCI index record — fetched for `ds−1`
+  * (brz_msci_index_daily/constants.py:7-9), `Date` popped to
+  * `RecordDate`, `Index_Name` tagged (extractors.py:33-40). */
+final class MsciConnector(fixtureDir: String) extends Connector {
+  val name = "msci_index"
+  /** logical-date semantics: the partition is the PREVIOUS day (C7). */
+  def partitionDate(logicalDate: String): String =
+    java.time.LocalDate.parse(logicalDate).minusDays(1).toString
+  def fetchRaw(logicalDate: String): Seq[String] =
+    FixtureFiles.listDir(s"$fixtureDir/ymd=${partitionDate(logicalDate)}", "msci_")
+      .flatMap(p => FixtureFiles.readOne(p))
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame =
+    Parse.jsonArray(spark, raw, StructType.fromDDL(
+      """Close DOUBLE, Open DOUBLE, High DOUBLE, Low DOUBLE, Volume DOUBLE,
+        |Index_Name STRING, RecordDate STRING""".stripMargin))
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.io.{Layout, PartitionLedger}
+import graft.sources._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class Connectors2Spec extends SparkSpec {
+  import spark.implicits._
+  private def fixture(p: String) = getClass.getResource(s"/bronze/$p").getPath
+
+  test("S2/S20 yfinance: long CSV + missing-ticker anti-join (F5)") {
+    val c = new YFinanceConnector(fixture("kr_stock"), "kr_stock")
+    val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))
+    assert(df.count() === 3)
+    // 035720.KS has all-null Close -> flagged missing
+    val requested = Seq("005930.KS", "000660.KS", "035720.KS").toDF("Ticker")
+    val missing = c.missingTickers(df, requested).as[String].collect()
+    assert(missing === Array("035720.KS"))
+  }
+
+  test("S4 BOK: row batches flatten one level (F10)") {
+    val c = new BokStatConnector(fixture("economic_indicators"))
+    val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))
+    assert(df.count() === 3) // 2 + 1 across two batches
+    assert(df.filter($"ITEM_CODE1" === "SA200").count() === 1)
+    assert(df.schema.fieldNames.contains("DATA_VALUE"))
+  }
+
+  test("S6 index: records parse; holiday day yields empty fetch") {
+    val c = new IndexDataConnector(fixture("index_data"))
+    val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))
+    assert(df.count() === 2)
+    assert(df.select($"index_name").as[String].collect().toSet ===
+      Set("S&P 500", "NASDAQ 100"))
+    assert(c.fetchRaw("2025-01-01").isEmpty)
+  }
+
+  test("S7 bonds: chart points incl. zero-filled row (F13 shape)") {
+    val c = new BondsConnector(fixture("govt_bonds_kr"), "govt_bonds_kr")
+    val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))
+    assert(df.count() === 2)
+    val zeroFilled = df.filter($"Close" === 0.0)
+    assert(zeroFilled.count() === 1)
+    assert(zeroFilled.select($"matures_in").as[Int].head() === 30)
+  }
+
+  test("S8 bonds meta: map column with name promoted; first-wins keys") {
+    val c = new BondsMetaConnector(fixture("bonds_meta"))
+    val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))
+    assert(df.count() === 2)
+    val ktb = df.filter($"name" === "KTB 10Y").head()
+    val attrs = ktb.getAs[Map[String, String]]("attrs")
+    assert(attrs("coupon") === "2.875")
+    assert(!attrs.contains("name"))
+    // schema-drift tolerance: UST record has no issue_price/issue_date
+    val ust = df.filter($"name" === "UST 20Y").head()
+    assert(!ust.getAs[Map[String, String]]("attrs").contains("issue_price"))
+  }
+
+  test("S10 GICS: bucketed by code length into four levels (F11)") {
+    val c = new GicsConnector(fixture("gics_codes"))
+    val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))
+    val byCat = df.groupBy($"category").count().as[(String, Long)].collect().toMap
+    assert(byCat === Map("sector" -> 2L, "industry_group" -> 1L,
+      "industry" -> 1L, "sub_industry" -> 1L))
+  }
+
+  test("S13 FX: wide matrix reads; silver unpivots to long (F4/F15)") {
+    val c = new ExchangeRateConnector(fixture("exchange_rate"))
+    val wide = c.toBronze(spark, c.fetchRaw("2025-01-06"))
+    assert(wide.columns.head === "RecordDate") // F15 rename already applied
+    assert(wide.columns.length === 5)
+    val long = c.toLong(wide)
+    assert(long.count() === 4)
+    assert(long.columns.toSeq === Seq("RecordDate", "pair", "rate"))
+    val usdkrw = long.filter($"pair" === "USDKRW=X").select($"rate")
+      .as[Double].head()
+    assert(usdkrw === 1466.30)
+  }
+
+  test("S14 MSCI: ds-1 logical-date offset (C7) + tagged record") {
+    val c = new MsciConnector(fixture("msci_index"))
+    assert(c.partitionDate("2025-01-06") === "2025-01-05")
+    val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))
+    assert(df.count() === 1)
+    assert(df.select($"Index_Name").as[String].head() === "EM")
+    assert(df.columns.contains("RecordDate"))
+  }
+
+  test("C5 fan-out: one runner, many sources, independent results") {
+    val layout = Layout(Files.createTempDirectory("graft-lake").toString)
+    val ledger = new PartitionLedger(layout.root + "/ledger.tsv")
+    val runner = new Runner(spark, layout, ledger)
+    val results = runner.ingestAll(Seq(
+      new KrxCodesConnector(fixture("krx_codes")),
+      new IndexDataConnector(fixture("index_data")),
+      new GicsConnector(fixture("gics_codes")),
+      new BondsConnector(fixture("govt_bonds_kr"), "govt_bonds_kr")),
+      "2025-01-06")
+    assert(results.values.forall(_ === Ran))
+    // all four bronze sources landed under ymd=2025-01-06
+    Seq("krx_codes", "index_data", "gics_codes", "govt_bonds_kr").foreach { s =>
+      assert(new java.io.File(
+        layout.source("bronze", s) + "/ymd=2025-01-06").exists, s)
+    }
+    // one source missing its payload doesn't fail the fan-out
+    val r2 = runner.ingestAll(
+      Seq(new IndexDataConnector(fixture("index_data"))), "2025-01-01")
+    assert(r2("index_data") === Skipped("no payload for 2025-01-01"))
+  }
+}
