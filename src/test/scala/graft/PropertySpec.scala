@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{CalendarOps, RelationalOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5.4): generator totality for
+  * arbitrary years, reshaping identities, fingerprint ranges, write
+  * idempotence over arbitrary partition payloads. Uses seeded ScalaCheck
+  * generators directly (deterministic samples, no scalatestplus bridge).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[T](g: Gen[T], n: Int = 10)(f: T => Unit): Unit = {
+    var checked = 0
+    (1 to n * 4).foreach { i =>
+      if (checked < n) g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { v =>
+        checked += 1; f(v)
+      }
+    }
+    assert(checked === n, s"only $checked/$n samples generated")
+  }
+
+  test("calendar: total, contiguous, one row per day for arbitrary years") {
+    forAll(Gen.choose(1990, 2100)) { year =>
+      val cal = CalendarOps.calendarDim(spark, year, year)
+      val expected = if (java.time.Year.of(year).isLeap) 366 else 365
+      val n = cal.count()
+      assert(n === expected)
+      assert(cal.select(countDistinct($"date")).as[Long].head() === expected.toLong)
+      // DOW always in [0,6], weekend flag consistent with DOW
+      assert(cal.filter($"day_of_week" < 0 || $"day_of_week" > 6).isEmpty)
+      assert(cal.filter(
+        $"is_market_holiday" =!= $"day_of_week".isin(0, 6)).isEmpty)
+    }
+  }
+
+  test("unpivot ∘ pivot is the identity on arbitrary wide frames") {
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 50L), Gen.choose(-1e6, 1e6), Gen.choose(-1e6, 1e6)))
+    forAll(rowsGen) { rows =>
+      val wide = rows.map { case (id, a, b) => (id, a, b) }
+        .toDF("id", "a", "b").groupBy("id").agg(
+          sum($"a").as("a"), sum($"b").as("b"))
+      val long = RelationalOps.unpivotWide(wide, Seq("id"), Seq("a", "b"), "k", "v")
+      val back = long.groupBy("id").pivot("k", Seq("a", "b")).agg(first("v"))
+      assert(back.exceptAll(wide).isEmpty && wide.exceptAll(back).isEmpty)
+    }
+  }
+
+  test("rolling fingerprint always lands in [0, 1e9+7)") {
+    val textGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dddd", "the", "x1"))
+      .map(_.mkString(" "))
+    forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      val fps = texts.toDF("text")
+        .select(TextOps.rollingFingerprint($"text").as("fp"))
+        .as[Long].collect()
+      assert(fps.forall(f => f >= 0 && f < 1000000007L))
+    }
+  }
+
+  test("partitioned write is idempotent for arbitrary payloads (C3)") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.alphaStr, Gen.choose(0, 999)))) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      val df = rows.toDF("k", "v")
+      graft.io.Writers.writeForDate(df, dir + "/t", "2025-02-03", "parquet")
+      graft.io.Writers.writeForDate(df, dir + "/t", "2025-02-03", "parquet")
+      assert(spark.read.parquet(dir + "/t").count() === rows.size.toLong)
+    }
+  }
+
+  test("hash32 distributes: no value outside 32 bits, stable across evals") {
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { tokens =>
+      val h1 = tokens.toDF("t").select(TextOps.hash32($"t")).as[Long].collect()
+      val h2 = tokens.toDF("t").select(TextOps.hash32($"t")).as[Long].collect()
+      assert(h1.sameElements(h2))
+      assert(h1.forall(h => h >= 0 && h < (1L << 32)))
+    }
+  }
+}
