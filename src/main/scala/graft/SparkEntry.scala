@@ -15,7 +15,8 @@ object SparkEntry {
   /** The full query registry, grouped by SURVEY.md §2 plane. */
   def registry: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      VectorQueries.all ++ EventQueries.all ++ ExtQueries.all
+      VectorQueries.all ++ EventQueries.all ++ ExtQueries.all ++
+      GoldQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,74 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Gold analysis layer (SURVEY §7.6): the backtesting shapes implied by
+  * the reference's stated purpose (README.md:3 "backtesting and
+  * analysis") over long-layout OHLCV series — returns, moving averages/
+  * volatility, drawdown, cross-asset as-of alignment, calendar joins.
+  *
+  * Every op is windowed per asset key (one shuffle on the key; state
+  * bounded per key) — the plan shape survives 1000 assets or 10M.
+  */
+object GoldOps {
+
+  private def byAsset(key: String, date: String) =
+    Window.partitionBy(col(key)).orderBy(col(date))
+
+  /** Daily simple + log returns per asset. */
+  def withReturns(prices: DataFrame, key: String, date: String,
+                  close: String): DataFrame = {
+    val w = byAsset(key, date)
+    val prev = lag(col(close), 1).over(w)
+    prices
+      .withColumn("ret", col(close) / nullif(prev, lit(0.0)) - 1)
+      .withColumn("log_ret",
+        when(prev > 0 && col(close) > 0, log(col(close) / prev)))
+  }
+
+  /** Rolling moving average + volatility (stddev of returns) over the
+    * trailing `n` rows. */
+  def withRolling(prices: DataFrame, key: String, date: String,
+                  close: String, n: Int): DataFrame = {
+    val w = byAsset(key, date).rowsBetween(-(n - 1), Window.currentRow)
+    prices
+      .withColumn(s"ma$n", avg(col(close)).over(w))
+      .withColumn(s"vol$n", stddev_samp(col("ret")).over(w))
+  }
+
+  /** Running maximum drawdown: 1 − close / running_max(close). */
+  def withDrawdown(prices: DataFrame, key: String, date: String,
+                   close: String): DataFrame = {
+    val w = byAsset(key, date).rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    prices.withColumn("drawdown",
+      lit(1.0) - col(close) / max(col(close)).over(w))
+  }
+
+  /** As-of alignment of a sparse series onto a dense date spine (e.g. FX
+    * onto trading days): union + running last-known-value — the scalable
+    * as-of join (single shuffle, no range-join explosion). `valueCols`
+    * are carried from the sparse side. */
+  def asOfAlign(spine: DataFrame, sparse: DataFrame, key: String,
+                date: String, valueCol: String): DataFrame = {
+    val tagged = spine.select(col(key), col(date), lit(null).cast("double").as("__v"),
+        lit(1).as("__side"))
+      .unionByName(sparse.select(col(key), col(date),
+        col(valueCol).cast("double").as("__v"), lit(0).as("__side")))
+    val w = Window.partitionBy(col(key)).orderBy(col(date), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn(valueCol, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__v", "__side")
+  }
+
+  /** Cross join with the calendar dim to label trading vs holiday rows
+    * (broadcast — the calendar is tiny). */
+  def withCalendar(prices: DataFrame, calendar: DataFrame, date: String)
+      : DataFrame =
+    prices.join(broadcast(calendar.select(col("date").as(date),
+      col("is_market_holiday"), col("quarter_id"))), Seq(date), "left")
+}

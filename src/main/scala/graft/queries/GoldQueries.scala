@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.gold.GoldOps
+import graft.operators.TextOps
+
+/** Gold-layer + composite pipeline queries. */
+object GoldQueries {
+
+  /** Running-max drawdown per user value series (GoldOps.withDrawdown
+    * over the events table as the price-series stand-in). */
+  private val drawdown = Q(
+    "gold_drawdown",
+    (s, dir) => {
+      import s.implicits._
+      GoldOps.withDrawdown(Tables(s, dir).events, "user_id", "ts", "value")
+        .select($"event_id", $"user_id", round($"value", 2).as("value"),
+          round($"drawdown", 6).as("drawdown"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, round(value, 2) AS value,
+           |       round(1.0 - value / max(value) OVER
+           |         (PARTITION BY user_id ORDER BY ts
+           |          ROWS UNBOUNDED PRECEDING), 6) AS drawdown
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** As-of alignment oracle-checked: each user's click series aligned onto
+    * their purchase spine (last click value at-or-before each purchase). */
+  private val asofAlign = Q(
+    "gold_asof_align",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).events
+      val spine = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      val clicks = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("click_value"))
+      GoldOps.asOfAlign(
+        spine.select($"user_id", $"ts").distinct(), clicks,
+        "user_id", "ts", "click_value")
+        .join(spine, Seq("user_id", "ts"))
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts"),
+          round($"click_value", 2).as("click_value"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts, max(value) AS click_value
+           |           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+           |p AS (SELECT event_id, user_id, ts FROM events
+           |      WHERE event_type = 'purchase')
+           |SELECT p.event_id, p.user_id,
+           |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           |       round(c.click_value, 2) AS click_value
+           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+           |ORDER BY p.event_id""".stripMargin))
+
+  /** Composite training-data pipeline over documents: quality-filter →
+    * exact dedup (keep min id) → near-dup removal (drop the higher id of
+    * any pair with 2-gram Jaccard ≥ 0.9) → per-(lang, source) survivor
+    * stats. The full [EXT] cleaning flow as ONE declarative plan. */
+  private val cleanCorpus = Q(
+    "pipeline_clean_corpus",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val quality = docs.filter(TextOps.qualityScore($"text") >= 0.5)
+      val exactKept = quality
+        .withColumn("fp", md5($"text"))
+        .withColumn("keep", min($"doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+        .filter($"doc_id" === $"keep")
+      val withShingles = exactKept
+        .select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
+      val nearDupLosers = graft.operators.DedupOps
+        .jaccardPairsDense(withShingles, "doc_id", "sh", 0.9)
+        .select($"id_b".as("doc_id")).distinct()
+      exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"lang", $"source")
+    },
+    Some {
+      val stopIn = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT * FROM (
+         |    SELECT d.*,
+         |      round(least(length(text)::DOUBLE/500.0, 1.0)*0.5
+         |        + (1.0 - least(round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+         |                      / length(text), 6)*5.0, 1.0))*0.3
+         |        + least(round(len(list_filter(string_split(text,' '),
+         |                  t -> t IN ($stopIn)))::DOUBLE
+         |                / len(string_split(text,' ')), 6)*4.0, 1.0)*0.2, 6) AS quality
+         |    FROM documents d)
+         |  WHERE quality >= 0.5),
+         |exact_kept AS (
+         |  SELECT * FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM q)
+         |  WHERE doc_id = keep),
+         |sh AS (SELECT doc_id,
+         |         list_distinct([array_to_string(toks[i:i+1],' ')
+         |                        FOR i IN generate_series(1, len(toks)-1)]) s
+         |       FROM (SELECT doc_id, string_split(text,' ') toks FROM exact_kept)),
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.9)
+         |SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+         |FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+    },
+    headline = true)
+
+  def all: Seq[Q] = Seq(drawdown, asofAlign, cleanCorpus)
+}

@@ -1,0 +1,65 @@
+package graft.gold
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GoldOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val prices = Seq(
+    ("BTC", "2025-01-01", 100.0),
+    ("BTC", "2025-01-02", 110.0),
+    ("BTC", "2025-01-03", 99.0),
+    ("BTC", "2025-01-04", 121.0),
+    ("ETH", "2025-01-01", 10.0),
+    ("ETH", "2025-01-02", 12.0)).toDF("ticker", "d", "close")
+
+  test("returns: simple and log, null on first row") {
+    val r = GoldOps.withReturns(prices, "ticker", "d", "close")
+      .filter($"ticker" === "BTC").orderBy($"d")
+      .select(round($"ret", 4), round($"log_ret", 4)).collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    assert(r(1).getDouble(0) === 0.1)
+    assert(r(2).getDouble(0) === -0.1)
+    assert(math.abs(r(1).getDouble(1) - math.log(1.1)) < 1e-3)
+  }
+
+  test("rolling MA over 2 rows") {
+    val r = GoldOps.withRolling(
+      GoldOps.withReturns(prices, "ticker", "d", "close"),
+      "ticker", "d", "close", 2)
+      .filter($"ticker" === "BTC").orderBy($"d")
+      .select(round($"ma2", 2)).as[Double].collect()
+    assert(r === Array(100.0, 105.0, 104.5, 110.0))
+  }
+
+  test("drawdown from running max") {
+    val r = GoldOps.withDrawdown(prices, "ticker", "d", "close")
+      .filter($"ticker" === "BTC").orderBy($"d")
+      .select(round($"drawdown", 4)).as[Double].collect()
+    assert(r(0) === 0.0)
+    assert(r(2) === 0.1) // 1 - 99/110
+    assert(r(3) === 0.0) // new high
+  }
+
+  test("as-of align carries last known sparse value onto the spine") {
+    val spine = Seq(("KRW", "2025-01-01"), ("KRW", "2025-01-02"),
+      ("KRW", "2025-01-03")).toDF("ccy", "d")
+    val fx = Seq(("KRW", "2025-01-01", 1450.0), ("KRW", "2025-01-03", 1460.0))
+      .toDF("ccy", "d", "rate")
+    val out = GoldOps.asOfAlign(spine, fx, "ccy", "d", "rate")
+      .orderBy($"d").select($"rate").as[Double].collect()
+    assert(out === Array(1450.0, 1450.0, 1460.0))
+  }
+
+  test("calendar join labels holidays via broadcast") {
+    val cal = graft.operators.CalendarOps.calendarDim(spark, 2025, 2025)
+      .withColumn("date", date_format($"date", "yyyy-MM-dd"))
+    val out = GoldOps.withCalendar(prices, cal, "d")
+    // 2025-01-04 is a Saturday
+    assert(out.filter($"d" === "2025-01-04")
+      .select($"is_market_holiday").as[Boolean].head())
+    assert(out.filter($"d" === "2025-01-02")
+      .select($"quarter_id").as[String].head() === "2025Q1")
+  }
+}
