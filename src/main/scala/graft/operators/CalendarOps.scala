@@ -115,4 +115,19 @@ object CalendarOps {
                         holidayDateCol: String): DataFrame =
     df.join(holidays.select(col(holidayDateCol).as(dateCol)),
       Seq(dateCol), "left_anti")
+
+  /** Merge/upsert semantics for late-arriving market holidays (SURVEY §7
+    * risk 2): the calendar is generated with only weekends flagged
+    * (sql.py:72-75); true exchange holidays arrive later from the S12
+    * feed. Broadcast left join + OR — re-overwrite the year partition
+    * with the result for an idempotent upsert. */
+  def applyHolidays(calendar: DataFrame, holidays: DataFrame,
+                    holidayDateCol: String): DataFrame = {
+    val h = holidays.select(to_date(col(holidayDateCol)).as("date"),
+      lit(true).as("__h")).distinct()
+    calendar.join(broadcast(h), Seq("date"), "left")
+      .withColumn("is_market_holiday",
+        col("is_market_holiday") || coalesce(col("__h"), lit(false)))
+      .drop("__h")
+  }
 }
