@@ -46,9 +46,14 @@ object DedupOps {
     // compares primitive longs (no per-element allocation); the hash is
     // internal — results depend only on the intersection COUNT, and a
     // 64-bit collision anywhere is ~2⁻⁴⁰ at this scale
+    // localCheckpoint: the self-join would otherwise re-evaluate the
+    // (interpreted-HOF) shingle+hash projection once per side; materialize
+    // the encoded sets once — this is the "build the dictionary-encoded
+    // similarity index" step a 100 TB run would persist anyway
     val sets = docs.select(col(idCol).as("id"),
         sort_array(transform(array_distinct(col(setCol)), t => xxhash64(t))).as("s"))
       .withColumn("sz", size(col("s")))
+      .localCheckpoint()
     val spark = docs.sparkSession
     import spark.implicits._
     // typed filter = deliberate optimizer barrier: without it Catalyst

@@ -78,9 +78,13 @@ object DedupQueries {
     "dedup_minhash_lsh",
     (s, dir) => {
       import s.implicits._
+      // materialize the shingle sets once: they feed signature generation
+      // AND two verification joins (3 re-evaluations of an interpreted HOF
+      // otherwise)
       val withShingles = docs(s, dir)
         .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
         .select($"doc_id", array_distinct($"shingles").as("shingles"))
+        .localCheckpoint()
       val signed = DedupOps.minhashSignatures(withShingles, "doc_id", "shingles", 16)
         .withColumnRenamed("id", "doc_id")
       val cands = DedupOps.lshCandidatePairs(signed, "doc_id", "sig", 4, 4)
