@@ -146,6 +146,19 @@ class JobsSpec extends SparkSpec {
     assert(job.runFor("2025-01-07") === Skipped("no payload for 2025-01-07"))
   }
 
+  test("S21/C3: bounded-range backfill is ledger-resumable") {
+    val layout = freshLayout()
+    val ledger = new PartitionLedger(layout.root + "/ledger.tsv")
+    val job = new IngestJob(spark, layout, new KrEtfConnector(fixture("kr_etf")), ledger)
+    val range = Seq("2025-01-05", "2025-01-06", "2025-01-07")
+    val r1 = job.runRange(range)
+    assert(r1("2025-01-06") === Ran)                       // fixture exists
+    assert(r1("2025-01-05") === Skipped("no payload for 2025-01-05"))
+    // resume: the processed date is excluded from the frontier entirely
+    val r2 = job.runRange(range)
+    assert(!r2.contains("2025-01-06"))
+  }
+
   test("E2 silver conform: reference SQL verbatim, schema == dim_industry_code") {
     val layout = freshLayout()
     val ledger = new PartitionLedger(layout.root + "/ledger.tsv")
