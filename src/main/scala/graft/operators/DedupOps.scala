@@ -50,24 +50,30 @@ object DedupOps {
     // (interpreted-HOF) shingle+hash projection once per side; materialize
     // the encoded sets once — this is the "build the dictionary-encoded
     // similarity index" step a 100 TB run would persist anyway
+    // repartition BEFORE the checkpoint: a small input file arrives as one
+    // split, which would make the nested-loop stream side single-threaded —
+    // the pair loop must fan out across every core/executor
     val sets = docs.select(col(idCol).as("id"),
         sort_array(transform(array_distinct(col(setCol)), t => xxhash64(t))).as("s"))
       .withColumn("sz", size(col("s")))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint()
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // typed filter = deliberate optimizer barrier: without it Catalyst
-    // pushes the similarity predicate into the join condition, where the
+    // join condition: cheap id ordering + the LENGTH prefilter — J(A,B) ≥ t
+    // requires min(|A|,|B|) ≥ t·max(|A|,|B|) (since J ≤ min/max), so
+    // size-incompatible pairs never reach the kernel. The similarity
+    // predicate itself is fenced with OptimizerBarrier: Catalyst would
+    // otherwise push it into the nested-loop join condition, where the
     // kernel is evaluated interpreted, twice, for BOTH orderings of every
-    // pair (measured 2.6× slower); this keeps the kernel in the codegen'd
-    // projection, once per unordered pair
-    sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+    // pair (measured 2.6× slower); fenced, it runs codegen'd once per
+    // surviving pair.
+    val lengthOk = least(col("a.sz"), col("b.sz")).cast("double") >=
+      greatest(col("a.sz"), col("b.sz")) * threshold
+    sets.as("a").join(sets.as("b"), col("a.id") < col("b.id") && lengthOk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         graft.functions.SortedLongOverlapCount(col("a.s"), col("b.s")).as("common"),
         (col("a.sz") + col("b.sz")).as("szsum"))
-      .as[(Long, Long, Int, Int)]
-      .filter(t => t._3.toDouble / (t._4 - t._3) >= threshold)
-      .toDF("id_a", "id_b", "common", "szsum")
+      .filter(graft.functions.OptimizerBarrier(
+        col("common").cast("double") / (col("szsum") - col("common")) >= threshold))
       .select(col("id_a"), col("id_b"), round(col("common").cast("double") /
         (col("szsum") - col("common")), 6).as("jaccard"))
   }

@@ -45,9 +45,12 @@ object VectorQueries {
     "sim_cosine_pairs",
     (s, dir) => {
       import s.implicits._
+      // repartition: a single parquet split would leave the nested-loop
+      // pair scan single-threaded
       val e = emb(s, dir).select($"vec_id",
         VectorOps.toDouble($"embedding").as("v"))
         .withColumn("nrm", VectorOps.norm($"v"))
+        .repartition(s.sparkContext.defaultParallelism)
       e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
         .withColumn("cos", round(
           VectorOps.cosinePrenormed($"a.v", $"b.v", $"a.nrm", $"b.nrm"), 6))
