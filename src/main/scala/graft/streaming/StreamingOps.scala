@@ -65,6 +65,16 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup with bounded state: drop duplicate keys whose
+    * event time is within the watermark; state for keys older than the
+    * watermark is reclaimed — the streaming twin of exact dedup for an
+    * incremental document feed. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Incremental file ingestion: process exactly the files not yet seen
     * (checkpoint-tracked), then stop — the engine's replacement for
     * S3KeySensor + job bookmarks. Returns the query after completion. */

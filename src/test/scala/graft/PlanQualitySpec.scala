@@ -71,6 +71,21 @@ class PlanQualitySpec extends SparkSpec {
       physicalPlan(f5).contains("BroadcastNestedLoopJoin"))
   }
 
+  test("partitioned layout gives partition pruning (ymd filter touches one dir)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val t = Tables(spark, TestSpark.sfDir)
+    // write orders partitioned by order date (the engine's bronze layout)
+    t.orders.withColumn("ymd", date_format($"o_orderdate", "yyyy-MM-dd"))
+      .write.partitionBy("ymd").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"ymd" === "1995-01-01")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("ymd"),
+      s"expected ymd partition filter:\n$scan")
+    // the data filter list must NOT contain the ymd predicate — it is
+    // resolved at planning from the directory layout, not per row
+    assert(!scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").isEmpty)
+  }
+
   test("salted aggregation matches plain aggregation (skew path is exact)") {
     val t = Tables(spark, TestSpark.sfDir)
     val plain = t.lineitem.groupBy($"l_returnflag")

@@ -77,6 +77,22 @@ class StreamingSpec extends SparkSpec {
     assert(states.map(s => (s.n, s.total)).toSeq === Seq((1L, 2.0), (2L, 5.0)))
   }
 
+  test("streaming dedup within watermark drops repeats, keeps first") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupWithinWatermark(input.toDF(), Seq("user_id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 7, "click", 2.0), // dup key within wm
+      Event(3, ts("2024-01-01 10:02:00"), 8, "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select($"event_id").as[Long].collect().sorted
+    assert(out === Array(1L, 3L))
+  }
+
   test("AvailableNow file source processes new files only (S15/S17 story)") {
     val root = Files.createTempDirectory("graft-stream").toString
     val src = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
