@@ -69,6 +69,23 @@ object VectorOps {
       when(proj > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** K-means clustering over the embedding column (spark.ml, seeded) —
+    * the "semantic clustering" step of semdedup-style pipelines and the
+    * trainer for real IVF centroids (assignToCentroids consumes them).
+    * Returns (idCol, cluster). Iterative → no SQL oracle; determinism and
+    * shape are spec-asserted instead. */
+  def kmeansClusters(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int, seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+    val toVec = org.apache.spark.ml.functions.array_to_vector(
+      toDouble(col(vecCol)))
+    val featurized = vectors.select(col(idCol), toVec.as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(featurized)
+    model.transform(featurized)
+      .select(col(idCol), col("prediction").as("cluster"))
+  }
+
   /** IVF-style assignment: nearest centroid (max cosine, tie → min id)
     * per vector. Centroids are broadcast — one map-side pass. */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,

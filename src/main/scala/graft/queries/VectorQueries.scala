@@ -135,5 +135,17 @@ object VectorQueries {
             |SELECT centroid_id, count(*) n, round(avg(cos), 6) avg_cos
             |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin))
 
-  def all: Seq[Q] = Seq(topk, pairs, lsh, ivf)
+  /** Seeded k-means cluster sizes (rows-only: iterative training has no
+    * SQL oracle; determinism is spec-asserted). */
+  private val kmeans = Q(
+    "sim_kmeans_clusters",
+    (s, dir) => {
+      import s.implicits._
+      VectorOps.kmeansClusters(emb(s, dir), "vec_id", "embedding", 8)
+        .groupBy($"cluster").agg(count(lit(1)).as("n"))
+        .orderBy($"cluster")
+    },
+    None)
+
+  def all: Seq[Q] = Seq(topk, pairs, lsh, ivf, kmeans)
 }

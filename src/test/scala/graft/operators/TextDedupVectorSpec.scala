@@ -143,6 +143,17 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans: seeded clustering is deterministic, covers all vectors") {
+    val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
+    val c1 = VectorOps.kmeansClusters(e, "vec_id", "embedding", 4)
+      .as[(Long, Int)].collect().toMap
+    val c2 = VectorOps.kmeansClusters(e, "vec_id", "embedding", 4)
+      .as[(Long, Int)].collect().toMap
+    assert(c1 === c2)
+    assert(c1.size === e.count())
+    assert(c1.values.toSet.subsetOf((0 until 4).toSet))
+  }
+
   test("rpSignature deterministic and within 16 bits") {
     val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
       .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
