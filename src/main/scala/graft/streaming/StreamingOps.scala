@@ -75,6 +75,35 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each left event joins right events of
+    * the same key within `[left.ts − lookback, left.ts]`. Watermarks on
+    * BOTH sides bound the join state (right rows older than the watermark
+    * + lookback are evicted). Columns are prefixed l_/r_ to keep the
+    * output unambiguous. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, lookback: String, watermark: String)
+      : DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$tsCol", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", watermark)
+    l.join(r, expr(
+      s"""l_$keyCol = r_$keyCol AND
+         |r_$tsCol >= l_$tsCol - interval $lookback AND
+         |r_$tsCol <= l_$tsCol""".stripMargin))
+  }
+
+  /** foreachBatch sink wiring: lift any batch writer (e.g. the idempotent
+    * partitioned Writers.writeForDate) into a streaming sink — each
+    * micro-batch is written under its batch id exactly once on retry
+    * because the partition overwrite is idempotent. */
+  def sinkViaForeachBatch(df: DataFrame, checkpoint: String)
+                         (write: (DataFrame, Long) => Unit) =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(write)
+      .trigger(Trigger.AvailableNow())
+
   /** Incremental file ingestion: process exactly the files not yet seen
     * (checkpoint-tracked), then stop — the engine's replacement for
     * S3KeySensor + job bookmarks. Returns the query after completion. */

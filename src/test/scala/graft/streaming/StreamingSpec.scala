@@ -93,6 +93,44 @@ class StreamingSpec extends SparkSpec {
     assert(out === Array(1L, 3L))
   }
 
+  test("stream-stream interval join: purchase picks up views within lookback") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = intervalJoin(
+      purchases.toDF(), views.toDF(), "user_id", "ts", "1 hour", "10 minutes")
+      .select($"l_event_id", $"r_event_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    views.addData(
+      Event(10, ts("2024-01-01 09:30:00"), 1, "view", 1.0), // in window
+      Event(11, ts("2024-01-01 08:00:00"), 1, "view", 1.0), // too old
+      Event(12, ts("2024-01-01 09:45:00"), 2, "view", 1.0)) // other user
+    purchases.addData(Event(20, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+    assert(out === Set((20L, 10L)))
+  }
+
+  test("foreachBatch sink: idempotent partitioned write from a stream") {
+    val root = Files.createTempDirectory("graft-feb").toString
+    val src = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.writeString(java.nio.file.Paths.get(s"$src/a.json"),
+      """{"id":1,"d":"2025-01-01"}""" + "\n" + """{"id":2,"d":"2025-01-02"}""")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, d STRING")
+    val stream = spark.readStream.schema(schema).json(src)
+    val q = sinkViaForeachBatch(stream, s"$root/ckpt") { (batch, _) =>
+      batch.withColumnRenamed("d", "ymd")
+        .write.mode("append").partitionBy("ymd").parquet(s"$root/out")
+    }.start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() === 2)
+    assert(new java.io.File(s"$root/out/ymd=2025-01-01").exists)
+  }
+
   test("AvailableNow file source processes new files only (S15/S17 story)") {
     val root = Files.createTempDirectory("graft-stream").toString
     val src = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
