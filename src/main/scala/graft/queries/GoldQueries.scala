@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.gold.GoldOps
-import graft.operators.TextOps
+import graft.operators.{RangeJoinOps, TextOps}
 
 /** Gold-layer + composite pipeline queries. */
 object GoldQueries {
@@ -111,5 +111,58 @@ object GoldQueries {
     },
     headline = true)
 
-  def all: Seq[Q] = Seq(drawdown, asofAlign, cleanCorpus)
+  /** Range join: error events assigned to the same user's session
+    * intervals (intervals derived as min/max ts per (user, session) with a
+    * 10-minute gap — same gaps-and-islands as events_session_windows).
+    * Spark path: chunk-bucketed equi-join (RangeJoinOps); oracle: plain
+    * BETWEEN join. */
+  private val rangeJoin = Q(
+    "range_join_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).events
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sessions = e
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 600L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum($"new_session").over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy($"user_id", $"session_seq")
+        .agg(min($"ts").as("session_start"), max($"ts").as("session_end"))
+      val errors = e.filter($"event_type" === "error")
+        .select($"user_id", $"event_id", $"ts")
+      RangeJoinOps.pointInInterval(errors, sessions, "user_id",
+          "ts", "session_start", "session_end", 600L * 1000000L)
+        .select($"event_id", $"user_id", $"session_seq",
+          date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH flagged AS (
+           |  SELECT user_id, event_id, event_type, ts,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+           |         THEN 1 ELSE 0 END AS new_session
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT user_id, session_seq, min(ts) session_start, max(ts) session_end
+           |  FROM (SELECT *, sum(new_session) OVER
+           |          (PARTITION BY user_id ORDER BY ts, event_id
+           |           ROWS UNBOUNDED PRECEDING) AS session_seq
+           |        FROM flagged)
+           |  GROUP BY user_id, session_seq)
+           |SELECT e.event_id, e.user_id, s.session_seq,
+           |       strftime(s.session_start, '%Y-%m-%d %H:%M:%S') AS session_start
+           |FROM events e JOIN sess s
+           |  ON e.user_id = s.user_id
+           | AND e.ts BETWEEN s.session_start AND s.session_end
+           |WHERE e.event_type = 'error'
+           |ORDER BY e.event_id""".stripMargin))
+
+  def all: Seq[Q] = Seq(drawdown, asofAlign, cleanCorpus, rangeJoin)
 }
