@@ -98,6 +98,26 @@ object TextOps {
     aggregate(tokens(text), lit(0L),
       (acc, t) => (acc * 31 + hash32(t)) % 1000000007L)
 
+  /** TF-IDF over a tokenized corpus: returns one row per (docId, token)
+    * with tf (term count / doc length), df, and tf·idf where
+    * idf = ln((N+1)/(df+1)) (smoothed). Two shuffles: token stats per doc,
+    * document frequency per token — both plain hash aggregates. */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), size(col("toks")).as("doc_len"),
+        explode(col("toks")).as("token"))
+    val tf = toks.groupBy("id", "doc_len", "token")
+      .agg(count(lit(1)).as("term_count"))
+      .withColumn("tf", col("term_count").cast("double") / col("doc_len"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    tf.join(dfreq, "token")
+      .withColumn("idf", log((lit(n) + 1.0) / (col("df") + 1.0)))
+      .withColumn("tf_idf", col("tf") * col("idf"))
+      .select(col("id"), col("token"), col("tf"), col("df"), col("tf_idf"))
+  }
+
   /** Word-level n-gram shingles: token[i..i+n-1] joined by a space.
     * Documents shorter than n tokens yield an empty array. */
   def shingles(text: Column, n: Int): Column = {

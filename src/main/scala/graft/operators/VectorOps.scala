@@ -69,6 +69,21 @@ object VectorOps {
       when(proj > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Symmetric int8 quantization of an embedding: scale = 127/max|x|
+    * per vector; returns struct(codes array<int> in [-127,127], scale).
+    * 4× smaller at rest than float32 — the storage posture for 100 TB of
+    * embeddings; `dequantize` reverses it (lossy, bounded by scale/2). */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x)))
+    val scale = when(mx > 0, mx / 127.0).otherwise(lit(1.0))
+    struct(
+      transform(vec, x => round(x / scale, 0).cast("int")).as("codes"),
+      scale.as("scale"))
+  }
+
+  def dequantize(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
   /** K-means clustering over the embedding column (spark.ml, seeded) —
     * the "semantic clustering" step of semdedup-style pipelines and the
     * trainer for real IVF centroids (assignToCentroids consumes them).

@@ -123,5 +123,46 @@ object TextQueries {
            |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
            |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin))
 
-  def all: Seq[Q] = Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq)
+  /** Top TF-IDF terms per language: tf = term/doc_len, smoothed idf,
+    * max tf·idf per (lang, token), top-3 by rank. All rounding at 6dp
+    * before the rank cut so both engines cut identically. */
+  private val tfidfQ = Q(
+    "text_tfidf_top_terms",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir).documents
+      val scored = TextOps.tfIdf(docs, "doc_id", "text")
+        .join(docs.select($"doc_id".as("id"), $"lang"), "id")
+        .groupBy($"lang", $"token")
+        .agg(round(max($"tf_idf"), 6).as("max_tfidf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"max_tfidf".desc, $"token")
+      scored.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"lang", $"rk", $"token", $"max_tfidf")
+        .orderBy($"lang", $"rk")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang, len(string_split(text,' ')) doc_len,
+           |         unnest(string_split(text,' ')) token
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, lang, token, doc_len,
+           |         count(*)::DOUBLE / doc_len AS tf
+           |  FROM toks GROUP BY doc_id, lang, token, doc_len),
+           |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+           |scored AS (
+           |  SELECT lang, tf.token,
+           |         round(max(tf * ln(((SELECT count(*) FROM documents) + 1.0)
+           |                           / (df + 1.0))), 6) AS max_tfidf
+           |  FROM tf JOIN dfreq ON tf.token = dfreq.token
+           |  GROUP BY lang, tf.token)
+           |SELECT lang, rk, token, max_tfidf FROM (
+           |  SELECT *, row_number() OVER
+           |    (PARTITION BY lang ORDER BY max_tfidf DESC, token) rk
+           |  FROM scored)
+           |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin))
+
+  def all: Seq[Q] =
+    Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ)
 }

@@ -143,6 +143,34 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: 4x smaller codes, dequantized cosine within 1%") {
+    val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+      .limit(50)
+    val q = e.withColumn("q", VectorOps.quantizeInt8($"v"))
+      .withColumn("dq", VectorOps.dequantize($"q"))
+    // codes bounded
+    val bad = q.select(explode($"q.codes").as("c"))
+      .filter($"c" < -127 || $"c" > 127).count()
+    assert(bad === 0)
+    // cosine between original and dequantized ≈ 1
+    val minCos = q.select(round(VectorOps.cosine($"v", $"dq"), 4).as("c"))
+      .agg(min($"c")).head().getDouble(0)
+    assert(minCos > 0.99, s"minCos=$minCos")
+  }
+
+  test("tfIdf: rare terms outscore ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common common common common"),
+      (3L, "common rare2 common common")).toDF("doc_id", "text")
+    val scored = TextOps.tfIdf(docs, "doc_id", "text")
+      .select($"token", $"tf_idf").as[(String, Double)].collect()
+    val byTok = scored.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(byTok("rare1") > byTok("common"))
+    assert(byTok("common") < 1e-9) // df == N -> idf ~ ln(4/4)=0
+  }
+
   test("kmeans: seeded clustering is deterministic, covers all vectors") {
     val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
     val c1 = VectorOps.kmeansClusters(e, "vec_id", "embedding", 4)
