@@ -19,6 +19,10 @@ for p in glob.glob(f"{sf}/*.parquet"):
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
+# stale/partial-output guard: every oracle query must have a result dir
+# (a missing one means Verify crashed on it, or outDir is stale)
+missing = [n for n in oracle if not os.path.isdir(f"{out}/{n}")]
+
 def canon(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -27,6 +31,8 @@ def canon(df):
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 fails, passes, skips = [], [], []
+for n in missing:
+    fails.append((n, "no result directory (Verify failed or stale outDir)"))
 for name in sorted(os.listdir(out)):
     d = f"{out}/{name}"
     if not os.path.isdir(d):
