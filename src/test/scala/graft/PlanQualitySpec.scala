@@ -86,6 +86,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(!scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").isEmpty)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val t = Tables(spark, TestSpark.sfDir)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // disable auto-broadcast: tiny test tables would otherwise BHJ and
+    // hide the property under test (bucket co-location)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").count()
+      joined.collect() // finalize AQE
+      joined.queryExecution.executedPlan.toString
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // the join itself must not introduce an Exchange on either side:
+    // bucket layout already co-locates the keys
+    val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin").last
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle-family join over bucketed tables:\n$plan")
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not re-shuffle its keys:\n$plan")
+  }
+
+  test("nested struct access prunes to the leaf in the parquet ReadSchema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    graft.operators.MultimodalOps.fakeMediaFromDocuments(
+      Tables(spark, TestSpark.sfDir).documents)
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).select($"doc_id", $"media.meta.mime")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("mime") && !scan.contains("payload"),
+      s"payload must be pruned when only meta.mime is read:\n$scan")
+  }
+
   test("salted aggregation matches plain aggregation (skew path is exact)") {
     val t = Tables(spark, TestSpark.sfDir)
     val plain = t.lineitem.groupBy($"l_returnflag")

@@ -36,6 +36,29 @@ class WritersSpec extends SparkSpec {
   }
 }
 
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compaction merges many small files, preserves rows, is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val part = s"$dir/t/ymd=2025-01-01"
+    // simulate a chatty incremental writer: 16 tiny files
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(16).write.mode("overwrite").parquet(part)
+    val before = new java.io.File(part).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(before === 16)
+    val after = graft.io.Compaction.compactPartition(spark, part)
+    assert(after === 1) // 1000 tiny rows << target size
+    val rows = spark.read.parquet(part)
+    assert(rows.count() === 1000)
+    assert(rows.filter($"id" === 500L).select($"v").as[String].head() === "v500")
+    // idempotent
+    assert(graft.io.Compaction.compactPartition(spark, part) === 1)
+    assert(spark.read.parquet(part).count() === 1000)
+  }
+}
+
 class LedgerRegistrySpec extends SparkSpec {
 
   test("partition ledger marks and filters processed dates (S15 bookmark)") {
