@@ -105,5 +105,45 @@ object StatsQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(rollupQ, dispersion, percentiles, profileQ, sketch)
+  private val cubeQ = Q(
+    "cube_order_priority",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).orders
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"), $"n")
+        .orderBy($"status", $"priority")
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           |       coalesce(o_orderpriority, 'ALL') AS priority,
+           |       count(*) AS n
+           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           |ORDER BY status, priority""".stripMargin))
+
+  /** RANGE-frame window: per-user trailing-1-hour event-value sum, frame
+    * defined on the time axis (not row counts) — every event in the
+    * preceding hour contributes regardless of how many there are. */
+  private val rangeFrame = Q(
+    "window_range_frame",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables(s, dir).events
+        .withColumn("trailing_1h_sum", round(sum($"value").over(w), 2))
+        .select($"event_id", $"user_id", $"trailing_1h_sum")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |       round(sum(value) OVER
+           |         (PARTITION BY user_id ORDER BY epoch_us(ts)
+           |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+           |         AS trailing_1h_sum
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  def all: Seq[Q] =
+    Seq(rollupQ, dispersion, percentiles, profileQ, sketch, cubeQ, rangeFrame)
 }
