@@ -108,6 +108,36 @@ final class SilverIndustryCodeJob(
   }
 }
 
+/** [EXT] silver job for a document corpus: quality filter → exact dedup →
+  * near-dup removal (2-gram Jaccard) → partitioned-by-lang silver write.
+  * The composite cleaning flow of pipeline_clean_corpus, landed as a
+  * medallion stage with the same idempotent write semantics as every
+  * other silver table. */
+final class CleanCorpusJob(spark: SparkSession, layout: Layout,
+                           minQuality: Double = 0.5,
+                           nearDupThreshold: Double = 0.9) {
+  def path: String = layout.source("silver", "documents") + "/clean_corpus"
+
+  def run(docs: DataFrame): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = docs.filter(
+      graft.operators.TextOps.qualityScore(col("text")) >= minQuality)
+    val exactKept = quality
+      .withColumn("keep", min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep")).drop("keep")
+    val shingled = exactKept.select(col("doc_id"),
+      graft.operators.TextOps.shingles(col("text"), 2).as("sh"))
+    val losers = graft.operators.DedupOps
+      .jaccardPairsDense(shingled, "doc_id", "sh", nearDupThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    val kept = exactKept.join(losers, Seq("doc_id"), "left_anti")
+    kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("lang").parquet(path)
+    spark.read.parquet(path).count()
+  }
+}
+
 /** E3: calendar dimension build — set-based generation (F3) with
   * idempotent year-partition overwrite (≡ DELETE WHERE year=, sql.py:36).
   * The reference generates year+2 at each yearly run

@@ -203,6 +203,34 @@ class JobsSpec extends SparkSpec {
     assert(spark.table("dim_industry_code").count() === 4)
   }
 
+  test("EXT clean-corpus silver job: filters, dedups, writes lang partitions") {
+    val layout = freshLayout()
+    val docs = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+    val job = new CleanCorpusJob(spark, layout)
+    val kept = job.run(docs)
+    assert(kept > 0 && kept <= docs.count())
+    val out = spark.read.parquet(job.path)
+    assert(out.select($"lang").distinct().count() > 1) // partitioned by lang
+    // idempotent rerun
+    assert(job.run(docs) === kept)
+  }
+
+  test("schema drift: permissive JSON parse captures corrupt records (risk 3)") {
+    val raw = Seq(
+      """{"item_code": "005930", "market": "kospi"}""",
+      """{"item_code": "000660", "market":""",  // truncated payload
+      """not json at all""").toDF("value")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "item_code STRING, market STRING, _corrupt_record STRING")
+    val parsed = raw.select(from_json($"value", schema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+      .select("r.*")
+    assert(parsed.count() === 3) // nothing silently dropped
+    assert(parsed.filter($"_corrupt_record".isNotNull).count() === 2)
+    assert(parsed.filter($"item_code" === "005930").count() === 1)
+  }
+
   test("E3 calendar job: year+2 target, idempotent year partition") {
     val layout = freshLayout()
     val job = new CalendarJob(spark, layout)
