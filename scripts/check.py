@@ -55,7 +55,9 @@ for name in sorted(os.listdir(out)):
         fails.append((name, f"row count: got {len(g)} vs oracle {len(e)}"))
         continue
     try:
-        pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+        # check_dtype=True: the driver hashes dtype-sensitively (DuckDB
+        # HUGEINT sums arrive as float64 and must be cast in the oracle SQL)
+        pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
         passes.append(name)
     except AssertionError as ae:
         # show first differing rows

@@ -31,7 +31,11 @@ object Bench {
     // warmup: JVM + codegen + parquet footer reads, untimed
     exec("q1_pricing_summary")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
+    // dev affordance: `runMain graft.Bench q1 q2` times only those queries;
+    // the driver passes no args and gets the full registry
+    val names = if (args.nonEmpty) args.toSeq.sorted
+                else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

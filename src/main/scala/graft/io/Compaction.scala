@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /** Small-file compaction — the housekeeping a partitioned 100 TB lake
@@ -8,32 +9,37 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * Rewrites one partition to ⌈bytes / targetBytes⌉ files via an
   * all-columns pass (no semantic change; idempotent — re-running
   * compacts to the same layout).
+  *
+  * All filesystem access goes through the Hadoop `FileSystem` API so the
+  * same code resolves on local disk, HDFS, or an object store (s3a/gs) —
+  * `java.io.File` would silently see nothing on the latter.
   */
 object Compaction {
 
-  def partitionBytes(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
-    walk(new java.io.File(path))
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def partitionBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val f = fs(spark, p)
+    if (!f.exists(p)) 0L
+    else f.getContentSummary(p).getLength
   }
 
   /** Compact a single partition directory in place (read → coalesce →
     * overwrite). Returns the resulting file count. */
   def compactPartition(spark: SparkSession, partitionPath: String,
                        targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val bytes = partitionBytes(partitionPath)
+    val bytes = partitionBytes(spark, partitionPath)
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(partitionPath)
     // stage through a temp dir: Spark cannot overwrite its own input
     val tmp = partitionPath + ".__compacting"
     df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(partitionPath)
-    def delete(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(delete)); f.delete()
-    }
-    delete(target)
-    new java.io.File(tmp).renameTo(target)
-    Option(target.listFiles).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val target = new Path(partitionPath)
+    val f = fs(spark, target)
+    f.delete(target, true)
+    f.rename(new Path(tmp), target)
+    f.listStatus(target).count(_.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -40,6 +40,30 @@ object Writers {
   def warehouseFullRefresh(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)
 
+  /** K4, real JDBC form: the reference loads Redshift with explicit
+    * preactions `DROP TABLE ...; CREATE TABLE ...` before the COPY
+    * (industry_code_glue_job.py:89-101). Same sequence here: the DROP runs
+    * as a driver-side preaction statement (DROP-if-exists emulated via
+    * catch — Derby has no IF EXISTS), then Spark's JDBC writer creates the
+    * table from the DataFrame schema and inserts partitions in parallel.
+    * Overwrite-mode's truncate path is deliberately NOT used: full refresh
+    * here means a fresh table per the reference, not a truncated one. */
+  def warehouseFullRefreshJdbc(df: DataFrame, table: String, url: String,
+                               driver: Option[String] = None): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => () } // first run: no table yet
+      finally st.close()
+    } finally conn.close()
+    val w = df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .mode(SaveMode.Append) // table was dropped above; Spark creates it
+    driver.fold(w)(d => w.option("driver", d)).save()
+  }
+
   /** K5-shape: idempotent year-partition refresh for the calendar dim —
     * ≡ the procedure's `DELETE WHERE year=` + insert (sql.py:36). */
   def writeYearPartition(df: DataFrame, path: String): Unit =

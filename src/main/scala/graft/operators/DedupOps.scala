@@ -103,29 +103,57 @@ object DedupOps {
     * results are identical to the naive all-shared-token join. */
   def jaccardPairs(docs: DataFrame, idCol: String, setCol: String,
                    threshold: Double): DataFrame = {
+    // ceil() guard: at exact-integer boundaries (t·sz or α integral) a 1-ulp
+    // float overshoot would shorten a prefix / tighten a bound and silently
+    // DROP a genuinely similar pair — subtract ε before every ceil
+    val eps = 1e-9
+    // dictionary-encode to sorted long hashes once (the dense kernel's
+    // trick): candidate rows then carry primitive longs and verification
+    // runs the codegen'd sorted-merge kernel instead of array_intersect
     val sets = docs.select(col(idCol).as("id"),
-        array_distinct(col(setCol)).as("s"))
+        sort_array(transform(array_distinct(col(setCol)), t => xxhash64(t))).as("s"))
       .withColumn("sz", size(col("s")))
-    val posting = sets.select(col("id"), col("sz"), explode(col("s")).as("token"))
-    val freq = posting.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val prefixLen = col("sz") - ceil(lit(threshold) * col("sz")) + 1
-    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("token"))
-    val prefixes = posting.join(freq, "token")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint() // reused 3×: posting scan + both verify joins
+    val posting = sets.select(col("id"), col("sz"), explode(col("s")).as("h"))
+    val freq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixLen = col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefixes = posting.join(freq, "h")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
-      .select(col("id"), col("token"))
+      .select(col("id"), col("sz"), col("rn"), col("h"))
+    // candidate join: equi on the token hash, plus two sound prunes
+    // evaluated BEFORE the distinct shuffle —
+    //  length filter: J ≥ t ⟹ min(sz) ≥ t·max(sz);
+    //  PPJoin position filter: under the global rarity order, at a pair's
+    //  FIRST shared prefix token no earlier token of either set is shared,
+    //  so overlap ≤ 1 + min(sz_l − rn_l, sz_r − rn_r); a similar pair needs
+    //  overlap ≥ α = ⌈t/(1+t)·(sz_l+sz_r)⌉ and its first-match row always
+    //  satisfies the bound, so OR-semantics over candidate rows is exact.
+    val lengthOk = least(col("l.sz"), col("r.sz")).cast("double") >=
+      greatest(col("l.sz"), col("r.sz")) * threshold
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("l.sz") + col("r.sz")) - eps)
+    val positionOk =
+      (lit(1) + least(col("l.sz") - col("l.rn"), col("r.sz") - col("r.rn"))) >= alpha
     val candidates = prefixes.as("l").join(prefixes.as("r"),
-        col("l.token") === col("r.token") && col("l.id") < col("r.id"))
+        col("l.h") === col("r.h") && col("l.id") < col("r.id") &&
+          lengthOk && positionOk)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     candidates
-      .join(sets.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
-          size(array_union(col("s_a"), col("s_b"))), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .join(sets.select(col("id").as("id_a"), col("s").as("s_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("s").as("s_b"),
+        col("sz").as("sz_b")), "id_b")
+      // filter on the UNROUNDED ratio (same cut as jaccardPairsDense and
+      // the DuckDB oracles), round only for output
+      .withColumn("common",
+        graft.functions.SortedLongOverlapCount(col("s_a"), col("s_b")).cast("double"))
+      .withColumn("raw", col("common") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("raw"), 6).as("jaccard"))
   }
 
   /** MinHash signature: k permutation-min values over the shingle set.

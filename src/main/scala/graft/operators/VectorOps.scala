@@ -16,8 +16,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object VectorOps {
 
-  /** Element cast float→double (exact), so sums accumulate in double. */
-  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** Element cast float→double (exact widening), so sums accumulate in
+    * double. A plain array cast, NOT `transform(_.cast(...))`: HOFs are
+    * CodegenFallback and one in a projection evicts the WHOLE projection
+    * from whole-stage codegen — including any native kernel beside it. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Codegen'd left-to-right dot product (graft.functions.DotProduct) —
     * bit-identical to the HOF fold it replaces, ~10× faster (HOFs are
@@ -61,13 +64,12 @@ object VectorOps {
   def planeWeight(i: Int, j: Column): Column = (lit(i) * 31 + j * 17) % 13 - 6
 
   /** Sign-random-projection LSH signature: bit i = 1 iff Σ_j w_ij·v_j > 0,
-    * packed into a long. `dims` must equal the embedding length. */
+    * packed into a long. Codegen'd single-pass kernel
+    * (graft.functions.RpSignature) — bit-identical to the 16-HOF fold it
+    * replaces (same per-plane left-to-right accumulation), but one array
+    * pass inside whole-stage codegen instead of 16 interpreted passes. */
   def rpSignature(vec: Column, planes: Int): Column =
-    (0 until planes).map { i =>
-      val proj = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, j) => x * planeWeight(i, j)), lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.RpSignature(vec, planes)
 
   /** Symmetric int8 quantization of an embedding: scale = 127/max|x|
     * per vector; returns struct(codes array<int> in [-127,127], scale).

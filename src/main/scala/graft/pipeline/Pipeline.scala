@@ -79,14 +79,24 @@ final class IngestJob(
 /** E2: silver conformance job — availability check (S17), schema-registry
   * ensure (C2/S16), the reference's conform SQL verbatim in Spark dialect
   * (industry_code_glue_job.py:38-47), audit stamps (F2), parquet +
-  * warehouse writes (K3/K4). */
+  * warehouse writes (K3/K4).
+  *
+  * K4 has two modes: `jdbcUrl=None` refreshes a session-catalog table (the
+  * sandbox stand-in); `Some(url)` runs the reference's real warehouse load
+  * — DROP preaction + parallel JDBC insert (Writers.warehouseFullRefreshJdbc). */
 final class SilverIndustryCodeJob(
-    spark: SparkSession, layout: Layout, registry: SchemaRegistry) {
+    spark: SparkSession, layout: Layout, registry: SchemaRegistry,
+    jdbcUrl: Option[String] = None) {
 
   def bronzePath: String = layout.source("bronze", "krx_codes")
 
-  def available(ymd: String): Boolean =
-    new java.io.File(s"$bronzePath/ymd=$ymd").exists
+  /** S17 availability sensor via the Hadoop FileSystem API — resolves the
+    * scheme from the path, so the same check works on local disk, HDFS, or
+    * an object store (the reference's S3KeySensor). */
+  def available(ymd: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$bronzePath/ymd=$ymd")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   def runFor(ymd: String): StageResult = {
     if (!available(ymd)) return Skipped(s"bronze krx_codes ymd=$ymd not landed")
@@ -102,7 +112,10 @@ final class SilverIndustryCodeJob(
       val stamped = CalendarOps.withAudit(conformed)
       Writers.writeSilver(stamped,
         layout.source("silver", "industry_code") + "/dim_industry_code")
-      Writers.warehouseFullRefresh(stamped, "dim_industry_code")
+      jdbcUrl match {
+        case Some(url) => Writers.warehouseFullRefreshJdbc(stamped, "dim_industry_code", url)
+        case None      => Writers.warehouseFullRefresh(stamped, "dim_industry_code")
+      }
       Ran
     } catch { case e: Throwable => Failed(e) }
   }
@@ -128,8 +141,12 @@ final class CleanCorpusJob(spark: SparkSession, layout: Layout,
       .filter(col("doc_id") === col("keep")).drop("keep")
     val shingled = exactKept.select(col("doc_id"),
       graft.operators.TextOps.shingles(col("text"), 2).as("sh"))
+    // PPJoin prefix-filtered near-dup stage — the 100 TB form (candidate
+    // generation is an equi-join on rare-prefix tokens, never N² pairs);
+    // results are identical to the dense kernel at the same threshold
+    // (both verify exact Jaccard on the full shingle sets)
     val losers = graft.operators.DedupOps
-      .jaccardPairsDense(shingled, "doc_id", "sh", nearDupThreshold)
+      .jaccardPairs(shingled, "doc_id", "sh", nearDupThreshold)
       .select(col("id_b").as("doc_id")).distinct()
     val kept = exactKept.join(losers, Seq("doc_id"), "left_anti")
     kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)

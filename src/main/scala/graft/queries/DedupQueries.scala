@@ -49,6 +49,22 @@ object DedupQueries {
            |         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) rn
            |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
+  /** Exact-Jaccard oracle at `t`: all-shared-token candidates verified on
+    * full shingle sets — the ground truth BOTH the dense kernel and the
+    * PPJoin prefix-filtered path must reproduce exactly. */
+  private def exactJaccardOracle(t: Double): String =
+    s"""$shingleCte,
+       |post AS (SELECT doc_id, unnest(s) tok FROM sh),
+       |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+       |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id)
+       |SELECT a AS id_a, b AS id_b,
+       |       round(len(list_intersect(sa.s, sb.s))::DOUBLE
+       |             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+       |FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+       |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+       |      / len(list_distinct(list_concat(sa.s, sb.s))) >= $t
+       |ORDER BY id_a, id_b""".stripMargin
+
   private val jaccard = Q(
     "dedup_ngram_jaccard",
     (s, dir) => {
@@ -58,17 +74,30 @@ object DedupQueries {
       DedupOps.jaccardPairsDense(withShingles, "doc_id", "shingles", 0.5)
         .orderBy($"id_a", $"id_b")
     },
-    Some(s"""$shingleCte,
-            |post AS (SELECT doc_id, unnest(s) tok FROM sh),
-            |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
-            |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id)
-            |SELECT a AS id_a, b AS id_b,
-            |       round(len(list_intersect(sa.s, sb.s))::DOUBLE
-            |             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
-            |FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
-            |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
-            |      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
-            |ORDER BY id_a, id_b""".stripMargin),
+    Some(exactJaccardOracle(0.5)),
+    headline = true)
+
+  /** PPJoin prefix-filtered set-similarity join — the 100 TB candidate
+    * generator (DedupOps.jaccardPairs), checked against the SAME exact-
+    * Jaccard ground-truth oracle as the dense kernel. Runs at t=0.9, the
+    * threshold the clean-corpus pipeline deploys it at: prefix filtering
+    * prunes by 1−t, and this corpus (synthetic hot vocabulary: ~930
+    * distinct shingles across every doc, median df≈285) is the prefix
+    * filter's worst case at low t — there the dense kernel is the declared
+    * plan (dedup_ngram_jaccard), while high-t near-dup dedup is PPJoin's
+    * domain. On this corpus the t=0.9 pair set equals the t=0.5 one (all
+    * near-dups are near-identical), so the two queries' results coincide
+    * while exercising both kernels. */
+  private val ppjoin = Q(
+    "dedup_ppjoin_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val withShingles = docs(s, dir)
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      DedupOps.jaccardPairs(withShingles, "doc_id", "shingles", 0.9)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(exactJaccardOracle(0.9)),
     headline = true)
 
   /** MinHash(k=16) + LSH(4 bands × 4 rows) candidates, verified with true
@@ -161,10 +190,10 @@ object DedupQueries {
            |                    FOR j IN generate_series(0,31)]) simhash
            |        FROM h)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
            |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
            |ORDER BY id_a, id_b""".stripMargin))
 
-  def all: Seq[Q] = Seq(exact, keepFirst, jaccard, minhash, simhashQ)
+  def all: Seq[Q] = Seq(exact, keepFirst, jaccard, ppjoin, minhash, simhashQ)
 }

@@ -95,9 +95,9 @@ object EventQueries {
            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            |sessions AS (
            |  SELECT user_id, ts, value,
-           |    sum(new_session) OVER
+           |    (sum(new_session) OVER
            |      (PARTITION BY user_id ORDER BY ts
-           |       ROWS UNBOUNDED PRECEDING) AS session_seq
+           |       ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
            |  FROM flagged)
            |SELECT user_id, session_seq,
            |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -42,8 +42,8 @@ object ExtQueries {
             |         round(list_dot_product(q.v,c.v)/(sqrt(list_dot_product(q.v,q.v))*sqrt(list_dot_product(c.v,c.v))), 6) cos
             |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
             |SELECT query_id, rank, neighbor_id, cos FROM (
-            |  SELECT *, row_number() OVER
-            |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+            |  SELECT *, (row_number() OVER
+            |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id))::INT rank
             |  FROM scored)
             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
 
@@ -66,7 +66,7 @@ object ExtQueries {
     // ascii() per char instead of blob byte access.
     Some("""SELECT doc_id,
            |  'application/x-fake-' || regexp_extract(source, '([0-9]+)$', 1) AS mime,
-           |  octet_length(text::BLOB) AS n_bytes,
+           |  octet_length(text::BLOB)::INT AS n_bytes,
            |  round(list_sum([ascii(text[i]) FOR i IN generate_series(1, length(text))])::DOUBLE
            |        / length(text), 4) AS byte_mean
            |FROM documents

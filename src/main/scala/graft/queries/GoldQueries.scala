@@ -72,8 +72,10 @@ object GoldQueries {
         .filter($"doc_id" === $"keep")
       val withShingles = exactKept
         .select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
+      // PPJoin prefix-filtered near-dup stage (the 100 TB form) — same
+      // survivors as the dense kernel at 0.9: both verify exact Jaccard
       val nearDupLosers = graft.operators.DedupOps
-        .jaccardPairsDense(withShingles, "doc_id", "sh", 0.9)
+        .jaccardPairs(withShingles, "doc_id", "sh", 0.9)
         .select($"id_b".as("doc_id")).distinct()
       exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
         .groupBy($"lang", $"source")
@@ -105,7 +107,7 @@ object GoldQueries {
          |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
          |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.9)
-         |SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+         |SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
          |FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin
     },
@@ -151,9 +153,9 @@ object GoldQueries {
            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            |sess AS (
            |  SELECT user_id, session_seq, min(ts) session_start, max(ts) session_end
-           |  FROM (SELECT *, sum(new_session) OVER
+           |  FROM (SELECT *, (sum(new_session) OVER
            |          (PARTITION BY user_id ORDER BY ts, event_id
-           |           ROWS UNBOUNDED PRECEDING) AS session_seq
+           |           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
            |        FROM flagged)
            |  GROUP BY user_id, session_seq)
            |SELECT e.event_id, e.user_id, s.session_seq,

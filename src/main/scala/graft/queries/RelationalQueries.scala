@@ -287,6 +287,43 @@ object RelationalQueries {
            |FROM (SELECT unnest(generate_series(2015, 2030)) AS y)
            |ORDER BY year""".stripMargin))
 
+  /** KR market-holiday fixture (2025 subset) for F19 — includes a Sunday
+    * (already weekend-flagged: OR must keep it true) and a duplicate feed
+    * row (distinct must collapse it). */
+  private val holidayFixture = Seq(
+    "2025-01-01", "2025-01-28", "2025-01-29", "2025-01-30",
+    "2025-03-03", "2025-05-05", "2025-05-06", "2025-06-03",
+    "2025-08-15", "2025-10-03", "2025-10-06", "2025-10-07",
+    "2025-10-08", "2025-10-09", "2025-12-25", "2025-12-31",
+    "2025-10-05", // Sunday — weekend flag already true
+    "2025-01-01") // duplicate feed row
+
+  /** F19 upsert (SURVEY hard-part #2): exchange holidays from the S12 feed
+    * merged into the weekend-only dim_calendar — broadcast left join + OR
+    * (CalendarOps.applyHolidays); the year partition is then re-overwritten
+    * idempotently. Reference semantics sql.py:72-75 + S12. */
+  private val f19 = Q(
+    "f19_apply_holidays",
+    (s, dir) => {
+      import s.implicits._
+      val cal = CalendarOps.calendarDim(s, 2025, 2025)
+      val holidays = holidayFixture.toDF("holiday_date")
+      CalendarOps.applyHolidays(cal, holidays, "holiday_date")
+        .select(date_format(col("date"), "yyyy-MM-dd").as("date"),
+          $"day_of_week", $"is_market_holiday")
+        .orderBy($"date")
+    },
+    Some {
+      val inList = holidayFixture.distinct.map(d => s"DATE '$d'").mkString(", ")
+      s"""WITH days AS (
+         |  SELECT unnest(generate_series(DATE '2025-01-01', DATE '2025-12-31',
+         |                                INTERVAL 1 DAY))::DATE AS date)
+         |SELECT strftime(date, '%Y-%m-%d') AS date,
+         |       dayofweek(date)::INT AS day_of_week,
+         |       dayofweek(date) IN (0, 6) OR date IN ($inList) AS is_market_holiday
+         |FROM days ORDER BY date""".stripMargin
+    })
+
   // --- Reshaping (F1, F4, F11, F13, F14, F8) ----------------------------
 
   private val f1 = Q(
@@ -479,7 +516,7 @@ object RelationalQueries {
 
   private val all0: Seq[Q] = Seq(
     q1, q3, q5, s3Lookup, f5, semi, q17,
-    f3, f6, f7, f18,
+    f3, f6, f7, f18, f19,
     f1, f4, pivotQ, f11, f13, f14, f8,
     setExcept, setUnion, topk)
 

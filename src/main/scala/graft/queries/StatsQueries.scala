@@ -74,17 +74,17 @@ object StatsQueries {
         Seq("doc_id", "lang", "source", "n_chars"))
       .orderBy("column"),
     Some("""SELECT * FROM (
-           |  SELECT 'doc_id' AS "column", sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS nulls,
+           |  SELECT 'doc_id' AS "column", sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
            |         count(DISTINCT doc_id) AS n_distinct,
            |         min(doc_id)::VARCHAR AS min, max(doc_id)::VARCHAR AS max FROM documents
            |  UNION ALL
-           |  SELECT 'lang', sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+           |  SELECT 'lang', sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
            |         count(DISTINCT lang), min(lang), max(lang) FROM documents
            |  UNION ALL
-           |  SELECT 'source', sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           |  SELECT 'source', sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
            |         count(DISTINCT source), min(source), max(source) FROM documents
            |  UNION ALL
-           |  SELECT 'n_chars', sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+           |  SELECT 'n_chars', sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
            |         count(DISTINCT n_chars), min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
            |  FROM documents)
            |ORDER BY "column"""".stripMargin))

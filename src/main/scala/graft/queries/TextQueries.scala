@@ -30,9 +30,9 @@ object TextQueries {
         .orderBy($"doc_id")
     },
     Some("""SELECT doc_id,
-           |  len(string_split(text,' ')) AS n_tokens,
-           |  len(list_distinct(string_split(text,' '))) AS n_distinct,
-           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish,
+           |  len(string_split(text,' '))::INT AS n_tokens,
+           |  len(list_distinct(string_split(text,' ')))::INT AS n_distinct,
+           |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::INT AS n_bpeish,
            |  round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
            |        / len(string_split(text,' ')), 6) AS mean_token_len
            |FROM documents ORDER BY doc_id""".stripMargin))
@@ -158,8 +158,8 @@ object TextQueries {
            |  FROM tf JOIN dfreq ON tf.token = dfreq.token
            |  GROUP BY lang, tf.token)
            |SELECT lang, rk, token, max_tfidf FROM (
-           |  SELECT *, row_number() OVER
-           |    (PARTITION BY lang ORDER BY max_tfidf DESC, token) rk
+           |  SELECT *, (row_number() OVER
+           |    (PARTITION BY lang ORDER BY max_tfidf DESC, token))::INT rk
            |  FROM scored)
            |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin))
 

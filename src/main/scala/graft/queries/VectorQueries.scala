@@ -33,8 +33,8 @@ object VectorQueries {
             |         round(${dcos("q.v", "c.v")}, 6) cos
             |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
             |SELECT query_id, rank, neighbor_id, cos FROM (
-            |  SELECT *, row_number() OVER
-            |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+            |  SELECT *, (row_number() OVER
+            |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id))::INT rank
             |  FROM scored)
             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     headline = true)

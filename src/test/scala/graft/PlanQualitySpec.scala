@@ -65,6 +65,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(gen.contains("getDouble"), "DotProduct loop not in generated code")
   }
 
+  test("clean-corpus pipeline plans with no O(N²) join (PPJoin near-dup stage)") {
+    val q = SparkEntry.queries("pipeline_clean_corpus")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"near-dup stage must be an equi-join candidate generator, not all-pairs:\n$plan")
+  }
+
+  test("rp_signature LSH kernel runs inside whole-stage codegen (no fallback)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val gen = try {
+      val e = Tables(spark, TestSpark.sfDir).embeddings
+        .select(graft.operators.VectorOps.toDouble($"embedding").as("v"))
+      codegenString(e.select(graft.functions.RpSignature($"v", 16).as("sig")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(gen.contains("WholeStageCodegen"), s"no codegen stage:\n${gen.take(500)}")
+    // the plane-weight arithmetic must be in GENERATED java (not interpreted)
+    assert(gen.contains("% 13"), "RpSignature loop not in generated code")
+  }
+
   test("semi/anti joins plan as broadcast variants on small probes") {
     val f5 = SparkEntry.queries("f5_anti_join_missing")(spark, TestSpark.sfDir)
     assert(physicalPlan(f5).contains("BroadcastHashJoin") ||

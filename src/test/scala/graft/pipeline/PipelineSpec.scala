@@ -203,6 +203,27 @@ class JobsSpec extends SparkSpec {
     assert(spark.table("dim_industry_code").count() === 4)
   }
 
+  test("E2 K4 JDBC mode: DROP/CREATE preaction full refresh (Derby warehouse)") {
+    val layout = freshLayout()
+    val ledger = new PartitionLedger(layout.root + "/ledger.tsv")
+    val ingest = new IngestJob(spark, layout,
+      new KrxCodesConnector(fixture("krx_codes")), ledger)
+    assert(ingest.runFor("2025-01-06") === Ran)
+    val registry = new SchemaRegistry(layout.root + "/registry")
+    val url = "jdbc:derby:memory:graftwh;create=true"
+    val silver = new SilverIndustryCodeJob(spark, layout, registry,
+      jdbcUrl = Some(url))
+    assert(silver.runFor("2025-01-06") === Ran)
+    def warehouse() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "dim_industry_code").load()
+    assert(warehouse().count() === 4)
+    assert(warehouse().schema.fieldNames.toSeq ===
+      Schemas.dimIndustryCode.fieldNames.toSeq)
+    // rerun = full refresh (DROP preaction, fresh table) — NOT an append
+    assert(silver.runFor("2025-01-06") === Ran)
+    assert(warehouse().count() === 4)
+  }
+
   test("EXT clean-corpus silver job: filters, dedups, writes lang partitions") {
     val layout = freshLayout()
     val docs = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
