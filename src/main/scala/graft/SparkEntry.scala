@@ -16,7 +16,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       VectorQueries.all ++ EventQueries.all ++ ExtQueries.all ++
-      GoldQueries.all ++ StatsQueries.all
+      GoldQueries.all ++ StatsQueries.all ++ HygieneQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Corpus-hygiene operators for LLM training-data pipelines:
+  * benchmark decontamination (shared-n-gram detection, the GPT-3-style
+  * 13-gram rule generalized to any n) and Gopher-style repetition /
+  * quality gates (Rae et al. 2021 §A1.1: doc length, mean word length,
+  * duplicate-n-gram fraction, top-token dominance).
+  *
+  * Scale posture: decontamination is an equi-join on the shingle with the
+  * (tiny) benchmark side broadcast — never a pair scan; the quality gates
+  * are per-row column expressions plus two hash aggregates (top-token),
+  * all scan-local.
+  */
+object HygieneOps {
+
+  /** Benchmark decontamination: one row per (train doc, benchmark doc)
+    * pair sharing ≥ `minHits` distinct word n-grams, with the shared
+    * count. Self-contamination rows (same id on both sides) are dropped so
+    * the benchmark may be a subset of the corpus itself. */
+  def contaminationHits(train: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, n: Int,
+                        minHits: Long = 1L): DataFrame = {
+    def posting(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out),
+        explode(array_distinct(TextOps.shingles(col(textCol), n))).as("sh"))
+    // repartition the (big) train side before the interpreted shingle HOF:
+    // a single parquet split would run the whole posting build one-threaded
+    posting(train
+        .repartition(train.sparkSession.sparkContext.defaultParallelism),
+        "doc_id")
+      .join(broadcast(posting(benchmark, "bench_id")), "sh")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** Duplicate-n-gram fraction: 1 − distinct/total word n-grams — the
+    * Gopher repetition signal. Documents shorter than n tokens score 0.
+    * The shingle HOF (interpreted — CodegenFallback) appears exactly ONCE
+    * in the expression tree: the total count and the guard come from the
+    * token count instead (total n-grams = tokens − n + 1). */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val total = TextOps.tokenCount(text) - (n - 1)
+    when(total <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(TextOps.shingles(text, n)))
+        .cast("double") / total, 6))
+  }
+
+  /** Top-token dominance: most frequent token's share of all tokens.
+    * Relational form (explode → two hash aggregates), not a per-row HOF:
+    * stays in whole-stage codegen and scales scan-local. */
+  def topTokenRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("n")).cast("double") / sum(col("n")), 6)
+        .as("top_token_ratio"))
+
+  /** Gopher-style quality gate: per-doc metrics plus the conjunction
+    * verdict. Thresholds are fixed (documented in the query oracle) —
+    * tuned so the synthetic corpus splits meaningfully. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // fan a single input split across every core before the per-row work
+    val d = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    d.select(col(idCol),
+        TextOps.tokenCount(col(textCol)).as("n_tokens"),
+        TextOps.meanTokenLength(col(textCol)).as("mean_token_len"),
+        repetitionRatio(col(textCol), 2).as("rep_2gram"))
+      .join(topTokenRatio(d, idCol, textCol), idCol)
+      .withColumn("passes",
+        col("n_tokens").between(20, 1000) &&
+          col("mean_token_len").between(3.0, 10.0) &&
+          col("rep_2gram") <= 0.05 &&
+          col("top_token_ratio") <= 0.12)
+  }
+}

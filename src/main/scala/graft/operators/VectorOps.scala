@@ -103,6 +103,31 @@ object VectorOps {
       .select(col(idCol), col("prediction").as("cluster"))
   }
 
+  /** SemDedup-style cluster-local near-dup pairs: assign every vector to
+    * its nearest centroid (broadcast, one map pass), then compare pairs
+    * only WITHIN a cluster — an equi-join on the cluster id, so candidate
+    * cost is Σ cluster² instead of N². This is the embedding-space twin of
+    * LSH bucketing: approximate (cross-cluster near-dups are missed by
+    * design — SemDedup's trade), exact within the candidate set. Returns
+    * (cluster, id_a, id_b, cos) for pairs with cosine ≥ threshold. */
+  def semdedupPairs(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                    vecCol: String, centroidIdCol: String,
+                    centroidVecCol: String, threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(vectors, centroids, idCol, vecCol,
+      centroidIdCol, centroidVecCol).select(col(idCol), col("centroid_id"))
+    val v = vectors.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .join(assigned, idCol)
+    v.as("a").join(v.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", round(cosinePrenormed(col("a.v"), col("b.v"),
+        col("a.nrm"), col("b.nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.centroid_id").as("cluster"),
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos"))
+  }
+
   /** IVF-style assignment: nearest centroid (max cosine, tie → min id)
     * per vector. Centroids are broadcast — one map-side pass. */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{HygieneOps, VectorOps}
+
+/** [EXT] Corpus-hygiene queries: benchmark decontamination, Gopher-style
+  * quality gates, and SemDedup cluster-local embedding near-dup pairs —
+  * the remaining training-data-pipeline hygiene surface beyond dedup and
+  * text analysis. All three are oracle-checked.
+  */
+object HygieneQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir).documents
+
+  /** Word-3-gram decontamination of the corpus against a fixture
+    * "benchmark" set (every 50th doc). Equi-join on the shingle with the
+    * benchmark side broadcast — the 100 TB shape (the benchmark is always
+    * tiny relative to the corpus). */
+  private val decontam = Q(
+    "text_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val benchmark = d.filter($"doc_id" % 50 === 0)
+      HygieneOps.contaminationHits(d, benchmark, "doc_id", "text", 3)
+        .orderBy($"doc_id", $"bench_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+           |sh AS (SELECT doc_id,
+           |         list_distinct([array_to_string(toks[i:i+2],' ')
+           |                        FOR i IN generate_series(1, len(toks)-2)]) s
+           |       FROM d),
+           |post AS (SELECT doc_id, unnest(s) sh FROM sh),
+           |bench AS (SELECT doc_id AS bench_id, sh FROM post WHERE doc_id % 50 = 0)
+           |SELECT p.doc_id, b.bench_id, count(*) AS n_hits
+           |FROM post p JOIN bench b ON p.sh = b.sh AND p.doc_id <> b.bench_id
+           |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin),
+    headline = true)
+
+  /** Gopher-style quality gate (Rae et al. 2021 §A1.1 shape): doc length,
+    * mean word length, duplicate-2-gram fraction, top-token dominance,
+    * and the conjunction verdict. Thresholds fixed: 20 ≤ tokens ≤ 1000,
+    * 3 ≤ mean len ≤ 10, rep ≤ 0.05, dominance ≤ 0.12. */
+  private val gopher = Q(
+    "text_gopher_rules",
+    (s, dir) => {
+      import s.implicits._
+      HygieneOps.gopherRules(docs(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+           |cnt AS (SELECT doc_id, tok, count(*) n FROM t GROUP BY 1, 2),
+           |dom AS (SELECT doc_id, round(max(n)::DOUBLE / sum(n), 6) top_token_ratio
+           |        FROM cnt GROUP BY doc_id),
+           |m AS (
+           |  SELECT doc_id,
+           |    len(string_split(text,' '))::INT AS n_tokens,
+           |    round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+           |          / len(string_split(text,' ')), 6) AS mean_token_len,
+           |    CASE WHEN len(string_split(text,' ')) < 2 THEN 0.0
+           |         ELSE round(1.0 -
+           |           len(list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
+           |                              FOR i IN generate_series(1, len(string_split(text,' '))-1)]))::DOUBLE
+           |           / (len(string_split(text,' ')) - 1), 6) END AS rep_2gram
+           |  FROM documents)
+           |SELECT m.doc_id, n_tokens, mean_token_len, rep_2gram, top_token_ratio,
+           |       n_tokens BETWEEN 20 AND 1000
+           |         AND mean_token_len BETWEEN 3.0 AND 10.0
+           |         AND rep_2gram <= 0.05
+           |         AND top_token_ratio <= 0.12 AS passes
+           |FROM m JOIN dom USING (doc_id) ORDER BY doc_id""".stripMargin))
+
+  /** SemDedup cluster-local embedding near-dup pairs: IVF assignment
+    * (first 8 vectors as centroids, same fixture as sim_ivf_assign), then
+    * pairs with cosine ≥ 0.4 compared only within a cluster — candidate
+    * cost Σ cluster², the embedding-space twin of LSH bucketing. */
+  private val semdedup = Q(
+    "sim_semdedup_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+      VectorOps.semdedupPairs(e, e.filter($"vec_id" < 8),
+          "vec_id", "embedding", "vec_id", "embedding", 0.4)
+        .orderBy($"cluster", $"id_a", $"id_b")
+    },
+    Some {
+      def dcos(a: String, b: String) =
+        s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |c AS (SELECT vec_id centroid_id, v cv FROM e WHERE vec_id < 8),
+         |scored AS (SELECT e.vec_id, e.v, c.centroid_id,
+         |             round(${dcos("e.v", "c.cv")}, 6) cos
+         |           FROM e CROSS JOIN c),
+         |best AS (SELECT vec_id, v, centroid_id FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) rn FROM scored)
+         |  WHERE rn = 1)
+         |SELECT a.centroid_id AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${dcos("a.v", "b.v")}, 6) AS cos
+         |FROM best a JOIN best b
+         |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |WHERE round(${dcos("a.v", "b.v")}, 6) >= 0.4
+         |ORDER BY cluster, id_a, id_b""".stripMargin
+    })
+
+  def all: Seq[Q] = Seq(decontam, gopher, semdedup)
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HygieneOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contaminationHits counts shared n-grams, excludes self-pairs") {
+    val train = Seq(
+      (1L, "a b c d e"),   // shares 3-grams "a b c","b c d","c d e" with bench 10
+      (2L, "x y z w q"),   // no overlap
+      (10L, "a b c d e")   // the benchmark doc itself — self-pair must drop
+    ).toDF("doc_id", "text")
+    val bench = train.filter($"doc_id" === 10L)
+    val hits = HygieneOps.contaminationHits(train, bench, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq === Seq((1L, 10L, 3L)))
+  }
+
+  test("repetitionRatio: 0 for all-distinct, rises with repeats, 0 when too short") {
+    val r = Seq("a b c d", "a b a b a b", "x").toDF("t")
+      .select(HygieneOps.repetitionRatio($"t", 2).as("r")).as[Double].collect()
+    assert(r(0) === 0.0)
+    // "a b a b a b": 5 2-grams, 2 distinct ("a b","b a") → 1 - 2/5
+    assert(r(1) === 0.6)
+    assert(r(2) === 0.0) // single token, no 2-grams
+  }
+
+  test("gopherRules verdict matches hand-computed metrics") {
+    val good = ("this is a clean document with twenty two distinct tokens " +
+      "covering enough length to pass every gate fine also more words here now")
+    val repeaty = Seq.fill(30)("spam").mkString(" ")
+    val out = Seq((1L, good), (2L, repeaty)).toDF("doc_id", "text")
+    val rows = HygieneOps.gopherRules(out, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(rows(0).getAs[Boolean]("passes"))
+    val bad = rows(1)
+    assert(!bad.getAs[Boolean]("passes"))
+    assert(bad.getAs[Double]("top_token_ratio") === 1.0)
+    assert(bad.getAs[Double]("rep_2gram") > 0.9)
+  }
+
+  test("semdedupPairs is the cluster-local subset of global cosine pairs") {
+    val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
+    val global = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        round(VectorOps.cosine(VectorOps.toDouble($"a.embedding"),
+          VectorOps.toDouble($"b.embedding")), 6).as("cos"))
+      .filter($"cos" >= 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val local = VectorOps.semdedupPairs(e, e.filter($"vec_id" < 8),
+        "vec_id", "embedding", "vec_id", "embedding", 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(local.nonEmpty)
+    assert(local.subsetOf(global)) // within-cluster pairs, exact cosines
+  }
+}
