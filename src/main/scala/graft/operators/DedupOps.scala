@@ -84,8 +84,12 @@ object DedupOps {
     * with Jaccard > 0 shares ≥1 shingle, so no true near-dup is missed. */
   def invertedIndexPairs(docs: DataFrame, idCol: String, setCol: String)
       : DataFrame = {
-    val posting = docs.select(col(idCol).as("id"),
-      explode(array_distinct(col(setCol))).as("token"))
+    val posting = docs
+      // fan a single input split out before the explode + self-join
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(col(setCol))).as("token"))
+      .localCheckpoint() // self-join: build the posting list once, not twice
     posting.as("l").join(posting.as("r"),
         col("l.token") === col("r.token") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))

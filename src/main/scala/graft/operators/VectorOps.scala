@@ -112,20 +112,34 @@ object VectorOps {
     * (cluster, id_a, id_b, cos) for pairs with cosine ≥ threshold. */
   def semdedupPairs(vectors: DataFrame, centroids: DataFrame, idCol: String,
                     vecCol: String, centroidIdCol: String,
-                    centroidVecCol: String, threshold: Double): DataFrame = {
+                    centroidVecCol: String, threshold: Double,
+                    blocks: Int = 8): DataFrame = {
     val assigned = assignToCentroids(vectors, centroids, idCol, vecCol,
       centroidIdCol, centroidVecCol).select(col(idCol), col("centroid_id"))
-    val v = vectors.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .join(assigned, idCol)
-    v.as("a").join(v.as("b"),
+      .join(assigned.withColumnRenamed(idCol, "id"), "id")
+      .withColumn("blk", pmod(col("id"), lit(blocks)).cast("int"))
+    // triangle blocking: with k clusters alone the pair join shuffles on k
+    // keys — k tasks no matter how many cores. Each row is replicated onto
+    // a (block_lo, block_hi) grid so pair (x,y) is generated at exactly one
+    // key (cluster, min(bx,by), max(bx,by)): parallelism k·B(B+1)/2, at the
+    // cost of B× row replication. Diagonal cells dedupe by id order; the
+    // off-diagonal output is id-normalized (cos is symmetric).
+    val lhs = v.withColumn("bj",
+      explode(sequence(col("blk"), lit(blocks - 1))))
+    val rhs = v.withColumn("bi",
+      explode(sequence(lit(0), col("blk"))))
+    lhs.as("a").join(rhs.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+          col("a.blk") === col("b.bi") && col("a.bj") === col("b.blk") &&
+          (col("a.blk") =!= col("b.blk") || col("a.id") < col("b.id")))
       .withColumn("cos", round(cosinePrenormed(col("a.v"), col("b.v"),
         col("a.nrm"), col("b.nrm")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.centroid_id").as("cluster"),
-        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos"))
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"), col("cos"))
   }
 
   /** IVF-style assignment: nearest centroid (max cosine, tie → min id)

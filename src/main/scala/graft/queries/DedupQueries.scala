@@ -100,6 +100,31 @@ object DedupQueries {
     Some(exactJaccardOracle(0.9)),
     headline = true)
 
+  /** Naive inverted-index candidate pairs over word-5-gram shingles — the
+    * third candidate-generation regime: selective postings (5-gram df ≤ 4
+    * on this corpus) make the plain shingle equi-join cheap and EXACT (any
+    * pair sharing a 5-gram is found). Regime guide: hot small vocabulary →
+    * dense kernel; high threshold → PPJoin prefix index; selective
+    * postings → this. */
+  private val inverted = Q(
+    "dedup_inverted_index_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val withShingles = docs(s, dir)
+        .select($"doc_id", TextOps.shingles($"text", 5).as("shingles"))
+      DedupOps.invertedIndexPairs(withShingles, "doc_id", "shingles")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+           |sh AS (SELECT doc_id,
+           |         list_distinct([array_to_string(toks[i:i+4],' ')
+           |                        FOR i IN generate_series(1, len(toks)-4)]) s
+           |       FROM d),
+           |post AS (SELECT doc_id, unnest(s) tok FROM sh)
+           |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           |FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id
+           |ORDER BY id_a, id_b""".stripMargin))
+
   /** MinHash(k=16) + LSH(4 bands × 4 rows) candidates, verified with true
     * Jaccard ≥ 0.8 — the scale path for near-dup dedup: candidate cost is
     * Σ bucket², not N². */
@@ -195,5 +220,6 @@ object DedupQueries {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
            |ORDER BY id_a, id_b""".stripMargin))
 
-  def all: Seq[Q] = Seq(exact, keepFirst, jaccard, ppjoin, minhash, simhashQ)
+  def all: Seq[Q] =
+    Seq(exact, keepFirst, jaccard, ppjoin, inverted, minhash, simhashQ)
 }

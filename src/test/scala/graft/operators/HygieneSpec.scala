@@ -54,5 +54,11 @@ class HygieneOpsSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(local.nonEmpty)
     assert(local.subsetOf(global)) // within-cluster pairs, exact cosines
+    // triangle blocking is pure parallelization: any block count yields
+    // the identical pair set
+    val unblocked = VectorOps.semdedupPairs(e, e.filter($"vec_id" < 8),
+        "vec_id", "embedding", "vec_id", "embedding", 0.4, blocks = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(local === unblocked)
   }
 }
