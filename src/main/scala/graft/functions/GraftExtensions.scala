@@ -24,5 +24,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_long_overlap_count"),
       new ExpressionInfo(classOf[SortedLongOverlapCount].getName, "sorted_long_overlap_count"),
       (children: Seq[Expression]) => SortedLongOverlapCount(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("rp_signature"),
+      new ExpressionInfo(classOf[RpSignature].getName, "rp_signature"),
+      (children: Seq[Expression]) => RpSignature(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("string_set_count"),
+      new ExpressionInfo(classOf[StringSetCount].getName, "string_set_count"),
+      // second arg: an array<string> literal of set members
+      (children: Seq[Expression]) => StringSetCount(children(0),
+        children(1).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq)))
   }
 }

@@ -36,13 +36,13 @@ object TextOps {
     * vocabulary playing the role of function words). */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  /** Ratio of stopword tokens to all tokens. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    round(
-      size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
-        .cast("double") / size(toks), 6)
-  }
+  /** Ratio of stopword tokens to all tokens. Codegen'd set-membership
+    * count (graft.functions.StringSetCount) — the HOF form
+    * `size(filter(toks, isin))` runs interpreted and re-splits the text
+    * per element. */
+  def stopwordRatio(text: Column): Column =
+    round(graft.functions.StringSetCount(tokens(text), stopwords)
+      .cast("double") / size(tokens(text)), 6)
 
   /** Ratio of non-alphanumeric, non-space chars to total length. */
   def punctRatio(text: Column): Column =
@@ -78,7 +78,7 @@ object TextOps {
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+      lang -> graft.functions.StringSetCount(toks, markers)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(when(best === 0, "und")) { case (acc, (lang, s)) =>

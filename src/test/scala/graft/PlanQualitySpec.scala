@@ -84,6 +84,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(gen.contains("% 13"), "RpSignature loop not in generated code")
   }
 
+  test("decontamination joins the broadcast benchmark side, no pair scan") {
+    val q = SparkEntry.queries("text_decontaminate")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark posting must broadcast:\n$plan")
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("candidate-generation dedup queries never plan an all-pairs join") {
+    // (sim_semdedup_pairs is excluded: its centroid ASSIGNMENT is a
+    // deliberate broadcast cross product over 8 centroids; the pair join
+    // itself is the blocked equi-join, spec-asserted by block invariance)
+    for (name <- Seq("dedup_ppjoin_jaccard", "dedup_inverted_index_pairs",
+        "dedup_minhash_lsh")) {
+      val plan = physicalPlan(SparkEntry.queries(name)(spark, TestSpark.sfDir))
+      assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name must generate candidates via equi-join:\n${plan.take(800)}")
+    }
+  }
+
   test("semi/anti joins plan as broadcast variants on small probes") {
     val f5 = SparkEntry.queries("f5_anti_join_missing")(spark, TestSpark.sfDir)
     assert(physicalPlan(f5).contains("BroadcastHashJoin") ||
@@ -185,11 +205,15 @@ class PlanQualitySpec extends SparkSpec {
       val r = s2.sql(
         """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
           |       sorted_long_overlap_count(array(1L,2L,3L), array(2L,3L,9L)) AS c,
-          |       sorted_overlap_count(array('a','b'), array('b','c')) AS sc
+          |       sorted_overlap_count(array('a','b'), array('b','c')) AS sc,
+          |       rp_signature(array(1.0d, -2.0d, 0.5d), 16) AS sig,
+          |       string_set_count(array('the','fox','a'), array('the','a','of')) AS ssc
           |""".stripMargin).head()
       assert(r.getDouble(0) === 11.0)
       assert(r.getInt(1) === 2)
       assert(r.getInt(2) === 1)
+      assert(r.getLong(3) >= 0L && r.getLong(3) < (1L << 16))
+      assert(r.getInt(4) === 2)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
