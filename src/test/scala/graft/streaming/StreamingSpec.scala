@@ -131,6 +131,32 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$root/out/ymd=2025-01-01").exists)
   }
 
+  test("text hygiene scoring is batch==stream identical (stateless ops)") {
+    // the quality/repetition/lang-ID operators are pure row expressions, so
+    // they must produce byte-identical results under Structured Streaming —
+    // the property that lets one scoring codepath serve both the backfill
+    // and the live ingest of a training-data pipeline
+    val docsPath = graft.TestSpark.sfDir + "/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id",
+        graft.operators.TextOps.qualityScore($"text").as("quality"),
+        graft.operators.HygieneOps.repetitionRatio($"text", 2).as("rep2"),
+        graft.operators.TextOps.langId($"text").as("lang"))
+    val tmp = Files.createTempDirectory("graft-docs-stream")
+    Files.copy(java.nio.file.Paths.get(docsPath), tmp.resolve("documents.parquet"))
+    val q = score(spark.readStream.schema(schema).parquet(tmp.toString))
+      .writeStream.format("memory").queryName("hygiene_stream")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("hygiene_stream")
+      .as[(Long, Double, Double, String)].collect().toSet
+    val batch = score(spark.read.parquet(docsPath))
+      .as[(Long, Double, Double, String)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("AvailableNow file source processes new files only (S15/S17 story)") {
     val root = Files.createTempDirectory("graft-stream").toString
     val src = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
