@@ -105,5 +105,42 @@ object HygieneQueries {
          |ORDER BY cluster, id_a, id_b""".stripMargin
     })
 
-  def all: Seq[Q] = Seq(decontam, gopher, semdedup)
+  /** Deterministic data mixing: per-language hash sampling (all en, half
+    * de, quarter fr, 10% rest) → salted train/val/test split → 2× English
+    * upsampling, reduced to per-(lang, split) counts. Hash-based, not
+    * rand(): the kept row set is a pure function of doc_id, so the oracle
+    * verifies the EXACT sample — reproducible across runs, engines, and
+    * retries. */
+  private val mix = Q(
+    "mix_deterministic_sample",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val sampled = graft.operators.SamplingOps.stratifiedSample(
+        d, "lang", "doc_id", Map("en" -> 1000, "de" -> 500, "fr" -> 250), 100)
+      val split = graft.operators.SamplingOps.trainValTestSplit(sampled, "doc_id")
+      graft.operators.SamplingOps.upsample(split, "lang", Map("en" -> 2))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"split")
+    },
+    Some("""WITH h AS (
+           |  SELECT lang,
+           |    ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 1000 AS b,
+           |    ('0x'||substr(md5(doc_id::VARCHAR || ':split'),1,8))::BIGINT % 1000 AS bs
+           |  FROM documents),
+           |sampled AS (
+           |  SELECT lang, bs FROM h
+           |  WHERE b < CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500
+           |                     WHEN 'fr' THEN 250 ELSE 100 END),
+           |labeled AS (
+           |  SELECT lang,
+           |         CASE WHEN bs < 800 THEN 'train'
+           |              WHEN bs < 900 THEN 'val' ELSE 'test' END AS split,
+           |         CASE lang WHEN 'en' THEN 2 ELSE 1 END AS copies
+           |  FROM sampled)
+           |SELECT lang, split, sum(copies)::BIGINT AS n
+           |FROM labeled GROUP BY lang, split ORDER BY lang, split""".stripMargin))
+
+  def all: Seq[Q] = Seq(decontam, gopher, semdedup, mix)
 }

@@ -41,6 +41,33 @@ class HygieneOpsSpec extends SparkSpec {
     assert(bad.getAs[Double]("rep_2gram") > 0.9)
   }
 
+  test("deterministic sampling: stable across runs, rates honored, salt decorrelates") {
+    val d = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+    val s1 = SamplingOps.deterministicSample(d, "doc_id", 300)
+      .select($"doc_id").as[Long].collect().toSet
+    val s2 = SamplingOps.deterministicSample(d, "doc_id", 300)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s1 === s2 && s1.nonEmpty) // pure function of the key
+    val n = d.count().toDouble
+    assert(math.abs(s1.size / n - 0.3) < 0.1) // ~30% kept
+    // a 50%-sampled stratum must still reach the test split (salted hash)
+    val sampled = SamplingOps.stratifiedSample(d, "lang", "doc_id",
+      Map("en" -> 500), 1000)
+    val splits = SamplingOps.trainValTestSplit(sampled, "doc_id")
+      .filter($"lang" === "en").select($"split").distinct()
+      .as[String].collect().toSet
+    assert(splits === Set("train", "val", "test"))
+  }
+
+  test("upsample repeats strata exactly and tags copies") {
+    val df = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val up = SamplingOps.upsample(df, "lang", Map("en" -> 3))
+    assert(up.filter($"lang" === "en").count() === 3)
+    assert(up.filter($"lang" === "de").count() === 1)
+    assert(up.filter($"lang" === "en").select($"copy")
+      .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+  }
+
   test("semdedupPairs is the cluster-local subset of global cosine pairs") {
     val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
     val global = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
