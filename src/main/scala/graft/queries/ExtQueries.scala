@@ -72,5 +72,28 @@ object ExtQueries {
            |FROM documents
            |ORDER BY doc_id""".stripMargin))
 
-  def all: Seq[Q] = Seq(topkAgg, multimodal)
+  /** Frame-sampling plumbing oracle: every 2nd 256-byte block of the
+    * payload becomes a "frame" (MultimodalOps.sampleFrames); per doc the
+    * frame count and total sampled bytes are recomputed by the oracle
+    * from the text length (payload = utf-8 text bytes, pure ASCII). */
+  private val frames = Q(
+    "multimodal_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val media = MultimodalOps.fakeMediaFromDocuments(Tables(s, dir).documents)
+      val fr = MultimodalOps.sampleFrames($"media.payload", 2)
+      media.select($"doc_id",
+          size(fr).as("n_frames"),
+          aggregate(fr, lit(0), (acc, f) => acc + octet_length(f))
+            .as("frame_bytes"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  ceil(ceil(length(text)/256.0)/2)::INT AS n_frames,
+           |  list_sum([least(256, length(text) - i*256)
+           |            FOR i IN generate_series(0, ceil(length(text)/256.0)::INT - 1)
+           |            IF i % 2 = 0])::INT AS frame_bytes
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  def all: Seq[Q] = Seq(topkAgg, multimodal, frames)
 }
