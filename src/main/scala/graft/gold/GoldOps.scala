@@ -65,6 +65,25 @@ object GoldOps {
       .drop("__v", "__side")
   }
 
+  /** OHLC resampling: collapse a tick/daily series to one bar per
+    * (asset, bucket) — open = value at the earliest (ts, tiebreak), close
+    * at the latest, high/low = max/min. A single hash aggregate using
+    * `min_by`/`max_by` with a struct ordering key: one shuffle, map-side
+    * partial aggregation, no window sort — the shape that survives any
+    * number of assets or ticks per bucket. */
+  def ohlcResample(series: DataFrame, key: String, tsCol: String,
+                   tiebreak: String, valueCol: String,
+                   bucket: Column): DataFrame = {
+    val ord = struct(col(tsCol), col(tiebreak))
+    series.groupBy(col(key), bucket.as("bucket"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Cross join with the calendar dim to label trading vs holiday rows
     * (broadcast — the calendar is tiny). */
   def withCalendar(prices: DataFrame, calendar: DataFrame, date: String)

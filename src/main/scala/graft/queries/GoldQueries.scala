@@ -166,5 +166,34 @@ object GoldQueries {
            |WHERE e.event_type = 'error'
            |ORDER BY e.event_id""".stripMargin))
 
-  def all: Seq[Q] = Seq(drawdown, asofAlign, cleanCorpus, rangeJoin)
+  /** Monthly OHLC bars per user over the event-value series (the classic
+    * financial resample: open/close by time order, high/low extremes) —
+    * one min_by/max_by hash aggregate, no window sort. */
+  private val ohlc = Q(
+    "gold_ohlc_monthly",
+    (s, dir) => {
+      import s.implicits._
+      GoldOps.ohlcResample(Tables(s, dir).events, "user_id", "ts", "event_id",
+          "value", date_format($"ts", "yyyyMM"))
+        .select($"user_id", $"bucket".as("month"),
+          round($"open", 2).as("open"), round($"high", 2).as("high"),
+          round($"low", 2).as("low"), round($"close", 2).as("close"), $"n")
+        .orderBy($"user_id", $"month")
+    },
+    Some("""WITH o AS (
+           |  SELECT user_id, strftime(ts, '%Y%m') AS m, value,
+           |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y%m')
+           |                       ORDER BY ts, event_id) AS rn_a,
+           |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y%m')
+           |                       ORDER BY ts DESC, event_id DESC) AS rn_d
+           |  FROM events)
+           |SELECT user_id, m AS month,
+           |       round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           |       round(max(value), 2) AS high,
+           |       round(min(value), 2) AS low,
+           |       round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           |       count(*) AS n
+           |FROM o GROUP BY user_id, m ORDER BY user_id, month""".stripMargin))
+
+  def all: Seq[Q] = Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc)
 }

@@ -104,6 +104,16 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("OHLC resample plans as partial+final aggregate, no window sort") {
+    val q = SparkEntry.queries("gold_ohlc_monthly")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // struct-ordered min_by/max_by plans as SortAggregate — the property
+    // that matters is the map-side partial before the exchange
+    assert(plan.contains("partial_min_by"),
+      s"min_by/max_by must aggregate map-side first:\n$plan")
+    assert(!plan.contains("Window"), "bars must not be computed via windows")
+  }
+
   test("semi/anti joins plan as broadcast variants on small probes") {
     val f5 = SparkEntry.queries("f5_anti_join_missing")(spark, TestSpark.sfDir)
     assert(physicalPlan(f5).contains("BroadcastHashJoin") ||
