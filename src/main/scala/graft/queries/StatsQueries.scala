@@ -122,6 +122,56 @@ object StatsQueries {
            |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
            |ORDER BY status, priority""".stripMargin))
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): chosen set list with
+    * grouping_id disambiguating which dimensions are aggregated-out —
+    * NULL-valued dims vs 'ALL' rows are distinguishable only via the id. */
+  private val groupingSets = Q(
+    "groupingsets_revenue",
+    (s, dir) => {
+      val tt = Tables(s, dir)
+      tt.orders.join(tt.customer, col("o_custkey") === col("c_custkey"))
+        .createOrReplaceTempView("ord_cust_gs")
+      s.sql("""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+              |       coalesce(o_orderpriority, 'ALL') AS priority,
+              |       CAST(grouping_id(c_mktsegment, o_orderpriority) AS INT)
+              |         AS gid,
+              |       round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+              |FROM ord_cust_gs
+              |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+              |                        (c_mktsegment), ())
+              |ORDER BY gid, segment, priority""".stripMargin)
+    },
+    Some("""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           |       coalesce(o_orderpriority, 'ALL') AS priority,
+           |       grouping_id(c_mktsegment, o_orderpriority)::INT AS gid,
+           |       round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+           |                        (c_mktsegment), ())
+           |ORDER BY gid, segment, priority""".stripMargin))
+
+  /** Rank-family windows: quartile bucket (ntile) + percent_rank of each
+    * customer's balance within its market segment. */
+  private val ntileQ = Q(
+    "window_ntile_percent_rank",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+      Tables(s, dir).customer
+        .select($"c_mktsegment", $"c_custkey",
+          round($"c_acctbal", 2).as("acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy($"c_mktsegment", $"c_custkey")
+    },
+    Some("""SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+           |       (ntile(4) OVER w)::INT AS quartile,
+           |       round(percent_rank() OVER w, 6) AS pct_rank
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+           |ORDER BY c_mktsegment, c_custkey""".stripMargin))
+
   /** RANGE-frame window: per-user trailing-1-hour event-value sum, frame
     * defined on the time axis (not row counts) — every event in the
     * preceding hour contributes regardless of how many there are. */
@@ -145,5 +195,6 @@ object StatsQueries {
            |FROM events ORDER BY event_id""".stripMargin))
 
   def all: Seq[Q] =
-    Seq(rollupQ, dispersion, percentiles, profileQ, sketch, cubeQ, rangeFrame)
+    Seq(rollupQ, dispersion, percentiles, profileQ, sketch, cubeQ,
+      groupingSets, ntileQ, rangeFrame)
 }
