@@ -71,6 +71,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("near-dup identity: PPJoin == dense kernel == inverted-index verify " +
+      "on random corpora and thresholds") {
+    // the exactness claim all three candidate generators share: identical
+    // (id_a, id_b, jaccard) sets at any threshold — this is what guards
+    // the prefix-length/position-filter ceil math (incl. the −ε bounds)
+    val vocab = Gen.choose(0, 11).map(i => s"w$i") // hot 12-token vocabulary
+    val doc = Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, vocab)).map(_.mkString(" "))
+    val corpus = Gen.listOfN(12, doc)
+    val thresholds = Seq(0.3, 0.5, 0.7, 0.9)
+    forAll(corpus, n = 4) { docsList =>
+      val df = docsList.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
+      for (t <- thresholds) {
+        def pairs(d: org.apache.spark.sql.DataFrame) =
+          d.select($"id_a", $"id_b", $"jaccard")
+            .as[(Long, Long, Double)].collect().toSet
+        val dense = pairs(graft.operators.DedupOps
+          .jaccardPairsDense(df, "doc_id", "sh", t))
+        val ppjoin = pairs(graft.operators.DedupOps
+          .jaccardPairs(df, "doc_id", "sh", t))
+        assert(ppjoin === dense, s"ppjoin != dense at t=$t on $docsList")
+        // inverted index generates ⊇ candidates of any true pair
+        val inverted = graft.operators.DedupOps
+          .invertedIndexPairs(df, "doc_id", "sh")
+          .as[(Long, Long)].collect().toSet
+        assert(dense.forall { case (a, b, _) => inverted.contains((a, b)) })
+      }
+    }
+  }
+
   test("hash32 distributes: no value outside 32 bits, stable across evals") {
     forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { tokens =>
       val h1 = tokens.toDF("t").select(TextOps.hash32($"t")).as[Long].collect()
