@@ -24,19 +24,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_long_overlap_count"),
       new ExpressionInfo(classOf[SortedLongOverlapCount].getName, "sorted_long_overlap_count"),
       (children: Seq[Expression]) => SortedLongOverlapCount(children(0), children(1))))
+    // second args must be literals folded at registration — validate here
+    // so misuse gets a clear AnalysisException-style message, not a
+    // ClassCastException from an unbound attribute at eval time
+    def foldableArg(fn: String, children: Seq[Expression], n: Int,
+                    what: String): Expression = {
+      if (children.length != n + 1)
+        throw new IllegalArgumentException(
+          s"$fn expects ${n + 1} arguments, got ${children.length}")
+      val e = children(n)
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"$fn argument ${n + 1} must be $what")
+      e
+    }
     ext.injectFunction((
       new FunctionIdentifier("rp_signature"),
       new ExpressionInfo(classOf[RpSignature].getName, "rp_signature"),
       (children: Seq[Expression]) => RpSignature(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+        foldableArg("rp_signature", children, 1, "a literal plane count")
+          .eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"rp_signature plane count must be integral, got $other")
+          })))
     ext.injectFunction((
       new FunctionIdentifier("string_set_count"),
       new ExpressionInfo(classOf[StringSetCount].getName, "string_set_count"),
-      // second arg: an array<string> literal of set members
       (children: Seq[Expression]) => StringSetCount(children(0),
-        children(1).eval().asInstanceOf[
-          org.apache.spark.sql.catalyst.util.ArrayData]
-          .toObjectArray(org.apache.spark.sql.types.StringType)
-          .map(_.toString).toSeq)))
+        foldableArg("string_set_count", children, 1,
+          "a literal array<string> of set members").eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toObjectArray(org.apache.spark.sql.types.StringType)
+                .map(_.toString).toSeq
+            case other => throw new IllegalArgumentException(
+              s"string_set_count members must be array<string>, got $other")
+          })))
   }
 }

@@ -38,8 +38,13 @@ object Compaction {
     df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = new Path(partitionPath)
     val f = fs(spark, target)
-    f.delete(target, true)
-    f.rename(new Path(tmp), target)
+    // Hadoop FS signals failure via `false`, not exceptions — an ignored
+    // false here either nests tmp INSIDE the surviving target (duplicate
+    // data) or strands the only copy at tmp after target was deleted
+    if (!f.delete(target, true) && f.exists(target))
+      throw new java.io.IOException(s"compaction: could not delete $target")
+    if (!f.rename(new Path(tmp), target))
+      throw new java.io.IOException(s"compaction: could not rename $tmp -> $target")
     f.listStatus(target).count(_.getPath.getName.endsWith(".parquet"))
   }
 }

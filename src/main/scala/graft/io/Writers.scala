@@ -50,12 +50,26 @@ object Writers {
     * here means a fresh table per the reference, not a truncated one. */
   def warehouseFullRefreshJdbc(df: DataFrame, table: String, url: String,
                                driver: Option[String] = None): Unit = {
+    // register the driver for the preaction connection too — the Spark
+    // writer resolves it from the option, but DriverManager does not
+    driver.foreach(Class.forName)
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val st = conn.createStatement()
-      try st.executeUpdate(s"DROP TABLE $table")
-      catch { case _: java.sql.SQLException => () } // first run: no table yet
-      finally st.close()
+      // existence check instead of a swallow-all catch around DROP: a DROP
+      // failing for any reason OTHER than absence (lock, privilege) must
+      // surface, or Append below would silently double the table
+      val rs = conn.getMetaData.getTables(null, null, null,
+        Array("TABLE"))
+      var exists = false
+      try {
+        while (rs.next() && !exists)
+          exists = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      } finally rs.close()
+      if (exists) {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $table")
+        finally st.close()
+      }
     } finally conn.close()
     val w = df.write.format("jdbc")
       .option("url", url)

@@ -33,6 +33,28 @@ object DedupOps {
       .drop("__rn")
   }
 
+  /** Dictionary-encode token sets ONCE: (id, sorted array<long> of
+    * xxhash64(token), sz). Shared by the dense kernel and the PPJoin path
+    * — the two must stay bit-identical for their exactness contract (the
+    * ppjoin==dense property test). Fanned across all cores (a single
+    * parquet split would single-thread the downstream pair work) and
+    * LAZILY checkpointed: materialized once at the first action and then
+    * reused by every self-join side, but constructing the plan (explain,
+    * plan specs, query enumeration) triggers no job. */
+  private def encodedSets(docs: DataFrame, idCol: String, setCol: String)
+      : DataFrame =
+    docs.select(col(idCol).as("id"),
+        sort_array(transform(array_distinct(col(setCol)), t => xxhash64(t))).as("s"))
+      .withColumn("sz", size(col("s")))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(false)
+
+  /** Length prefilter shared by both exact paths:
+    * J(A,B) ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) (since J ≤ min/max). */
+  private def lengthCompatible(threshold: Double, l: String, r: String): Column =
+    least(col(s"$l.sz"), col(s"$r.sz")).cast("double") >=
+      greatest(col(s"$l.sz"), col(s"$r.sz")) * threshold
+
   /** Dense exact Jaccard: all (a<b) pairs through the codegen'd
     * sorted-merge intersection kernel (graft.functions.SortedOverlapCount)
     * — O(N²·|s|) but allocation-free and whole-stage-codegen'd, which
@@ -42,33 +64,20 @@ object DedupOps {
     * and N is 100 TB-scale, this when N² pairs are tractable. */
   def jaccardPairsDense(docs: DataFrame, idCol: String, setCol: String,
                         threshold: Double): DataFrame = {
-    // dictionary-encode tokens to 64-bit hashes: the merge kernel then
+    // encodedSets: 64-bit-hash dictionary encoding — the merge kernel
     // compares primitive longs (no per-element allocation); the hash is
     // internal — results depend only on the intersection COUNT, and a
     // 64-bit collision anywhere is ~2⁻⁴⁰ at this scale
-    // localCheckpoint: the self-join would otherwise re-evaluate the
-    // (interpreted-HOF) shingle+hash projection once per side; materialize
-    // the encoded sets once — this is the "build the dictionary-encoded
-    // similarity index" step a 100 TB run would persist anyway
-    // repartition BEFORE the checkpoint: a small input file arrives as one
-    // split, which would make the nested-loop stream side single-threaded —
-    // the pair loop must fan out across every core/executor
-    val sets = docs.select(col(idCol).as("id"),
-        sort_array(transform(array_distinct(col(setCol)), t => xxhash64(t))).as("s"))
-      .withColumn("sz", size(col("s")))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint()
-    // join condition: cheap id ordering + the LENGTH prefilter — J(A,B) ≥ t
-    // requires min(|A|,|B|) ≥ t·max(|A|,|B|) (since J ≤ min/max), so
+    val sets = encodedSets(docs, idCol, setCol)
+    // join condition: cheap id ordering + the LENGTH prefilter, so
     // size-incompatible pairs never reach the kernel. The similarity
     // predicate itself is fenced with OptimizerBarrier: Catalyst would
     // otherwise push it into the nested-loop join condition, where the
     // kernel is evaluated interpreted, twice, for BOTH orderings of every
     // pair (measured 2.6× slower); fenced, it runs codegen'd once per
     // surviving pair.
-    val lengthOk = least(col("a.sz"), col("b.sz")).cast("double") >=
-      greatest(col("a.sz"), col("b.sz")) * threshold
-    sets.as("a").join(sets.as("b"), col("a.id") < col("b.id") && lengthOk)
+    sets.as("a").join(sets.as("b"),
+        col("a.id") < col("b.id") && lengthCompatible(threshold, "a", "b"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         graft.functions.SortedLongOverlapCount(col("a.s"), col("b.s")).as("common"),
         (col("a.sz") + col("b.sz")).as("szsum"))
@@ -89,7 +98,9 @@ object DedupOps {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         explode(array_distinct(col(setCol))).as("token"))
-      .localCheckpoint() // self-join: build the posting list once, not twice
+      // lazy: build the posting list once (not once per join side), but
+      // only when an action actually runs — plan-only callers stay free
+      .localCheckpoint(false)
     posting.as("l").join(posting.as("r"),
         col("l.token") === col("r.token") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -111,14 +122,12 @@ object DedupOps {
     // float overshoot would shorten a prefix / tighten a bound and silently
     // DROP a genuinely similar pair — subtract ε before every ceil
     val eps = 1e-9
-    // dictionary-encode to sorted long hashes once (the dense kernel's
-    // trick): candidate rows then carry primitive longs and verification
-    // runs the codegen'd sorted-merge kernel instead of array_intersect
-    val sets = docs.select(col(idCol).as("id"),
-        sort_array(transform(array_distinct(col(setCol)), t => xxhash64(t))).as("s"))
-      .withColumn("sz", size(col("s")))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint() // reused 3×: posting scan + both verify joins
+    // same dictionary encoding as the dense kernel (shared helper — the
+    // exactness contract between the two paths depends on it): candidate
+    // rows carry primitive longs and verification runs the codegen'd
+    // sorted-merge kernel instead of array_intersect. Reused 3×: posting
+    // scan + both verify joins.
+    val sets = encodedSets(docs, idCol, setCol)
     val posting = sets.select(col("id"), col("sz"), explode(col("s")).as("h"))
     val freq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefixLen = col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1
@@ -135,15 +144,13 @@ object DedupOps {
     //  so overlap ≤ 1 + min(sz_l − rn_l, sz_r − rn_r); a similar pair needs
     //  overlap ≥ α = ⌈t/(1+t)·(sz_l+sz_r)⌉ and its first-match row always
     //  satisfies the bound, so OR-semantics over candidate rows is exact.
-    val lengthOk = least(col("l.sz"), col("r.sz")).cast("double") >=
-      greatest(col("l.sz"), col("r.sz")) * threshold
     val alpha = ceil(lit(threshold / (1 + threshold)) *
       (col("l.sz") + col("r.sz")) - eps)
     val positionOk =
       (lit(1) + least(col("l.sz") - col("l.rn"), col("r.sz") - col("r.rn"))) >= alpha
     val candidates = prefixes.as("l").join(prefixes.as("r"),
         col("l.h") === col("r.h") && col("l.id") < col("r.id") &&
-          lengthOk && positionOk)
+          lengthCompatible(threshold, "l", "r") && positionOk)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     candidates

@@ -67,15 +67,18 @@ object HygieneOps {
     // fan a single input split across every core before the per-row work
     val d = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // LEFT join + coalesce(passes → false): a NULL-text doc (e.g. a
+    // corrupt record) has no explode rows, so an inner join would make the
+    // garbage rows INVISIBLE to the gate instead of failing them
     d.select(col(idCol),
         TextOps.tokenCount(col(textCol)).as("n_tokens"),
         TextOps.meanTokenLength(col(textCol)).as("mean_token_len"),
         repetitionRatio(col(textCol), 2).as("rep_2gram"))
-      .join(topTokenRatio(d, idCol, textCol), idCol)
-      .withColumn("passes",
+      .join(topTokenRatio(d, idCol, textCol), Seq(idCol), "left")
+      .withColumn("passes", coalesce(
         col("n_tokens").between(20, 1000) &&
           col("mean_token_len").between(3.0, 10.0) &&
           col("rep_2gram") <= 0.05 &&
-          col("top_token_ratio") <= 0.12)
+          col("top_token_ratio") <= 0.12, lit(false)))
   }
 }

@@ -84,10 +84,14 @@ object MultimodalOps {
   def sampleFrames(payload: org.apache.spark.sql.Column, stride: Int)
       : org.apache.spark.sql.Column = {
     val nBlocks = ceil(octet_length(payload) / lit(256.0)).cast("int")
-    filter(
-      transform(sequence(lit(0), greatest(nBlocks - 1, lit(0))),
-        i => when(i % stride === 0, substring(payload, i * 256 + 1, lit(256)))),
-      f => f.isNotNull)
+    // empty payload → zero frames (not one empty frame: sequence(0,0)
+    // would still yield block index 0)
+    when(octet_length(payload) === 0,
+      array().cast("array<binary>")).otherwise(
+      filter(
+        transform(sequence(lit(0), greatest(nBlocks - 1, lit(0))),
+          i => when(i % stride === 0, substring(payload, i * 256 + 1, lit(256)))),
+        f => f.isNotNull))
   }
 
   /** A deterministic fake media table derived from `documents` — text

@@ -61,6 +61,11 @@ object SamplingOps {
       case (acc, (stratum, r)) =>
         when(col(strataCol) === stratum, lit(r)).otherwise(acc)
     }
-    df.withColumn("copy", explode(sequence(lit(1), repeats)))
+    // guard: sequence(1, 0) is the DESCENDING array [1, 0] in Spark, so an
+    // unguarded repeat count of 0 would DOUBLE a stratum instead of
+    // dropping it; null-out non-positive repeats — explode skips nulls, so
+    // repeats ≤ 0 means "excluded from the mix"
+    df.withColumn("copy",
+      explode(when(repeats >= 1, sequence(lit(1), repeats))))
   }
 }

@@ -138,7 +138,7 @@ object DedupQueries {
       val withShingles = docs(s, dir)
         .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
         .select($"doc_id", array_distinct($"shingles").as("shingles"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val signed = DedupOps.minhashSignatures(withShingles, "doc_id", "shingles", 16)
         .withColumnRenamed("id", "doc_id")
       val cands = DedupOps.lshCandidatePairs(signed, "doc_id", "sig", 4, 4)

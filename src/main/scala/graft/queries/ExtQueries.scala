@@ -90,9 +90,9 @@ object ExtQueries {
     },
     Some("""SELECT doc_id,
            |  ceil(ceil(length(text)/256.0)/2)::INT AS n_frames,
-           |  list_sum([least(256, length(text) - i*256)
+           |  coalesce(list_sum([least(256, length(text) - i*256)
            |            FOR i IN generate_series(0, ceil(length(text)/256.0)::INT - 1)
-           |            IF i % 2 = 0])::INT AS frame_bytes
+           |            IF i % 2 = 0]), 0)::INT AS frame_bytes
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   def all: Seq[Q] = Seq(topkAgg, multimodal, frames)

@@ -68,6 +68,24 @@ class HygieneOpsSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
   }
 
+  test("upsample with repeats <= 0 drops the stratum (sequence(1,0) guard)") {
+    val df = Seq((1L, "en"), (2L, "junk"), (3L, "bad")).toDF("doc_id", "lang")
+    val up = SamplingOps.upsample(df, "lang", Map("junk" -> 0, "bad" -> -2))
+    assert(up.filter($"lang" === "junk").count() === 0)
+    assert(up.filter($"lang" === "bad").count() === 0)
+    assert(up.filter($"lang" === "en").count() === 1)
+  }
+
+  test("gopherRules fails (not drops) NULL-text documents") {
+    val df = Seq((1L, Option("the a of and to in many fine plain words " +
+        "stretch this clean document toward twenty tokens total here now")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val rows = HygieneOps.gopherRules(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(rows.length === 2) // the corrupt doc is present, not invisible
+    assert(!rows(1).getAs[Boolean]("passes"))
+  }
+
   test("semdedupPairs is the cluster-local subset of global cosine pairs") {
     val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
     val global = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
