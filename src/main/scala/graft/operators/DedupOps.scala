@@ -254,4 +254,44 @@ object DedupOps {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over an undirected pair graph — the cluster-
+    * resolution step between near-dup pair generation and "keep one per
+    * cluster": every node gets its component's minimum id as `label`.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels; converges in O(component
+    * diameter) rounds (near-dup graphs are shallow — dup clusters are
+    * near-cliques). Each iteration is one equi-join + hash aggregate; the
+    * per-round EAGER checkpoint is load-bearing: it cuts the lineage so
+    * round N's plan doesn't replay rounds 1..N−1 (exponential otherwise).
+    * The driver-side loop reads only the 1-value convergence count, never
+    * data — same posture as the reference's XCom control flow. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every round — materialize once
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("new_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
 }

@@ -125,6 +125,42 @@ object DedupQueries {
            |FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id
            |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Cluster resolution: near-dup pairs (exact Jaccard ≥ 0.5) resolved to
+    * connected components — every doc labeled with its cluster's min id
+    * (singletons label themselves). Spark: iterative min-label
+    * propagation; oracle: recursive-CTE reachability. */
+  private val components = Q(
+    "dedup_components",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val withShingles = d
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      val pairs = DedupOps.jaccardPairsDense(withShingles, "doc_id", "shingles", 0.5)
+      val comps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      d.select($"doc_id")
+        .join(comps, $"doc_id" === $"id", "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("rep"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""${shingleCte.replace("WITH ", "WITH RECURSIVE ")},
+            |post AS (SELECT doc_id, unnest(s) tok FROM sh),
+            |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+            |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id),
+            |prs AS (SELECT a, b
+            |        FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+            |        WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+            |              / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+            |edges AS (SELECT a AS src, b AS dst FROM prs
+            |          UNION SELECT b, a FROM prs),
+            |reach AS (
+            |  SELECT src AS id, src AS r FROM edges
+            |  UNION
+            |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+            |SELECT d2.doc_id, coalesce(min(reach.r), d2.doc_id) AS rep
+            |FROM documents d2 LEFT JOIN reach ON reach.id = d2.doc_id
+            |GROUP BY d2.doc_id ORDER BY d2.doc_id""".stripMargin))
+
   /** MinHash(k=16) + LSH(4 bands × 4 rows) candidates, verified with true
     * Jaccard ≥ 0.8 — the scale path for near-dup dedup: candidate cost is
     * Σ bucket², not N². */
@@ -221,5 +257,6 @@ object DedupQueries {
            |ORDER BY id_a, id_b""".stripMargin))
 
   def all: Seq[Q] =
-    Seq(exact, keepFirst, jaccard, ppjoin, inverted, minhash, simhashQ)
+    Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
+      minhash, simhashQ)
 }
