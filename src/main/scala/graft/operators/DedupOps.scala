@@ -273,8 +273,11 @@ object DedupOps {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint() // reused every round — materialize once
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // initialization IS the first propagation round: label₀ =
+    // min(id, min neighbor id) — one aggregate instead of a full
+    // join+checkpoint+count iteration
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0

@@ -142,5 +142,105 @@ object HygieneQueries {
            |SELECT lang, split, sum(copies)::BIGINT AS n
            |FROM labeled GROUP BY lang, split ORDER BY lang, split""".stripMargin))
 
-  def all: Seq[Q] = Seq(decontam, gopher, semdedup, mix)
+  /** CAPSTONE: the full training-corpus preparation as ONE declarative
+    * plan — Gopher quality gates → benchmark decontamination (≥5 shared
+    * 3-grams vs the fixture benchmark set) → exact dedup (min-id per
+    * md5) → PPJoin near-dup removal at 0.9 → salted train/val/test
+    * split → per-(lang, split) stats. Every stage is individually
+    * oracle-verified elsewhere; this query verifies their COMPOSITION.
+    * A user of the engine runs their entire data-prep through this one
+    * call; at scale it is gates (scan-local) → broadcast equi-join →
+    * one window → prefix-filtered candidate join — no stage is O(N²). */
+  private val trainingCorpus = Q(
+    "pipeline_training_corpus",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{DedupOps, SamplingOps, TextOps}
+      val d = docs(s, dir)
+      val gophered = HygieneOps.gopherRules(d, "doc_id", "text")
+        .filter($"passes").select($"doc_id")
+      val train = d.join(gophered, "doc_id").filter($"doc_id" % 50 =!= 0)
+      val benchmark = d.filter($"doc_id" % 50 === 0)
+      val contaminated = HygieneOps
+        .contaminationHits(train, benchmark, "doc_id", "text", 3, minHits = 5L)
+        .select($"doc_id").distinct()
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val exactKept = clean
+        .withColumn("keep", min($"doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))))
+        .filter($"doc_id" === $"keep").drop("keep")
+      val sh = exactKept.select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
+      val losers = DedupOps.jaccardPairs(sh, "doc_id", "sh", 0.9)
+        .select($"id_b".as("doc_id")).distinct()
+      val survivors = exactKept.join(losers, Seq("doc_id"), "left_anti")
+      SamplingOps.trainValTestSplit(survivors, "doc_id")
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"lang", $"split")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+           |cnt AS (SELECT doc_id, tok, count(*) n FROM toks GROUP BY 1, 2),
+           |dom AS (SELECT doc_id, round(max(n)::DOUBLE / sum(n), 6) top_token_ratio
+           |        FROM cnt GROUP BY doc_id),
+           |met AS (
+           |  SELECT doc_id,
+           |    len(string_split(text,' ')) AS n_tokens,
+           |    round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+           |          / len(string_split(text,' ')), 6) AS mean_token_len,
+           |    CASE WHEN len(string_split(text,' ')) < 2 THEN 0.0
+           |         ELSE round(1.0 -
+           |           len(list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
+           |                              FOR i IN generate_series(1, len(string_split(text,' '))-1)]))::DOUBLE
+           |           / (len(string_split(text,' ')) - 1), 6) END AS rep_2gram
+           |  FROM documents),
+           |gop AS (
+           |  SELECT met.doc_id FROM met JOIN dom USING (doc_id)
+           |  WHERE n_tokens BETWEEN 20 AND 1000
+           |    AND mean_token_len BETWEEN 3.0 AND 10.0
+           |    AND rep_2gram <= 0.05 AND top_token_ratio <= 0.12),
+           |train AS (
+           |  SELECT d.* FROM documents d JOIN gop USING (doc_id)
+           |  WHERE doc_id % 50 <> 0),
+           |sh3 AS (SELECT doc_id,
+           |          list_distinct([array_to_string(string_split(text,' ')[i:i+2],' ')
+           |                         FOR i IN generate_series(1, len(string_split(text,' '))-2)]) s
+           |        FROM documents),
+           |post3 AS (SELECT doc_id, unnest(s) sh FROM sh3),
+           |bench3 AS (SELECT doc_id AS bench_id, sh FROM post3 WHERE doc_id % 50 = 0),
+           |contam AS (
+           |  SELECT DISTINCT doc_id FROM (
+           |    SELECT p.doc_id, b.bench_id FROM post3 p
+           |    JOIN train t ON t.doc_id = p.doc_id
+           |    JOIN bench3 b ON p.sh = b.sh AND p.doc_id <> b.bench_id
+           |    GROUP BY p.doc_id, b.bench_id HAVING count(*) >= 5)),
+           |clean AS (SELECT * FROM train
+           |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+           |exact_kept AS (
+           |  SELECT * FROM (
+           |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM clean)
+           |  WHERE doc_id = keep),
+           |sh2 AS (SELECT doc_id,
+           |          list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
+           |                         FOR i IN generate_series(1, len(string_split(text,' '))-1)]) s
+           |        FROM exact_kept),
+           |post2 AS (SELECT doc_id, unnest(s) tok FROM sh2),
+           |cand2 AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+           |          FROM post2 l JOIN post2 r ON l.tok = r.tok AND l.doc_id < r.doc_id),
+           |losers AS (
+           |  SELECT DISTINCT b AS doc_id FROM cand2
+           |  JOIN sh2 sa ON sa.doc_id = a JOIN sh2 sb ON sb.doc_id = b
+           |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+           |        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.9),
+           |surv AS (SELECT * FROM exact_kept
+           |         WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+           |SELECT lang,
+           |       CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':split'),1,8))::BIGINT % 1000 < 800
+           |              THEN 'train'
+           |            WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':split'),1,8))::BIGINT % 1000 < 900
+           |              THEN 'val' ELSE 'test' END AS split,
+           |       count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+           |FROM surv GROUP BY lang, split ORDER BY lang, split""".stripMargin),
+    headline = true)
+
+  def all: Seq[Q] = Seq(decontam, gopher, semdedup, mix, trainingCorpus)
 }
