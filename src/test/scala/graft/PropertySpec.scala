@@ -102,6 +102,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("OHLC aggregate form equals the window first/last formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.core.Tables(spark, TestSpark.sfDir).events
+    val viaAgg = graft.gold.GoldOps
+      .ohlcResample(e, "user_id", "ts", "event_id", "value",
+        date_format($"ts", "yyyyMM"))
+      .select($"user_id", $"bucket", round($"open", 6).as("open"),
+        round($"close", 6).as("close"))
+      .as[(Long, String, Double, Double)].collect().toSet
+    val w = Window.partitionBy($"user_id", $"bucket")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val viaWindow = e.withColumn("bucket", date_format($"ts", "yyyyMM"))
+      .withColumn("open", first($"value").over(w))
+      .withColumn("close", last($"value").over(w))
+      .groupBy($"user_id", $"bucket")
+      .agg(round(max($"open"), 6).as("open"), round(max($"close"), 6).as("close"))
+      .as[(Long, String, Double, Double)].collect().toSet
+    assert(viaAgg === viaWindow && viaAgg.nonEmpty)
+  }
+
   test("hash32 distributes: no value outside 32 bits, stable across evals") {
     forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { tokens =>
       val h1 = tokens.toDF("t").select(TextOps.hash32($"t")).as[Long].collect()
