@@ -28,8 +28,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup: JVM + codegen + parquet footer reads, untimed
+    // warmup: JVM + codegen + parquet footer reads, untimed — one query
+    // per hot code-path family (relational, shingle/kernel, vector,
+    // window) so JIT compilation doesn't land on the first timed query of
+    // each family
     exec("q1_pricing_summary")
+    exec("dedup_ngram_jaccard")
+    exec("sim_cosine_pairs")
+    exec("events_asof_enrich")
 
     // dev affordance: `runMain graft.Bench q1 q2` times only those queries;
     // the driver passes no args and gets the full registry

@@ -259,14 +259,19 @@ object DedupOps {
     * resolution step between near-dup pair generation and "keep one per
     * cluster": every node gets its component's minimum id as `label`.
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its own label and its neighbors' labels; converges in O(component
-    * diameter) rounds (near-dup graphs are shallow — dup clusters are
-    * near-cliques). Each iteration is one equi-join + hash aggregate; the
-    * per-round EAGER checkpoint is load-bearing: it cuts the lineage so
-    * round N's plan doesn't replay rounds 1..N−1 (exponential otherwise).
-    * The driver-side loop reads only the 1-value convergence count, never
-    * data — same posture as the reference's XCom control flow. */
+    * Min-label propagation WITH pointer jumping: each round every node
+    * takes min(own label, neighbors' labels, label-of-its-label). The
+    * shortcut hop doubles the propagation horizon per round, so
+    * convergence is O(log diameter) — maxIter 20 covers diameters up to
+    * ~2²⁰, not 20 (a 22-doc revision chain converges in 5 rounds, not 22).
+    * Each round is two equi-joins + a hash aggregate over the NARROW
+    * (id, label) table; the per-round EAGER checkpoint is load-bearing:
+    * it cuts the lineage so round N's plan doesn't replay rounds 1..N−1
+    * (exponential otherwise). Peak storage is #rounds copies of the
+    * narrow label table — bounded by the log-diameter round count, freed
+    * by the ContextCleaner as the loop drops references. The driver-side
+    * loop reads only the 1-value convergence count, never data — same
+    * posture as the reference's XCom control flow. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -284,11 +289,21 @@ object DedupOps {
     while (changed > 0 && iter < maxIter) {
       val neighborMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val updated = labels.join(neighborMin, col("id") === col("src"), "left")
+      val propagated = labels.join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("mid_label"))
+      // pointer jumping: follow the (new) label one hop — label of label
+      val parents = propagated
+        .select(col("id").as("pid"), col("mid_label").as("parent"))
+      val updated = propagated
+        .join(parents, col("mid_label") === col("pid"), "left")
+        .select(col("id"), col("label"),
+          least(col("mid_label"), coalesce(col("parent"), col("mid_label")))
             .as("new_label"))
-        .localCheckpoint()
+        // lazy: the convergence count below is the materializing action,
+        // so each round runs ONE job instead of checkpoint-then-count
+        .localCheckpoint(false)
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1

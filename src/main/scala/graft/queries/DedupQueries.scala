@@ -17,13 +17,16 @@ object DedupQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir).documents
 
-  /** Shared DuckDB CTE: tokens + distinct 2-gram shingles per doc. */
-  private val shingleCte =
-    """WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+  /** Shared DuckDB CTE body (no WITH keyword — callers pick `WITH` or
+    * `WITH RECURSIVE`): tokens + distinct 2-gram shingles per doc. */
+  private val shingleCteBody =
+    """d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
       |sh AS (SELECT doc_id,
       |         list_distinct([array_to_string(toks[i:i+1],' ')
       |                        FOR i IN generate_series(1, len(toks)-1)]) s
       |       FROM d)""".stripMargin
+
+  private val shingleCte = s"WITH $shingleCteBody"
 
   private val exact = Q(
     "dedup_exact",
@@ -143,7 +146,7 @@ object DedupQueries {
         .select($"doc_id", coalesce($"label", $"doc_id").as("rep"))
         .orderBy($"doc_id")
     },
-    Some(s"""${shingleCte.replace("WITH ", "WITH RECURSIVE ")},
+    Some(s"""WITH RECURSIVE $shingleCteBody,
             |post AS (SELECT doc_id, unnest(s) tok FROM sh),
             |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
             |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id),

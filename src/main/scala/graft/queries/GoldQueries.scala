@@ -70,6 +70,9 @@ object GoldQueries {
         .withColumn("keep", min($"doc_id").over(
           org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
         .filter($"doc_id" === $"keep")
+        // reused by the near-dup pair side AND the survivor anti-join —
+        // lazy checkpoint so the quality+window prefix runs once
+        .localCheckpoint(false)
       val withShingles = exactKept
         .select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
       // PPJoin prefix-filtered near-dup stage (the 100 TB form) — same

@@ -14,6 +14,44 @@ object HygieneQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir).documents
 
+  /** Shared DuckDB CTE body (no WITH keyword — callers pick `WITH` or
+    * `WITH RECURSIVE`): distinct word-3-gram postings over all documents
+    * plus the fixture benchmark side (every 50th doc). */
+  private val trigramCteBody =
+    """t3 AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |sh3 AS (SELECT doc_id,
+      |         list_distinct([array_to_string(toks[i:i+2],' ')
+      |                        FOR i IN generate_series(1, len(toks)-2)]) s
+      |       FROM t3),
+      |post3 AS (SELECT doc_id, unnest(s) sh FROM sh3),
+      |bench3 AS (SELECT doc_id AS bench_id, sh FROM post3 WHERE doc_id % 50 = 0)""".stripMargin
+
+  /** Shared DuckDB CTE body: Gopher metrics + the passing-doc set.
+    * The thresholds (20..1000 tokens, 3..10 mean length, rep ≤ 0.05,
+    * dominance ≤ 0.12) appear HERE and in HygieneOps.gopherRules — the
+    * one pair of places to keep in lockstep. */
+  private val gopherCteBody =
+    """gtoks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+      |gcnt AS (SELECT doc_id, tok, count(*) n FROM gtoks GROUP BY 1, 2),
+      |gdom AS (SELECT doc_id, round(max(n)::DOUBLE / sum(n), 6) top_token_ratio
+      |         FROM gcnt GROUP BY doc_id),
+      |gmet AS (
+      |  SELECT doc_id,
+      |    len(string_split(text,' ')) AS n_tokens,
+      |    round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+      |          / len(string_split(text,' ')), 6) AS mean_token_len,
+      |    CASE WHEN len(string_split(text,' ')) < 2 THEN 0.0
+      |         ELSE round(1.0 -
+      |           len(list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
+      |                              FOR i IN generate_series(1, len(string_split(text,' '))-1)]))::DOUBLE
+      |           / (len(string_split(text,' ')) - 1), 6) END AS rep_2gram
+      |  FROM documents),
+      |gpass AS (
+      |  SELECT gmet.doc_id FROM gmet JOIN gdom USING (doc_id)
+      |  WHERE n_tokens BETWEEN 20 AND 1000
+      |    AND mean_token_len BETWEEN 3.0 AND 10.0
+      |    AND rep_2gram <= 0.05 AND top_token_ratio <= 0.12)""".stripMargin
+
   /** Word-3-gram decontamination of the corpus against a fixture
     * "benchmark" set (every 50th doc). Equi-join on the shingle with the
     * benchmark side broadcast — the 100 TB shape (the benchmark is always
@@ -27,16 +65,10 @@ object HygieneQueries {
       HygieneOps.contaminationHits(d, benchmark, "doc_id", "text", 3)
         .orderBy($"doc_id", $"bench_id")
     },
-    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
-           |sh AS (SELECT doc_id,
-           |         list_distinct([array_to_string(toks[i:i+2],' ')
-           |                        FOR i IN generate_series(1, len(toks)-2)]) s
-           |       FROM d),
-           |post AS (SELECT doc_id, unnest(s) sh FROM sh),
-           |bench AS (SELECT doc_id AS bench_id, sh FROM post WHERE doc_id % 50 = 0)
-           |SELECT p.doc_id, b.bench_id, count(*) AS n_hits
-           |FROM post p JOIN bench b ON p.sh = b.sh AND p.doc_id <> b.bench_id
-           |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin),
+    Some(s"""WITH $trigramCteBody
+            |SELECT p.doc_id, b.bench_id, count(*) AS n_hits
+            |FROM post3 p JOIN bench3 b ON p.sh = b.sh AND p.doc_id <> b.bench_id
+            |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin),
     headline = true)
 
   /** Gopher-style quality gate (Rae et al. 2021 §A1.1 shape): doc length,
@@ -50,27 +82,11 @@ object HygieneQueries {
       HygieneOps.gopherRules(docs(s, dir), "doc_id", "text")
         .orderBy($"doc_id")
     },
-    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
-           |cnt AS (SELECT doc_id, tok, count(*) n FROM t GROUP BY 1, 2),
-           |dom AS (SELECT doc_id, round(max(n)::DOUBLE / sum(n), 6) top_token_ratio
-           |        FROM cnt GROUP BY doc_id),
-           |m AS (
-           |  SELECT doc_id,
-           |    len(string_split(text,' '))::INT AS n_tokens,
-           |    round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
-           |          / len(string_split(text,' ')), 6) AS mean_token_len,
-           |    CASE WHEN len(string_split(text,' ')) < 2 THEN 0.0
-           |         ELSE round(1.0 -
-           |           len(list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
-           |                              FOR i IN generate_series(1, len(string_split(text,' '))-1)]))::DOUBLE
-           |           / (len(string_split(text,' ')) - 1), 6) END AS rep_2gram
-           |  FROM documents)
-           |SELECT m.doc_id, n_tokens, mean_token_len, rep_2gram, top_token_ratio,
-           |       n_tokens BETWEEN 20 AND 1000
-           |         AND mean_token_len BETWEEN 3.0 AND 10.0
-           |         AND rep_2gram <= 0.05
-           |         AND top_token_ratio <= 0.12 AS passes
-           |FROM m JOIN dom USING (doc_id) ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH $gopherCteBody
+            |SELECT gmet.doc_id, n_tokens::INT AS n_tokens, mean_token_len,
+            |       rep_2gram, top_token_ratio,
+            |       gmet.doc_id IN (SELECT doc_id FROM gpass) AS passes
+            |FROM gmet JOIN gdom USING (doc_id) ORDER BY doc_id""".stripMargin))
 
   /** SemDedup cluster-local embedding near-dup pairs: IVF assignment
     * (first 8 vectors as centroids, same fixture as sim_ivf_assign), then
@@ -145,12 +161,16 @@ object HygieneQueries {
   /** CAPSTONE: the full training-corpus preparation as ONE declarative
     * plan — Gopher quality gates → benchmark decontamination (≥5 shared
     * 3-grams vs the fixture benchmark set) → exact dedup (min-id per
-    * md5) → PPJoin near-dup removal at 0.9 → salted train/val/test
-    * split → per-(lang, split) stats. Every stage is individually
+    * md5) → PPJoin near-dup pairs at 0.9 resolved to connected
+    * components, keeping ONE representative (the min id) per cluster —
+    * greedy pair-dropping would transitively over-delete docs whose only
+    * near-dup was itself removed — → salted train/val/test split →
+    * per-(lang, split) stats. Every stage is individually
     * oracle-verified elsewhere; this query verifies their COMPOSITION.
-    * A user of the engine runs their entire data-prep through this one
-    * call; at scale it is gates (scan-local) → broadcast equi-join →
-    * one window → prefix-filtered candidate join — no stage is O(N²). */
+    * At scale: gates are scan-local, decontamination broadcasts the
+    * benchmark postings, near-dup candidates come from the prefix-
+    * filtered index, cluster resolution iterates on the narrow
+    * (id, label) table — no stage is O(N²). */
   private val trainingCorpus = Q(
     "pipeline_training_corpus",
     (s, dir) => {
@@ -169,77 +189,66 @@ object HygieneQueries {
         .withColumn("keep", min($"doc_id").over(
           org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))))
         .filter($"doc_id" === $"keep").drop("keep")
+        // evaluated twice (near-dup pair side + survivor join) and the
+        // prefix above it is the whole gate+decontam pipeline — checkpoint
+        // lazily so it materializes once at first action
+        .localCheckpoint(false)
       val sh = exactKept.select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
-      val losers = DedupOps.jaccardPairs(sh, "doc_id", "sh", 0.9)
-        .select($"id_b".as("doc_id")).distinct()
-      val survivors = exactKept.join(losers, Seq("doc_id"), "left_anti")
+      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "sh", 0.9)
+      val nonReps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+        .filter($"id" =!= $"label").select($"id".as("doc_id"))
+      val survivors = exactKept.join(nonReps, Seq("doc_id"), "left_anti")
       SamplingOps.trainValTestSplit(survivors, "doc_id")
         .groupBy($"lang", $"split")
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
         .orderBy($"lang", $"split")
     },
-    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
-           |cnt AS (SELECT doc_id, tok, count(*) n FROM toks GROUP BY 1, 2),
-           |dom AS (SELECT doc_id, round(max(n)::DOUBLE / sum(n), 6) top_token_ratio
-           |        FROM cnt GROUP BY doc_id),
-           |met AS (
-           |  SELECT doc_id,
-           |    len(string_split(text,' ')) AS n_tokens,
-           |    round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
-           |          / len(string_split(text,' ')), 6) AS mean_token_len,
-           |    CASE WHEN len(string_split(text,' ')) < 2 THEN 0.0
-           |         ELSE round(1.0 -
-           |           len(list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
-           |                              FOR i IN generate_series(1, len(string_split(text,' '))-1)]))::DOUBLE
-           |           / (len(string_split(text,' ')) - 1), 6) END AS rep_2gram
-           |  FROM documents),
-           |gop AS (
-           |  SELECT met.doc_id FROM met JOIN dom USING (doc_id)
-           |  WHERE n_tokens BETWEEN 20 AND 1000
-           |    AND mean_token_len BETWEEN 3.0 AND 10.0
-           |    AND rep_2gram <= 0.05 AND top_token_ratio <= 0.12),
-           |train AS (
-           |  SELECT d.* FROM documents d JOIN gop USING (doc_id)
-           |  WHERE doc_id % 50 <> 0),
-           |sh3 AS (SELECT doc_id,
-           |          list_distinct([array_to_string(string_split(text,' ')[i:i+2],' ')
-           |                         FOR i IN generate_series(1, len(string_split(text,' '))-2)]) s
-           |        FROM documents),
-           |post3 AS (SELECT doc_id, unnest(s) sh FROM sh3),
-           |bench3 AS (SELECT doc_id AS bench_id, sh FROM post3 WHERE doc_id % 50 = 0),
-           |contam AS (
-           |  SELECT DISTINCT doc_id FROM (
-           |    SELECT p.doc_id, b.bench_id FROM post3 p
-           |    JOIN train t ON t.doc_id = p.doc_id
-           |    JOIN bench3 b ON p.sh = b.sh AND p.doc_id <> b.bench_id
-           |    GROUP BY p.doc_id, b.bench_id HAVING count(*) >= 5)),
-           |clean AS (SELECT * FROM train
-           |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-           |exact_kept AS (
-           |  SELECT * FROM (
-           |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM clean)
-           |  WHERE doc_id = keep),
-           |sh2 AS (SELECT doc_id,
-           |          list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
-           |                         FOR i IN generate_series(1, len(string_split(text,' '))-1)]) s
-           |        FROM exact_kept),
-           |post2 AS (SELECT doc_id, unnest(s) tok FROM sh2),
-           |cand2 AS (SELECT DISTINCT l.doc_id a, r.doc_id b
-           |          FROM post2 l JOIN post2 r ON l.tok = r.tok AND l.doc_id < r.doc_id),
-           |losers AS (
-           |  SELECT DISTINCT b AS doc_id FROM cand2
-           |  JOIN sh2 sa ON sa.doc_id = a JOIN sh2 sb ON sb.doc_id = b
-           |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
-           |        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.9),
-           |surv AS (SELECT * FROM exact_kept
-           |         WHERE doc_id NOT IN (SELECT doc_id FROM losers))
-           |SELECT lang,
-           |       CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':split'),1,8))::BIGINT % 1000 < 800
-           |              THEN 'train'
-           |            WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':split'),1,8))::BIGINT % 1000 < 900
-           |              THEN 'val' ELSE 'test' END AS split,
-           |       count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
-           |FROM surv GROUP BY lang, split ORDER BY lang, split""".stripMargin),
+    Some(s"""WITH RECURSIVE $gopherCteBody,
+            |$trigramCteBody,
+            |train AS (
+            |  SELECT d.* FROM documents d JOIN gpass USING (doc_id)
+            |  WHERE doc_id % 50 <> 0),
+            |contam AS (
+            |  SELECT DISTINCT doc_id FROM (
+            |    SELECT p.doc_id, b.bench_id FROM post3 p
+            |    JOIN train t ON t.doc_id = p.doc_id
+            |    JOIN bench3 b ON p.sh = b.sh AND p.doc_id <> b.bench_id
+            |    GROUP BY p.doc_id, b.bench_id HAVING count(*) >= 5)),
+            |clean AS (SELECT * FROM train
+            |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+            |exact_kept AS (
+            |  SELECT * FROM (
+            |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM clean)
+            |  WHERE doc_id = keep),
+            |sh2 AS (SELECT doc_id,
+            |          list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
+            |                         FOR i IN generate_series(1, len(string_split(text,' '))-1)]) s
+            |        FROM exact_kept),
+            |post2 AS (SELECT doc_id, unnest(s) tok FROM sh2),
+            |cand2 AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+            |          FROM post2 l JOIN post2 r ON l.tok = r.tok AND l.doc_id < r.doc_id),
+            |prs AS (
+            |  SELECT a, b FROM cand2
+            |  JOIN sh2 sa ON sa.doc_id = a JOIN sh2 sb ON sb.doc_id = b
+            |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+            |        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.9),
+            |cedges AS (SELECT a AS src, b AS dst FROM prs
+            |           UNION SELECT b, a FROM prs),
+            |creach AS (
+            |  SELECT src AS id, src AS r FROM cedges
+            |  UNION
+            |  SELECT e.dst, creach.r FROM creach JOIN cedges e ON e.src = creach.id),
+            |nonrep AS (SELECT id FROM (
+            |  SELECT id, min(r) AS rep FROM creach GROUP BY id) WHERE id <> rep),
+            |surv AS (SELECT * FROM exact_kept
+            |         WHERE doc_id NOT IN (SELECT id FROM nonrep))
+            |SELECT lang,
+            |       CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':split'),1,8))::BIGINT % 1000 < 800
+            |              THEN 'train'
+            |            WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':split'),1,8))::BIGINT % 1000 < 900
+            |              THEN 'val' ELSE 'test' END AS split,
+            |       count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+            |FROM surv GROUP BY lang, split ORDER BY lang, split""".stripMargin),
     headline = true)
 
   def all: Seq[Q] = Seq(decontam, gopher, semdedup, mix, trainingCorpus)

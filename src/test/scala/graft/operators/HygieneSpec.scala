@@ -86,15 +86,6 @@ class HygieneOpsSpec extends SparkSpec {
     assert(!rows(1).getAs[Boolean]("passes"))
   }
 
-  test("connectedComponents labels chains and leaves isolates alone") {
-    // chain 1-2-3 (via 1-2, 2-3), pair 10-11, node 7 absent from pairs
-    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val labels = graft.operators.DedupOps
-      .connectedComponents(pairs, "id_a", "id_b")
-      .as[(Long, Long)].collect().toMap
-    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-  }
-
   test("semdedupPairs is the cluster-local subset of global cosine pairs") {
     val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
     val global = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")

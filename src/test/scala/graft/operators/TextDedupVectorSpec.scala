@@ -66,6 +66,23 @@ class TextOpsSpec extends SparkSpec {
 class DedupOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("connectedComponents labels chains and leaves isolates alone") {
+    // chain 1-2-3 (via 1-2, 2-3), separate pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on a deep chain (pointer jumping)") {
+    // a 40-node path needs ~40 plain propagation rounds but O(log n) with
+    // the shortcut hop — must converge well inside the default maxIter
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === 40 && labels.values.forall(_ === 0L))
+  }
+
   test("exactDedupSummary groups identical texts (keep min id)") {
     val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "q")).toDF("doc_id", "text")
     val out = DedupOps.exactDedupSummary(docs, md5($"text"), "doc_id")
