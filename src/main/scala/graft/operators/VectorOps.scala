@@ -142,6 +142,49 @@ object VectorOps {
         greatest(col("a.id"), col("b.id")).as("id_b"), col("cos"))
   }
 
+  /** IVF top-k search — the scale path for ANN: each query ranks the
+    * (broadcast) centroids, keeps its `nprobe` nearest, and searches ONLY
+    * those inverted lists. The corpus is assigned once (one map pass);
+    * the search itself is an equi-join on the probed list id with the
+    * tiny (query × nprobe) probe table broadcast — per-query cost is the
+    * probed lists' sizes, never N. Exact within the probed set; recall
+    * is the probe-coverage trade (nprobe = #centroids degenerates to the
+    * exhaustive search, spec-asserted equal to topKNeighbors). Output
+    * matches topKNeighbors: (query_id, rank, neighbor_id, cos). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, centroidIdCol: String,
+              centroidVecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val lists = corpus
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .join(assignToCentroids(corpus, centroids, idCol, vecCol,
+          centroidIdCol, centroidVecCol)
+        .select(col(idCol).as("neighbor_id"), col("centroid_id")),
+        "neighbor_id")
+    val cent = centroids.select(col(centroidIdCol).as("centroid_id"),
+      toDouble(col(centroidVecCol)).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("pcos", round(
+        cosinePrenormed(col("qv"), col("pv"), col("qn"), col("pn")), 6))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    lists.join(broadcast(probes), "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(
+        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** IVF-style assignment: nearest centroid (max cosine, tie → min id)
     * per vector. Centroids are broadcast — one map-side pass. */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,

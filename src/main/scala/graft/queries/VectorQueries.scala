@@ -135,6 +135,45 @@ object VectorQueries {
             |SELECT centroid_id, count(*) n, round(avg(cos), 6) avg_cos
             |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin))
 
+  /** IVF top-k SEARCH (the ANN scale path): queries vec_id < 5 probe
+    * their 3 nearest of the 8 fixture centroids and rank only those
+    * lists' members — candidate cost is the probed lists, not N. Same
+    * output shape (and same rounding/tie-breaks) as sim_topk_bruteforce,
+    * so the two results are directly comparable; the full-probe
+    * degenerate case is spec-asserted equal to brute force. */
+  private val ivfTopk = Q(
+    "sim_ivf_topk",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      VectorOps.ivfTopK(e.filter($"vec_id" < 5), e, e.filter($"vec_id" < 8),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10, nprobe = 3)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+            |c AS (SELECT vec_id centroid_id, v cv FROM e WHERE vec_id < 8),
+            |assign AS (SELECT vec_id, centroid_id FROM (
+            |  SELECT e.vec_id, c.centroid_id, row_number() OVER
+            |    (PARTITION BY e.vec_id
+            |     ORDER BY round(${dcos("e.v", "c.cv")}, 6) DESC, c.centroid_id) rn
+            |  FROM e CROSS JOIN c) WHERE rn = 1),
+            |probes AS (SELECT query_id, centroid_id FROM (
+            |  SELECT q.vec_id query_id, c.centroid_id, row_number() OVER
+            |    (PARTITION BY q.vec_id
+            |     ORDER BY round(${dcos("q.v", "c.cv")}, 6) DESC, c.centroid_id) pr
+            |  FROM e q CROSS JOIN c WHERE q.vec_id < 5) WHERE pr <= 3),
+            |scored AS (
+            |  SELECT p.query_id, a.vec_id neighbor_id, round(${dcos("q.v", "n.v")}, 6) cos
+            |  FROM probes p
+            |  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+            |  JOIN e q ON q.vec_id = p.query_id
+            |  JOIN e n ON n.vec_id = a.vec_id)
+            |SELECT query_id, rank, neighbor_id, cos FROM (
+            |  SELECT *, (row_number() OVER
+            |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id))::INT rank
+            |  FROM scored)
+            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
   /** Seeded k-means cluster sizes (rows-only: iterative training has no
     * SQL oracle; determinism is spec-asserted). */
   private val kmeans = Q(
@@ -147,5 +186,5 @@ object VectorQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(topk, pairs, lsh, ivf, kmeans)
+  def all: Seq[Q] = Seq(topk, pairs, lsh, ivf, ivfTopk, kmeans)
 }

@@ -160,6 +160,34 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK with full probe == brute-force topKNeighbors exactly") {
+    // nprobe = #centroids searches every inverted list, and every corpus
+    // vector lives in exactly one list — the candidate set degenerates to
+    // the whole corpus, so results must be identical to the exhaustive scan
+    val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
+    val q = e.filter($"vec_id" < 3)
+    val cents = e.filter($"vec_id" < 8)
+    val ivf = VectorOps.ivfTopK(q, e, cents,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 8)
+      .orderBy($"query_id", $"rank").collect()
+    val brute = VectorOps.topKNeighbors(q, e, "vec_id", "embedding", 5)
+      .orderBy($"query_id", $"rank").collect()
+    assert(ivf.toSeq === brute.toSeq)
+  }
+
+  test("ivfTopK with partial probe: high recall, exact within probed lists") {
+    val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
+    val q = e.filter($"vec_id" < 5)
+    val cents = e.filter($"vec_id" < 8)
+    val ivf = VectorOps.ivfTopK(q, e, cents,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10, nprobe = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = VectorOps.topKNeighbors(q, e, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall") // probe 3/8 lists
+  }
+
   test("int8 quantization: 4x smaller codes, dequantized cosine within 1%") {
     val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
       .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
