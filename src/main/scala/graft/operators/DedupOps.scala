@@ -33,6 +33,35 @@ object DedupOps {
       .drop("__rn")
   }
 
+  /** C4-style line-level dedup (Raffel et al. 2020 §2.2 shape): split each
+    * document into non-overlapping `w`-token chunks (this corpus has no
+    * newlines, so the fixed-width chunk stands in for C4's line), keep the
+    * globally FIRST occurrence of every distinct chunk (ordered by doc id
+    * then position), and reassemble each document from its survivors.
+    * One shuffle on the chunk text (the keep-first window) plus one hash
+    * aggregate to reassemble — both keys are fine-grained (chunk text /
+    * doc id), so the plan holds at 100 TB; no broadcast, no pair join.
+    * Returns (id, n_chunks, n_kept, clean_text). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String, w: Int)
+      : DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / w).cast("int")
+    val chunks = docs.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * w + 1, lit(w)), " "))))
+      .select(col("id"), col("pos"), col("col").as("chunk"))
+    val win = Window.partitionBy(col("chunk")).orderBy(col("id"), col("pos"))
+    chunks.withColumn("rn", row_number().over(win))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+        // survivors back in document order; the HOF runs once per DOC over
+        // a handful of collected chunks — not a scan-path concern
+        array_join(transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+  }
+
   /** Dictionary-encode token sets ONCE: (id, sorted array<long> of
     * xxhash64(token), sz). Shared by the dense kernel and the PPJoin path
     * — the two must stay bit-identical for their exactness contract (the

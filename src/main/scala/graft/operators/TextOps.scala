@@ -118,6 +118,21 @@ object TextOps {
       .select(col("id"), col("token"), col("tf"), col("df"), col("tf_idf"))
   }
 
+  /** PII patterns shared with the oracle — RE2-safe (no backreferences or
+    * lookaround), so Java regex and DuckDB's RE2 match identical spans. */
+  val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Regex = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** PII redaction: emails → [EMAIL] FIRST (an email's local/domain parts
+    * contain digit-and-dot runs the IPv4 pattern could otherwise claim),
+    * then IPv4 → [IP]. Pure column expression — scan-local, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRegex, "[EMAIL]"),
+      ipv4Regex, "[IP]")
+
   /** Word-level n-gram shingles: token[i..i+n-1] joined by a space.
     * Documents shorter than n tokens yield an empty array.
     *

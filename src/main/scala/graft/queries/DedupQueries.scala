@@ -259,7 +259,35 @@ object DedupQueries {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
            |ORDER BY id_a, id_b""".stripMargin))
 
+  /** C4-style line-level dedup: 10-token chunks (the corpus has no
+    * newlines — the fixed-width chunk stands in for C4's line), global
+    * keep-first per distinct chunk, documents reassembled from their
+    * surviving chunks. One window shuffle on the chunk + one reassembly
+    * aggregate — no pair join anywhere. */
+  private val lines = Q(
+    "dedup_lines",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.lineDedup(docs(s, dir), "doc_id", "text", 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+           |ch AS (SELECT doc_id,
+           |         unnest([{'pos': i,
+           |                  'chunk': array_to_string(list_slice(toks, i*10+1, i*10+10), ' ')}
+           |                 FOR i IN generate_series(0, CAST(ceil(len(toks)/10.0) AS INT) - 1)],
+           |                recursive := true)
+           |       FROM t),
+           |r AS (SELECT *, row_number() OVER
+           |        (PARTITION BY chunk ORDER BY doc_id, pos) rn FROM ch)
+           |SELECT doc_id, count(*)::INT AS n_chunks,
+           |       coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0)::INT AS n_kept,
+           |       coalesce(string_agg(chunk, ' ' ORDER BY pos)
+           |                FILTER (WHERE rn = 1), '') AS clean_text
+           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
-      minhash, simhashQ)
+      minhash, simhashQ, lines)
 }

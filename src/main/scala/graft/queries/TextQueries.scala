@@ -163,6 +163,39 @@ object TextQueries {
            |  FROM scored)
            |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin))
 
+  /** PII redaction: the synthetic corpus carries no PII, so the query
+    * injects one email and one IPv4 per document deterministically from
+    * doc_id (both engines build the identical string), then counts and
+    * redacts. The redacted md5 proves both engines replaced the exact
+    * same spans. Scan-local column expressions — no shuffle. */
+  private val piiRedact = Q(
+    "text_pii_redact",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).documents
+        .select($"doc_id", concat(
+          $"text", lit(" contact user"), $"doc_id".cast("string"),
+          lit("@example.com at 10."), ($"doc_id" % 256).cast("string"),
+          lit(".0."), ($"doc_id" % 100).cast("string")).as("text"))
+        .select($"doc_id",
+          TextOps.countMatches($"text", TextOps.emailRegex).as("n_emails"),
+          TextOps.countMatches($"text", TextOps.ipv4Regex).as("n_ips"),
+          md5(TextOps.redactPii($"text")).as("redacted_md5"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH aug AS (
+            |  SELECT doc_id,
+            |    text || ' contact user' || doc_id::VARCHAR || '@example.com at 10.'
+            |         || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR AS text
+            |  FROM documents)
+            |SELECT doc_id,
+            |  len(regexp_extract_all(text, '${TextOps.emailRegex}'))::INT AS n_emails,
+            |  len(regexp_extract_all(text, '${TextOps.ipv4Regex}'))::INT AS n_ips,
+            |  md5(regexp_replace(regexp_replace(text,
+            |        '${TextOps.emailRegex}', '[EMAIL]', 'g'),
+            |      '${TextOps.ipv4Regex}', '[IP]', 'g')) AS redacted_md5
+            |FROM aug ORDER BY doc_id""".stripMargin))
+
   def all: Seq[Q] =
-    Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ)
+    Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, piiRedact)
 }

@@ -83,6 +83,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(labels.size === 40 && labels.values.forall(_ === 0L))
   }
 
+  test("redactPii replaces emails before IPs and counts both") {
+    val df = Seq("mail bob@x.co and 10.0.0.1 plus a@b.io end")
+      .toDF("text")
+      .select(
+        TextOps.redactPii($"text").as("red"),
+        TextOps.countMatches($"text", TextOps.emailRegex).as("ne"),
+        TextOps.countMatches($"text", TextOps.ipv4Regex).as("ni"))
+    val r = df.head()
+    assert(r.getAs[String]("red") === "mail [EMAIL] and [IP] plus [EMAIL] end")
+    assert(r.getAs[Int]("ne") === 2 && r.getAs[Int]("ni") === 1)
+  }
+
+  test("lineDedup keeps first global occurrence of each chunk, reassembles in order") {
+    // w=2 chunks: doc1 = [a b][c d], doc2 = [a b][x y] — doc2 loses "a b"
+    val docs = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(docs, "doc_id", "text", 2)
+      .orderBy($"id").collect()
+    assert(out(0).getAs[String]("clean_text") === "a b c d")
+    assert(out(0).getAs[Int]("n_chunks") === 2 && out(0).getAs[Int]("n_kept") === 2)
+    assert(out(1).getAs[String]("clean_text") === "x y")
+    assert(out(1).getAs[Int]("n_chunks") === 2 && out(1).getAs[Int]("n_kept") === 1)
+  }
+
   test("exactDedupSummary groups identical texts (keep min id)") {
     val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "q")).toDF("doc_id", "text")
     val out = DedupOps.exactDedupSummary(docs, md5($"text"), "doc_id")
