@@ -104,6 +104,27 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k search broadcasts the probe table, never the corpus") {
+    val q = SparkEntry.queries("sim_ivf_topk")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // centroid ranking is a deliberate broadcast cross product over the 8
+    // fixture centroids; the LIST SEARCH itself must be a broadcast hash
+    // equi-join on the probed list id — corpus-side shuffle only
+    assert(plan.contains("BroadcastHashJoin"),
+      s"list search must broadcast the (query × nprobe) probe table:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing in IVF search is big enough to sort-merge join")
+  }
+
+  test("line dedup plans with no pair join (window + reassembly agg only)") {
+    val q = SparkEntry.queries("dedup_lines")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    assert(!plan.contains("Join"),
+      s"line dedup must not join at all:\n${plan.take(800)}")
+    assert(plan.contains("Window") && plan.contains("ObjectHashAggregate"),
+      s"expected keep-first window + collect_list reassembly:\n${plan.take(800)}")
+  }
+
   test("OHLC resample plans as partial+final aggregate, no window sort") {
     val q = SparkEntry.queries("gold_ohlc_monthly")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)
