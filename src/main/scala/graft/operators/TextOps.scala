@@ -118,6 +118,39 @@ object TextOps {
       .select(col("id"), col("token"), col("tf"), col("df"), col("tf_idf"))
   }
 
+  /** BM25 relevance per (docId, token): Robertson idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` with the standard
+    * `tc·(k1+1) / (tc + k1·(1 − b + b·len/avgdl))` length normalization.
+    *
+    * Corpus stats (N, Σlen) are a one-row aggregate broadcast-cross-joined
+    * into the term table — no driver-side `count()`, the whole thing stays
+    * one plan. Two hash-aggregate shuffles (term counts, document
+    * frequency), same as [[tfIdf]]. Arithmetic is written in the exact
+    * operator order the DuckDB twin uses so both engines produce
+    * bit-identical doubles (see text_bm25_top_docs). */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, k1: Double = 1.2,
+           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), size(col("toks")).as("doc_len"),
+        explode(col("toks")).as("token"))
+      .groupBy("id", "doc_len", "token")
+      .agg(count(lit(1)).as("tc"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col(textCol)))).as("total_len"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
+      .withColumn("score",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tc") * (k1 + 1.0)) /
+          (col("tc") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / col("avgdl"))))
+      .select(col("id"), col("token"), col("tc"), col("df"), col("score"))
+  }
+
   /** PII patterns shared with the oracle — RE2-safe (no backreferences or
     * lookaround), so Java regex and DuckDB's RE2 match identical spans. */
   val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -163,6 +163,52 @@ object TextQueries {
            |  FROM scored)
            |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin))
 
+  /** BM25 document ranking for a fixed 3-term query. Per-term scores are
+    * rounded at 6dp and converted to integer micro-units BEFORE the
+    * per-document sum, so the aggregate is exact integer arithmetic —
+    * associative, order-independent, bit-identical across engines (a
+    * float sum's value depends on accumulation order; a long's doesn't).
+    * DuckDB integer sum() is HUGEINT → cast ::BIGINT to match Spark. */
+  private val bm25Q = Q(
+    "text_bm25_top_docs",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.bm25(t(s, dir).documents, "doc_id", "text")
+        .filter($"token".isin("join", "filter", "column"))
+        .withColumn("score_micro",
+          round($"score" * 1e6, 0).cast("long"))
+        .groupBy($"id")
+        .agg(count(lit(1)).cast("int").as("n_terms_hit"),
+          sum($"score_micro").as("bm25_micro"))
+        .orderBy($"bm25_micro".desc, $"id")
+        .limit(10)
+        .select($"id".as("doc_id"), $"n_terms_hit", $"bm25_micro")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, len(string_split(text,' ')) doc_len,
+           |         unnest(string_split(text,' ')) token
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, doc_len, token, count(*) AS tc
+           |  FROM toks GROUP BY doc_id, doc_len, token),
+           |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+           |stats AS (SELECT count(*) AS n_docs,
+           |                 sum(len(string_split(text,' '))) AS total_len
+           |          FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |               * (tc * (1.2 + 1.0))
+           |               / (tc + 1.2 * (1.0 - 0.75 + 0.75 * doc_len
+           |                              / (total_len::DOUBLE / n_docs)))
+           |               * 1e6) AS score_scaled
+           |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN stats
+           |  WHERE tf.token IN ('join', 'filter', 'column'))
+           |SELECT doc_id, count(*)::INT AS n_terms_hit,
+           |       sum(score_scaled::BIGINT)::BIGINT AS bm25_micro
+           |FROM scored GROUP BY doc_id
+           |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin))
+
   /** PII redaction: the synthetic corpus carries no PII, so the query
     * injects one email and one IPv4 per document deterministically from
     * doc_id (both engines build the identical string), then counts and
@@ -197,5 +243,6 @@ object TextQueries {
             |FROM aug ORDER BY doc_id""".stripMargin))
 
   def all: Seq[Q] =
-    Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, piiRedact)
+    Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, bm25Q,
+      piiRedact)
 }

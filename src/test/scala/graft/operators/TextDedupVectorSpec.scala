@@ -239,6 +239,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(byTok("common") < 1e-9) // df == N -> idf ~ ln(4/4)=0
   }
 
+  test("bm25: term frequency saturates; longer docs are penalized; rare terms win") {
+    val docs = Seq(
+      (1L, "apple pear pear pear"),        // tc(pear)=3, len 4
+      (2L, "apple pear plum kiwi"),        // tc(pear)=1, len 4
+      (3L, "apple pear plum kiwi plum kiwi plum kiwi")) // tc(pear)=1, len 8
+      .toDF("doc_id", "text")
+    val byDoc = TextOps.bm25(docs, "doc_id", "text")
+      .filter($"token" === "pear")
+      .select($"id", $"score").as[(Long, Double)].collect().toMap
+    // more occurrences score higher, but sublinearly (saturation < tc ratio)
+    assert(byDoc(1L) > byDoc(2L))
+    assert(byDoc(1L) / byDoc(2L) < 3.0)
+    // same tc, longer doc -> lower score
+    assert(byDoc(2L) > byDoc(3L))
+    // idf: a term in every doc scores below a term in one doc at equal tc
+    val all = TextOps.bm25(docs, "doc_id", "text")
+      .filter($"id" === 2L).select($"token", $"score")
+      .as[(String, Double)].collect().toMap
+    assert(all("kiwi") > all("apple")) // kiwi df=2 < apple df=3
+  }
+
   test("kmeans: seeded clustering is deterministic, covers all vectors") {
     val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
     val c1 = VectorOps.kmeansClusters(e, "vec_id", "embedding", 4)
