@@ -158,6 +158,37 @@ object HygieneQueries {
            |SELECT lang, split, sum(copies)::BIGINT AS n
            |FROM labeled GROUP BY lang, split ORDER BY lang, split""".stripMargin))
 
+  /** Sequence packing into 2048-token bins by cumulative token count in
+    * doc_id order, reduced to per-bin fill stats. The Spark side computes
+    * the global cumsum with partition-local windows + broadcast prefix
+    * offsets (no single-partition window); DuckDB's plain running-sum
+    * window is the semantic twin — integer arithmetic, so both engines
+    * agree exactly. A bin may overhang its budget by its last document's
+    * tail: bin_tokens ≥ budget is expected for every bin but the last. */
+  private val pack = Q(
+    "mix_pack_sequences",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.PackingOps
+        .packSequences(docs(s, dir), "doc_id", "text", 2048L)
+        .groupBy($"bin")
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum($"n_tokens").as("bin_tokens"))
+        .orderBy($"bin")
+    },
+    Some("""WITH sized AS (
+           |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
+           |  FROM documents),
+           |cum AS (
+           |  SELECT doc_id, n_tokens,
+           |         sum(n_tokens) OVER (ORDER BY doc_id
+           |           ROWS UNBOUNDED PRECEDING) AS c
+           |  FROM sized)
+           |SELECT ((c - n_tokens) // 2048)::BIGINT AS bin,
+           |       count(*)::INT AS n_docs,
+           |       sum(n_tokens)::BIGINT AS bin_tokens
+           |FROM cum GROUP BY bin ORDER BY bin""".stripMargin))
+
   /** CAPSTONE: the full training-corpus preparation as ONE declarative
     * plan — Gopher quality gates → benchmark decontamination (≥5 shared
     * 3-grams vs the fixture benchmark set) → exact dedup (min-id per
@@ -251,5 +282,5 @@ object HygieneQueries {
             |FROM surv GROUP BY lang, split ORDER BY lang, split""".stripMargin),
     headline = true)
 
-  def all: Seq[Q] = Seq(decontam, gopher, semdedup, mix, trainingCorpus)
+  def all: Seq[Q] = Seq(decontam, gopher, semdedup, mix, pack, trainingCorpus)
 }

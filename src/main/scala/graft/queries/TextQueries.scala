@@ -209,6 +209,29 @@ object TextQueries {
            |FROM scored GROUP BY doc_id
            |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin))
 
+  /** Context-window chunking at 32 tokens / stride 16 (overlapping
+    * windows, short tails kept). chunk_id ↔ start/stride: Spark's
+    * posexplode position equals DuckDB's start // 16 because the start
+    * sequence steps by exactly the stride. Scan-local — no shuffle. */
+  private val chunkQ = Q(
+    "text_chunk_windows",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.PackingOps
+        .chunkByTokens(t(s, dir).documents, "doc_id", "text", 32, 16)
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+           |starts AS (
+           |  SELECT doc_id, toks,
+           |         unnest(generate_series(0, greatest(len(toks)-1, 0), 16)) AS s
+           |  FROM tok)
+           |SELECT doc_id, (s // 16)::INT AS chunk_id,
+           |       array_to_string(list_slice(toks, s+1, s+32), ' ') AS chunk_text,
+           |       len(list_slice(toks, s+1, s+32))::INT AS chunk_tokens
+           |FROM starts ORDER BY doc_id, chunk_id""".stripMargin))
+
   /** PII redaction: the synthetic corpus carries no PII, so the query
     * injects one email and one IPv4 per document deterministically from
     * doc_id (both engines build the identical string), then counts and
@@ -244,5 +267,5 @@ object TextQueries {
 
   def all: Seq[Q] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, bm25Q,
-      piiRedact)
+      chunkQ, piiRedact)
 }
