@@ -81,4 +81,24 @@ object RelationalOps {
     * "grouping" is the shuffle implied by a partitioned write on it. */
   def withYmd(df: DataFrame, tsStringCol: String): DataFrame =
     df.withColumn("ymd", substring(col(tsStringCol), 1, 10))
+
+  /** SCD Type-2 history build from an ordered change log: collapse runs
+    * of identical attribute values per key (null-safe compare), then
+    * `effective_to` = the order value of the NEXT change (half-open
+    * interval; NULL = current row). `orderCol` itself is the
+    * effective-from. Both window passes share one (key) shuffle and one
+    * (order, tie) sort — Spark reuses the exchange for the second pass.
+    * Partitioned by key, so no global window at any scale. */
+  def scd2(df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val attrs = struct(attrCols.map(col): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+    df.withColumn("_prev_attrs", lag(attrs, 1).over(w))
+      .filter(col("_prev_attrs").isNull || !(col("_prev_attrs") <=> attrs))
+      .drop("_prev_attrs")
+      .withColumn("effective_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
 }

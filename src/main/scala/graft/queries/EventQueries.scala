@@ -192,5 +192,41 @@ object EventQueries {
            |ORDER BY event_id""".stripMargin),
     headline = true)
 
-  def all: Seq[Q] = Seq(tumbling, sliding, sessions, jsonProps, asof, returns)
+  /** SCD Type-2 dimension history: each user's event_type change log,
+    * runs of identical values collapsed, half-open validity intervals
+    * (effective_to = next change, NULL = current). Timestamps compared
+    * as integer epoch-micros — no float or format parity surface at all.
+    * One shuffle on user_id; both window passes reuse the same sort. */
+  private val scd2Q = Q(
+    "events_scd2_history",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.RelationalOps.scd2(
+          ev(s, dir).select($"user_id", $"ts", $"event_id", $"event_type"),
+          "user_id", "ts", "event_id", Seq("event_type"))
+        .select($"user_id", $"event_type",
+          unix_micros($"ts").as("eff_from_us"),
+          unix_micros($"effective_to").as("eff_to_us"),
+          $"is_current")
+        .orderBy($"user_id", $"eff_from_us")
+    },
+    Some("""WITH ordered AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |         lag(event_type) OVER
+           |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           |  FROM events),
+           |changes AS (
+           |  SELECT user_id, ts, event_id, event_type FROM ordered
+           |  WHERE prev_type IS NULL OR prev_type <> event_type),
+           |hist AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS eff_from_us,
+           |         epoch_us(lead(ts) OVER
+           |           (PARTITION BY user_id ORDER BY ts, event_id)) AS eff_to_us
+           |  FROM changes)
+           |SELECT user_id, event_type, eff_from_us, eff_to_us,
+           |       (eff_to_us IS NULL) AS is_current
+           |FROM hist ORDER BY user_id, eff_from_us""".stripMargin))
+
+  def all: Seq[Q] =
+    Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q)
 }

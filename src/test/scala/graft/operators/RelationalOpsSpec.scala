@@ -74,4 +74,26 @@ class RelationalOpsSpec extends SparkSpec {
       .select($"ymd").as[String].head()
     assert(out === "2024-03-05")
   }
+
+  test("scd2 collapses runs, half-open intervals, null-safe attr compare") {
+    val log = Seq(
+      (1L, 10L, 1L, Option("a")), // change -> [10, 20)
+      (1L, 15L, 2L, Option("a")), // same run, collapsed
+      (1L, 20L, 3L, Option("b")), // change -> [20, 30)
+      (1L, 30L, 4L, None),        // change to NULL -> [30, 40)
+      (1L, 35L, 5L, None),        // same NULL run, collapsed (null-safe)
+      (1L, 40L, 6L, Option("b")), // b again -> current [40, null)
+      (2L, 10L, 7L, Option("x"))  // other key: independent, current
+    ).toDF("k", "t", "id", "attr")
+    val out = RelationalOps.scd2(log, "k", "t", "id", Seq("attr"))
+      .select($"k", $"t", $"attr", $"effective_to", $"is_current")
+      .orderBy($"k", $"t")
+      .as[(Long, Long, Option[String], Option[Long], Boolean)].collect()
+    assert(out === Seq(
+      (1L, 10L, Some("a"), Some(20L), false),
+      (1L, 20L, Some("b"), Some(30L), false),
+      (1L, 30L, None, Some(40L), false),
+      (1L, 40L, Some("b"), None, true),
+      (2L, 10L, Some("x"), None, true)))
+  }
 }
