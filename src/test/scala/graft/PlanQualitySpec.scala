@@ -125,6 +125,17 @@ class PlanQualitySpec extends SparkSpec {
       s"expected keep-first window + collect_list reassembly:\n${plan.take(800)}")
   }
 
+  test("scd2 history: one shuffle on the key, second window reuses the sort") {
+    val q = SparkEntry.queries("events_scd2_history")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // exactly one hash exchange on user_id feeds both window passes (the
+    // final orderBy adds a range exchange; that's the output sort, not a
+    // second per-key shuffle)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges === 1,
+      s"scd2 must shuffle once on the key, saw $hashExchanges:\n${plan.take(800)}")
+  }
+
   test("OHLC resample plans as partial+final aggregate, no window sort") {
     val q = SparkEntry.queries("gold_ohlc_monthly")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)
