@@ -123,6 +123,31 @@ class PropertySpec extends SparkSpec {
     assert(viaAgg === viaWindow && viaAgg.nonEmpty)
   }
 
+  test("chunking is lossless and packing conserves tokens on random corpora") {
+    val corpusGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 500L), Gen.choose(1, 40)))
+    forAll(corpusGen, n = 5) { rows =>
+      val docs = rows.distinctBy(_._1).map { case (id, n) =>
+        (id, (0 until n).map(i => s"w${(id + i) % 13}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val total = docs.select(sum(size(split($"text", " ")))).as[Long].head()
+      // chunking at any (chunk, stride=chunk) partitions tokens exactly
+      val chunked = graft.operators.PackingOps
+        .chunkByTokens(docs, "doc_id", "text", 7, 7)
+      assert(chunked.select(sum($"chunk_tokens")).as[Long].head() === total)
+      // every doc's chunk ids are 0..k-1 dense (posexplode ordinality)
+      val bad = chunked.groupBy($"doc_id")
+        .agg(max($"chunk_id").as("mx"), count(lit(1)).as("k"))
+        .filter($"mx" =!= $"k" - 1)
+      assert(bad.isEmpty)
+      // packing conserves every token and bins partition the id space
+      val packed = graft.operators.PackingOps
+        .packSequences(docs, "doc_id", "text", 11L, 4)
+      assert(packed.select(sum($"n_tokens")).as[Long].head() === total)
+      assert(packed.count() === docs.count())
+    }
+  }
+
   test("hash32 distributes: no value outside 32 bits, stable across evals") {
     forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { tokens =>
       val h1 = tokens.toDF("t").select(TextOps.hash32($"t")).as[Long].collect()
