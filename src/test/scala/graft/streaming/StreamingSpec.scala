@@ -157,6 +157,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("context-window chunking is batch==stream identical (corpus assembly)") {
+    // chunking is generate-only (posexplode over a stride sequence, no
+    // aggregation or state), so the SAME operator serves the backfill
+    // chunker and the live-ingest chunker of a RAG/pretraining pipeline
+    val docsPath = graft.TestSpark.sfDir + "/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    def chunk(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.PackingOps.chunkByTokens(df, "doc_id", "text", 32, 16)
+    val tmp = Files.createTempDirectory("graft-chunk-stream")
+    Files.copy(java.nio.file.Paths.get(docsPath), tmp.resolve("documents.parquet"))
+    val q = chunk(spark.readStream.schema(schema).parquet(tmp.toString))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("chunk_stream")
+      .as[(Long, Int, String, Int)].collect().toSet
+    val batch = chunk(spark.read.parquet(docsPath))
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("AvailableNow file source processes new files only (S15/S17 story)") {
     val root = Files.createTempDirectory("graft-stream").toString
     val src = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
