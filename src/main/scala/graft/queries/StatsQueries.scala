@@ -105,6 +105,24 @@ object StatsQueries {
     },
     None)
 
+  /** Approx percentiles — the 100 TB quantile path: `approx_percentile`
+    * is a MERGEABLE rank sketch (map-side partials combine), where exact
+    * `percentile` buffers every value per group. Approx values are
+    * engine-specific by design → no oracle (rows-only, like the HLL
+    * sketch); the rank-error bound vs the exact form is spec-asserted. */
+  private val approxPct = Q(
+    "stats_approx_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).orders
+        .groupBy($"o_orderstatus")
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
+        .orderBy($"o_orderstatus")
+    },
+    None)
+
   private val cubeQ = Q(
     "cube_order_priority",
     (s, dir) => {
@@ -195,6 +213,6 @@ object StatsQueries {
            |FROM events ORDER BY event_id""".stripMargin))
 
   def all: Seq[Q] =
-    Seq(rollupQ, dispersion, percentiles, profileQ, sketch, cubeQ,
+    Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame)
 }

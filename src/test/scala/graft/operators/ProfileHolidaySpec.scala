@@ -43,4 +43,20 @@ class ProfileHolidaySpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.15,
       s"approx=$approx exact=$exact")
   }
+
+  test("approx_percentile brackets the exact percentile at the sketch's rank error") {
+    // accuracy 1000 -> rank error <= 1/1000: the approximate p50 must lie
+    // between the exact p49 and p51 (per group, on the real orders table)
+    val o = graft.core.Tables(spark, graft.TestSpark.sfDir).orders
+    val rows = o.groupBy($"o_orderstatus")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("percentile(o_totalprice, 0.49)").as("lo"),
+        expr("percentile(o_totalprice, 0.51)").as("hi"))
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (st, ap, lo, hi) =>
+      assert(ap >= lo && ap <= hi, s"group $st: ap50=$ap not in [$lo,$hi]")
+    }
+  }
 }
