@@ -294,9 +294,10 @@ object DedupOps {
     * convergence is O(log diameter) — maxIter 20 covers diameters up to
     * ~2²⁰, not 20 (a 22-doc revision chain converges in 5 rounds, not 22).
     * Each round is two equi-joins + a hash aggregate over the NARROW
-    * (id, label) table; the per-round EAGER checkpoint is load-bearing:
-    * it cuts the lineage so round N's plan doesn't replay rounds 1..N−1
-    * (exponential otherwise). Peak storage is #rounds copies of the
+    * (id, label) table; the per-round checkpoint (lazy — the convergence
+    * count is the materializing action, so each round runs one job) is
+    * load-bearing: it cuts the lineage so round N's plan doesn't replay
+    * rounds 1..N−1 (exponential otherwise). Peak storage is #rounds copies of the
     * narrow label table — bounded by the log-diameter round count, freed
     * by the ContextCleaner as the loop drops references. The driver-side
     * loop reads only the 1-value convergence count, never data — same
