@@ -227,6 +227,45 @@ object EventQueries {
            |       (eff_to_us IS NULL) AS is_current
            |FROM hist ORDER BY user_id, eff_from_us""".stripMargin))
 
+  /** Merge overlapping 5-minute activity intervals per user (gaps-and-
+    * islands over INTERVALS: new island only when start passes the
+    * running max of previous ends — running max, not lag(end), so nested
+    * intervals merge too). Pure integer micros — no float/format parity
+    * surface. One shuffle on user_id. */
+  private val intervalMerge = Q(
+    "events_interval_merge",
+    (s, dir) => {
+      import s.implicits._
+      val iv = ev(s, dir).select($"user_id", $"event_id",
+        unix_micros($"ts").as("s_us"),
+        (unix_micros($"ts") + 300000000L).as("e_us"))
+      graft.operators.RangeJoinOps
+        .mergeIntervals(iv, "user_id", "s_us", "e_us", "event_id")
+        .orderBy($"user_id", $"island")
+    },
+    Some("""WITH iv AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS s,
+           |         epoch_us(ts) + 300000000 AS e
+           |  FROM events),
+           |flagged AS (
+           |  SELECT user_id, event_id, s, e,
+           |    CASE WHEN s > coalesce(max(e) OVER
+           |      (PARTITION BY user_id ORDER BY s, e, event_id
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      -9223372036854775807) THEN 1 ELSE 0 END AS ni
+           |  FROM iv),
+           |isl AS (
+           |  SELECT user_id, s, e,
+           |    sum(ni) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM flagged)
+           |SELECT user_id, island::BIGINT AS island,
+           |       min(s) AS merged_start, max(e) AS merged_end,
+           |       count(*) AS n_merged
+           |FROM isl GROUP BY user_id, island
+           |ORDER BY user_id, island""".stripMargin))
+
   def all: Seq[Q] =
-    Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q)
+    Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
+      intervalMerge)
 }

@@ -75,6 +75,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out === "2024-03-05")
   }
 
+  test("mergeIntervals: nested + touching merge, gaps split (running-max semantics)") {
+    val iv = Seq(
+      (1L, 1L, 10L, 1L),   // island 0: [1,10]
+      (1L, 2L, 3L, 2L),    //   nested inside [1,10] — lag(end) logic would
+      (1L, 4L, 12L, 3L),   //   split here (4 > 3); running max (10) merges
+      (1L, 12L, 15L, 4L),  //   touching (12 == max end) — merges
+      (1L, 20L, 25L, 5L),  // island 1: gap (20 > 15)
+      (2L, 1L, 2L, 6L)     // other key
+    ).toDF("k", "s", "e", "id")
+    val out = RangeJoinOps.mergeIntervals(iv, "k", "s", "e", "id")
+      .orderBy($"k", $"island")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out === Seq(
+      (1L, 1L, 1L, 15L, 4L),
+      (1L, 2L, 20L, 25L, 1L),
+      (2L, 1L, 1L, 2L, 1L)))
+  }
+
   test("scd2 collapses runs, half-open intervals, null-safe attr compare") {
     val log = Seq(
       (1L, 10L, 1L, Option("a")), // change -> [10, 20)
