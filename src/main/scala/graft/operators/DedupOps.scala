@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.Lineage.LineageOps
 
 /** [EXT] Deduplication operator library (SURVEY §2E): exact, n-gram
   * Jaccard, MinHash+LSH, SimHash — over `documents`.
@@ -76,7 +77,7 @@ object DedupOps {
         sort_array(transform(array_distinct(col(setCol)), t => xxhash64(t))).as("s"))
       .withColumn("sz", size(col("s")))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint(false)
+      .cut(eager = false)
 
   /** Length prefilter shared by both exact paths:
     * J(A,B) ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) (since J ≤ min/max). */
@@ -129,7 +130,7 @@ object DedupOps {
         explode(array_distinct(col(setCol))).as("token"))
       // lazy: build the posting list once (not once per join side), but
       // only when an action actually runs — plan-only callers stay free
-      .localCheckpoint(false)
+      .cut(eager = false)
     posting.as("l").join(posting.as("r"),
         col("l.token") === col("r.token") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -234,19 +235,45 @@ object DedupOps {
 
   /** LSH banding: signature split into `bands` bands of `rowsPerBand`;
     * docs sharing any band bucket become candidates. Returns (id_a, id_b)
-    * distinct pairs. Shuffles on (band, bucket-hash) — bucket sizes are
-    * the skew knob; at scale add a salt on oversized buckets. */
+    * distinct pairs. Shuffles on (band, bucket, block) — bucket sizes are
+    * the skew knob, handled by triangle blocking (same grid as
+    * `VectorOps.semdedupPairs`): a bucket at or above `skewThreshold`
+    * members (one hot bucket of degenerate signatures would otherwise
+    * serialize its |bucket|² candidate scan into ONE task at 100 TB) has
+    * its rows split into `blocks` id-hash blocks, each row replicated onto
+    * the (block_lo, block_hi) triangle so every pair is generated at
+    * exactly one grid key — parallelism × B(B+1)/2 for the hot bucket, at
+    * B× replication of its rows only; small buckets keep block 0 and pay
+    * nothing. Same pairs, different task keys — exactness is unchanged
+    * (block-invariance is property-tested). */
   def lshCandidatePairs(docs: DataFrame, idCol: String, sigCol: String,
-                        bands: Int, rowsPerBand: Int): DataFrame = {
+                        bands: Int, rowsPerBand: Int,
+                        skewThreshold: Int = 1024, blocks: Int = 8): DataFrame = {
     val banded = docs.select(col(idCol).as("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("id"), col("pos").as("band"),
         concat_ws(",", col("col").cast("array<string>")).as("bucket"))
-    banded.as("l").join(banded.as("r"),
+    // size each (band, bucket) once; oversized buckets get `blocks`-way
+    // id blocks, the rest collapse to a single block (nb = 1 → blk = 0).
+    // Lazily checkpointed: the tagged postings feed BOTH self-join sides.
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+    val tagged = banded.join(sizes, Seq("band", "bucket"))
+      .withColumn("nb",
+        when(col("bsz") >= skewThreshold, lit(blocks)).otherwise(lit(1)))
+      .withColumn("blk", pmod(col("id"), col("nb")).cast("int"))
+      .cut(eager = false)
+    val lhs = tagged.withColumn("bj",
+      explode(sequence(col("blk"), col("nb") - 1)))
+    val rhs = tagged.withColumn("bi",
+      explode(sequence(lit(0), col("blk"))))
+    lhs.as("l").join(rhs.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+          col("l.blk") === col("r.bi") && col("l.bj") === col("r.blk") &&
+          (col("l.blk") =!= col("r.blk") || col("l.id") < col("r.id")))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
       .distinct()
   }
 
@@ -307,13 +334,13 @@ object DedupOps {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint() // reused every round — materialize once
+      .cut() // reused every round — materialize once
     // initialization IS the first propagation round: label₀ =
     // min(id, min neighbor id) — one aggregate instead of a full
     // join+checkpoint+count iteration
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .localCheckpoint()
+      .cut()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -333,7 +360,7 @@ object DedupOps {
             .as("new_label"))
         // lazy: the convergence count below is the materializing action,
         // so each round runs ONE job instead of checkpoint-then-count
-        .localCheckpoint(false)
+        .cut(eager = false)
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1

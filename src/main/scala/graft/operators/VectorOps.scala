@@ -174,19 +174,30 @@ object VectorOps {
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
+    // final ranking: bounded-heap TopKAggregator, not a window — the
+    // window form's parallelism is capped at #queries and it shuffles
+    // every probed candidate; the Aggregator partial-aggregates map-side
+    // so the exchange carries ≤k rows per (partition × query)
+    val topk = udaf(new graft.functions.TopKAggregator(k))
     lists.join(broadcast(probes), "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(
         cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col._2").as("neighbor_id"), col("col._1").as("cos"))
   }
 
   /** IVF-style assignment: nearest centroid (max cosine, tie → min id)
-    * per vector. Centroids are broadcast — one map-side pass. */
+    * per vector. Centroids are broadcast — one map-side pass; the argmax
+    * is a `max_by` HASH AGGREGATE, not a window: the partial aggregate
+    * collapses N·k scored rows to N per partition BEFORE the exchange,
+    * where a `row_number` window would sort-shuffle all N·k rows. The
+    * ordering struct (cos, −centroid_id) is unique per scored row, so the
+    * max is deterministic and equals the (cos DESC, centroid_id ASC)
+    * window order it replaces. */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
                         idCol: String, vecCol: String,
                         centroidIdCol: String, centroidVecCol: String): DataFrame = {
@@ -195,13 +206,12 @@ object VectorOps {
     val c = centroids.select(col(centroidIdCol).as("centroid_id"),
       toDouble(col(centroidVecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val scored = v.crossJoin(broadcast(c))
+    v.crossJoin(broadcast(c))
       .withColumn("cos", round(
         cosinePrenormed(col("v"), col("cv"), col("vn"), col("cn")), 6))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cos").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("centroid_id"), col("cos"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("centroid_id"), col("cos")),
+        struct(col("cos"), -col("centroid_id"))).as("best"))
+      .select(col(idCol), col("best.centroid_id"), col("best.cos"))
   }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Lineage.LineageOps
 import graft.operators.{DedupOps, TextOps}
 
 /** [EXT] Deduplication queries over `documents` (SURVEY §2E): exact
@@ -177,7 +178,7 @@ object DedupQueries {
       val withShingles = docs(s, dir)
         .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
         .select($"doc_id", array_distinct($"shingles").as("shingles"))
-        .localCheckpoint(false)
+        .cut(eager = false)
       val signed = DedupOps.minhashSignatures(withShingles, "doc_id", "shingles", 16)
         .withColumnRenamed("id", "doc_id")
       val cands = DedupOps.lshCandidatePairs(signed, "doc_id", "sig", 4, 4)

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Lineage.LineageOps
 import graft.gold.GoldOps
 import graft.operators.{RangeJoinOps, TextOps}
 
@@ -72,7 +73,7 @@ object GoldQueries {
         .filter($"doc_id" === $"keep")
         // reused by the near-dup pair side AND the survivor anti-join —
         // lazy checkpoint so the quality+window prefix runs once
-        .localCheckpoint(false)
+        .cut(eager = false)
       val withShingles = exactKept
         .select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
       // PPJoin prefix-filtered near-dup stage (the 100 TB form) — same

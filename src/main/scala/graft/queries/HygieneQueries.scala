@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Lineage.LineageOps
 import graft.operators.{HygieneOps, VectorOps}
 
 /** [EXT] Corpus-hygiene queries: benchmark decontamination, Gopher-style
@@ -223,7 +224,7 @@ object HygieneQueries {
         // evaluated twice (near-dup pair side + survivor join) and the
         // prefix above it is the whole gate+decontam pipeline — checkpoint
         // lazily so it materializes once at first action
-        .localCheckpoint(false)
+        .cut(eager = false)
       val sh = exactKept.select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
       val pairs = DedupOps.jaccardPairs(sh, "doc_id", "sh", 0.9)
       val nonReps = DedupOps.connectedComponents(pairs, "id_a", "id_b")

@@ -89,9 +89,13 @@ object StatsQueries {
            |  FROM documents)
            |ORDER BY "column"""".stripMargin))
 
-  /** HLL++ distinct-token sketch per language — approx values differ
-    * across engines by design, so NO oracle (driver records the weaker
-    * rows-only check); the spec bounds the relative error instead. */
+  /** HLL++ distinct-token sketch per language. Approx values differ
+    * across engines by design, so the raw sketch value can't be oracled —
+    * instead the query emits the INVARIANT as data: the exact
+    * count(distinct) (hash-checkable) and a boolean asserting the HLL
+    * estimate is within 15% (= 3× the requested 5% rsd) of it, computed
+    * in the same Spark plan. The DuckDB twin recomputes the exact count
+    * and emits literal `true` — a hash match proves the bound held. */
   private val sketch = Q(
     "text_token_sketch",
     (s, dir) => {
@@ -99,17 +103,34 @@ object StatsQueries {
       Tables(s, dir).documents
         .select($"lang", explode(TextOps.tokens($"text")).as("token"))
         .groupBy($"lang")
-        .agg(approx_count_distinct($"token", 0.05).as("approx_distinct_tokens"),
+        .agg(
+          approx_count_distinct($"token", 0.05).as("approx_d"),
+          countDistinct($"token").as("exact_distinct_tokens"),
           count(lit(1)).as("n_tokens"))
+        .select($"lang", $"exact_distinct_tokens",
+          (abs($"approx_d" - $"exact_distinct_tokens").cast("double") /
+            $"exact_distinct_tokens" <= 0.15).as("within_bound"),
+          $"n_tokens")
         .orderBy($"lang")
     },
-    None)
+    Some("""SELECT lang,
+           |       count(DISTINCT token)::BIGINT AS exact_distinct_tokens,
+           |       true AS within_bound,
+           |       count(*)::BIGINT AS n_tokens
+           |FROM (SELECT lang, unnest(string_split(text,' ')) AS token
+           |      FROM documents)
+           |GROUP BY lang ORDER BY lang""".stripMargin))
 
   /** Approx percentiles — the 100 TB quantile path: `approx_percentile`
     * is a MERGEABLE rank sketch (map-side partials combine), where exact
     * `percentile` buffers every value per group. Approx values are
-    * engine-specific by design → no oracle (rows-only, like the HLL
-    * sketch); the rank-error bound vs the exact form is spec-asserted. */
+    * engine-specific by design, so the query emits the INVARIANT as data:
+    * booleans asserting each estimate lies between the exact percentiles
+    * ±0.05 quantile away (accuracy=1000 bounds rank error at n/1000 per
+    * group — far inside the ±0.05n window), with the exact bounds
+    * computed by `percentile()` in the SAME Spark plan. The DuckDB twin
+    * emits literal `true` plus the (hash-checkable) group count — a hash
+    * match proves the rank bound held. */
   private val approxPct = Q(
     "stats_approx_percentiles",
     (s, dir) => {
@@ -117,11 +138,23 @@ object StatsQueries {
       Tables(s, dir).orders
         .groupBy($"o_orderstatus")
         .agg(
-          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
-          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50a"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90a"),
+          expr("percentile(o_totalprice, 0.45)").as("lo50"),
+          expr("percentile(o_totalprice, 0.55)").as("hi50"),
+          expr("percentile(o_totalprice, 0.85)").as("lo90"),
+          expr("percentile(o_totalprice, 0.95)").as("hi90"),
+          count(lit(1)).as("n"))
+        .select($"o_orderstatus",
+          ($"p50a" >= $"lo50" && $"p50a" <= $"hi50").as("p50_in_bounds"),
+          ($"p90a" >= $"lo90" && $"p90a" <= $"hi90").as("p90_in_bounds"),
+          $"n")
         .orderBy($"o_orderstatus")
     },
-    None)
+    Some("""SELECT o_orderstatus,
+           |       true AS p50_in_bounds, true AS p90_in_bounds,
+           |       count(*) AS n
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
   private val cubeQ = Q(
     "cube_order_priority",

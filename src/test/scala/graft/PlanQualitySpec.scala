@@ -116,6 +116,29 @@ class PlanQualitySpec extends SparkSpec {
       "nothing in IVF search is big enough to sort-merge join")
   }
 
+  test("centroid assignment argmax is a partial aggregate, not a window") {
+    val q = SparkEntry.queries("sim_ivf_assign")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // max_by collapses N·k scored rows to N map-side BEFORE the exchange;
+    // a row_number window would sort-shuffle all N·k rows
+    assert(!plan.contains("Window"),
+      s"argmax must not be a window:\n${plan.take(800)}")
+    assert(plan.contains("partial_max_by"),
+      s"max_by must partial-aggregate map-side:\n${plan.take(800)}")
+  }
+
+  test("minhash LSH candidate join keys include the triangle-block columns") {
+    val q = SparkEntry.queries("dedup_minhash_lsh")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // the skew salt only shards a hot bucket if the grid coordinates are
+    // part of the join KEY (band, bucket, block-lo, block-hi)
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("bucket")).getOrElse("")
+    assert(joinLine.contains("blk") && joinLine.contains("bi") &&
+      joinLine.contains("bj"),
+      s"candidate join must be keyed on the block grid:\n$joinLine")
+  }
+
   test("line dedup plans with no pair join (window + reassembly agg only)") {
     val q = SparkEntry.queries("dedup_lines")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)

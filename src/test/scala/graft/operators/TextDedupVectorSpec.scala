@@ -147,6 +147,37 @@ class DedupOpsSpec extends SparkSpec {
       s"missed: ${exact -- cands} (exact=${exact.size}, cands=${cands.size})")
   }
 
+  test("LSH pairs are invariant to skew blocking (salted == unsalted)") {
+    // forcing EVERY bucket through the triangle-block grid must yield the
+    // exact same candidate set as no blocking at all — the salt changes
+    // task keys, never pairs
+    val docs = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .select($"doc_id", array_distinct(TextOps.shingles($"text", 2)).as("sh"))
+    val signed = docs.withColumn("sig", DedupOps.minhashSignature($"sh", 16))
+    val unsalted = DedupOps.lshCandidatePairs(signed, "doc_id", "sig", 4, 4,
+      skewThreshold = Int.MaxValue).as[(Long, Long)].collect().toSet
+    val salted = DedupOps.lshCandidatePairs(signed, "doc_id", "sig", 4, 4,
+      skewThreshold = 1, blocks = 4).as[(Long, Long)].collect().toSet
+    assert(unsalted === salted)
+    assert(unsalted.forall { case (a, b) => a < b })
+  }
+
+  test("connectedComponents identical in reliable-checkpoint mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.core.Lineage.confKey, dir)
+    try {
+      val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      val labels = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the durable path must actually have been taken: reliable
+      // checkpoints write rdd-* dirs under the configured root
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, s"no reliable checkpoint written under $dir")
+    } finally spark.conf.unset(graft.core.Lineage.confKey)
+  }
+
   test("simhash: identical token bags collide, hamming 0") {
     val df = Seq((1L, "x y z"), (2L, "x y z")).toDF("id", "t")
       .withColumn("hs", transform(TextOps.tokens($"t"), TextOps.hash32(_)))
