@@ -54,7 +54,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // driver output tails can truncate the per-query map on long registries;
+    // also persist the full line as a tracked artifact so every round's
+    // per-query regression check is auditable from the repo alone
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

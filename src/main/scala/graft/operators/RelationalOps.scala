@@ -101,4 +101,30 @@ object RelationalOps {
       .withColumn("effective_to", lead(col(orderCol), 1).over(w))
       .withColumn("is_current", col("effective_to").isNull)
   }
+
+  /** SCD2 incremental upsert: fold one micro-batch of change rows into an
+    * existing history built by `scd2`. History segments ARE the collapsed
+    * change log (`orderCol` is each segment's effective-from), so the
+    * merge re-runs `scd2` over (existing segments ∪ new rows) for the
+    * batch's keys only — collapsing already-collapsed runs is a no-op;
+    * new rows extend, close, or absorb into the current segment exactly as
+    * the full batch build would — while untouched keys pass through.
+    * Contract: per key, changes arrive across batches in nondecreasing
+    * (orderCol, tieCol) order (the CDC-log assumption — a row absorbed
+    * into a run cannot be resurrected by a later out-of-order insert
+    * between its neighbors). At scale one micro-batch touches few keys,
+    * so the key side is explicitly broadcast into both the semi and anti
+    * join — the history table is never shuffled. */
+  def scd2UpsertBatch(history: DataFrame, batch: DataFrame, keyCol: String,
+                      orderCol: String, tieCol: String,
+                      attrCols: Seq[String]): DataFrame = {
+    val logCols = (Seq(keyCol, orderCol, tieCol) ++ attrCols).map(col)
+    val keys = batch.select(col(keyCol)).distinct()
+    val touched = history.join(broadcast(keys), Seq(keyCol), "left_semi")
+    val untouched = history.join(broadcast(keys), Seq(keyCol), "left_anti")
+    val merged = scd2(
+      touched.select(logCols: _*).unionByName(batch.select(logCols: _*)),
+      keyCol, orderCol, tieCol, attrCols)
+    untouched.unionByName(merged)
+  }
 }

@@ -1,10 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.core.Lineage.LineageOps
 import graft.gold.GoldOps
-import graft.operators.{RangeJoinOps, TextOps}
+import graft.operators.{CalendarOps, RangeJoinOps, RelationalOps, TextOps}
 
 /** Gold-layer + composite pipeline queries. */
 object GoldQueries {
@@ -199,5 +200,89 @@ object GoldQueries {
            |       count(*) AS n
            |FROM o GROUP BY user_id, m ORDER BY user_id, month""".stripMargin))
 
-  def all: Seq[Q] = Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc)
+  /** 2024 KR exchange-holiday fixture for the cross-asset query — includes
+    * a Sunday (already weekend-flagged: OR must keep it true) and a
+    * duplicate feed row (distinct must collapse it), mirroring the F19
+    * fixture shape. */
+  private val holidays2024 = Seq(
+    "2024-01-01", "2024-01-10", "2024-01-29",
+    "2024-01-14", // Sunday — weekend flag already true
+    "2024-01-01") // duplicate feed row
+
+  /** SURVEY §7.6 cross-asset gold query (the reference's backtesting
+    * composition, README.md:3): KRX-shaped daily closes × dim_calendar
+    * working days (F19 holiday upsert applied) × FX long table (S13-shaped
+    * wide Close matrix unpivoted) → KRW and FX-adjusted daily returns.
+    *
+    * Scale posture: the price series is the only big input — closes are one
+    * `max_by` hash aggregate (map-side partial, no window sort, same plan as
+    * GoldOps.ohlcResample); calendar and FX are tiny dims joined via
+    * explicit broadcast; the return lag shuffles once on symbol. */
+  private val fxAdjusted = Q(
+    "gold_fx_adjusted_returns",
+    (s, dir) => {
+      import s.implicits._
+      val cal = CalendarOps.applyHolidays(
+        CalendarOps.calendarDim(s, 2024, 2024),
+        holidays2024.toDF("holiday_date"), "holiday_date")
+      val workingDays = cal.filter(!$"is_market_holiday").select($"date")
+      // daily close per KRX-style 6-digit symbol: value of the last event
+      // of the day — argmax as a hash aggregate, not a window
+      val prices = Tables(s, dir).events
+        .select(format_string("%06d", $"user_id").as("symbol"),
+          to_date($"ts").as("date"), $"ts", $"event_id", $"value")
+        .groupBy($"symbol", $"date")
+        .agg(max_by($"value", struct($"ts", $"event_id")).as("close_krw"))
+      // S13-shaped FX: wide per-pair Close matrix over calendar dates
+      // (deterministic closed-form rates) unpivoted to a long table
+      val fxWide = cal.select($"date",
+        (lit(1300.0) + $"day_of_month").as("usd_krw"),
+        (lit(900.0) + $"day_of_month").as("jpy100_krw"))
+      val usd = RelationalOps.unpivotWide(fxWide, Seq("date"),
+          Seq("usd_krw", "jpy100_krw"), "pair", "rate")
+        .filter($"pair" === "usd_krw").select($"date", $"rate")
+      val w = Window.partitionBy($"symbol").orderBy($"date")
+      prices.join(broadcast(workingDays), Seq("date"))
+        .join(broadcast(usd), Seq("date"))
+        .withColumn("close_usd", $"close_krw" / $"rate")
+        .withColumn("ret_krw", $"close_krw" / lag($"close_krw", 1).over(w) - 1)
+        .withColumn("ret_usd", $"close_usd" / lag($"close_usd", 1).over(w) - 1)
+        .select($"symbol", date_format($"date", "yyyy-MM-dd").as("date"),
+          round($"close_krw", 2).as("close_krw"),
+          round($"close_usd", 6).as("close_usd"),
+          round($"ret_krw", 6).as("ret_krw"),
+          round($"ret_usd", 6).as("ret_usd"))
+        .orderBy($"symbol", $"date")
+    },
+    Some {
+      val inList = holidays2024.distinct.map(d => s"DATE '$d'").mkString(", ")
+      s"""WITH wd AS (
+         |  SELECT d::DATE AS date, day(d::DATE)::DOUBLE AS dom
+         |  FROM (SELECT unnest(generate_series(DATE '2024-01-01',
+         |                 DATE '2024-12-31', INTERVAL 1 DAY)) AS d)
+         |  WHERE NOT (dayofweek(d::DATE) IN (0, 6) OR d::DATE IN ($inList))),
+         |px AS (
+         |  SELECT symbol, date, value AS close_krw
+         |  FROM (SELECT format('{:06d}', user_id) AS symbol, ts::DATE AS date,
+         |               value,
+         |               row_number() OVER (PARTITION BY user_id, ts::DATE
+         |                 ORDER BY ts DESC, event_id DESC) AS rn
+         |        FROM events)
+         |  WHERE rn = 1),
+         |j AS (
+         |  SELECT p.symbol, p.date, p.close_krw,
+         |         p.close_krw / (1300.0::DOUBLE + wd.dom) AS close_usd
+         |  FROM px p JOIN wd ON p.date = wd.date)
+         |SELECT symbol, strftime(date, '%Y-%m-%d') AS date,
+         |       round(close_krw, 2) AS close_krw,
+         |       round(close_usd, 6) AS close_usd,
+         |       round(close_krw / lag(close_krw) OVER w - 1, 6) AS ret_krw,
+         |       round(close_usd / lag(close_usd) OVER w - 1, 6) AS ret_usd
+         |FROM j
+         |WINDOW w AS (PARTITION BY symbol ORDER BY date)
+         |ORDER BY symbol, date""".stripMargin
+    })
+
+  def all: Seq[Q] =
+    Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted)
 }

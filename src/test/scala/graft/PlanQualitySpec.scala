@@ -139,6 +139,20 @@ class PlanQualitySpec extends SparkSpec {
       s"candidate join must be keyed on the block grid:\n$joinLine")
   }
 
+  test("fx-adjusted returns: dims broadcast, close argmax partial-aggregates") {
+    val q = SparkEntry.queries("gold_fx_adjusted_returns")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // calendar working days + fx rates are tiny generated dims — both must
+    // broadcast; the big price side must never sort-merge against them
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"calendar + fx joins must broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "price×dim joins must not sort-merge")
+    // daily close = max_by hash aggregate (map-side partial), not a window
+    assert(plan.contains("partial_max_by"),
+      s"daily close must partial-aggregate map-side:\n${plan.take(1200)}")
+  }
+
   test("line dedup plans with no pair join (window + reassembly agg only)") {
     val q = SparkEntry.queries("dedup_lines")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)

@@ -63,4 +63,56 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamedRows.size >= batchRows.size - 10,
       s"streaming emitted ${streamedRows.size} of ${batchRows.size} windows")
   }
+
+  test("scd2 history: incremental foreachBatch upserts == batch build") {
+    import graft.operators.RelationalOps
+    val log = graft.core.Tables(spark, graft.TestSpark.sfDir).events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val expected = RelationalOps
+      .scd2(log, "user_id", "ts", "event_id", Seq("event_type"))
+
+    // stage the change log as 3 time-ordered chunk files: the CDC-log
+    // contract (per-key nondecreasing order across batches) holds because
+    // the chunks partition the timeline; mod-times 10 s apart make the
+    // file source's oldest-first ordering deterministic, and
+    // maxFilesPerTrigger=1 forces one micro-batch per chunk
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-scd2").toFile
+    val t0 = System.currentTimeMillis() - 600000
+    Seq($"ts" < "2024-01-11", $"ts" >= "2024-01-11" && $"ts" < "2024-01-21",
+        $"ts" >= "2024-01-21").zipWithIndex.foreach { case (pred, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-scd2-c$i")
+      log.filter(pred).coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val part = tmp.resolve("p").toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(stageDir, s"chunk-$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 10000L)
+    }
+
+    var history = RelationalOps
+      .scd2(log.limit(0), "user_id", "ts", "event_id", Seq("event_type"))
+      .localCheckpoint()
+    val q = spark.readStream
+      .schema(log.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // eager checkpoint: the micro-batch frame is only valid inside the
+        // callback, and each round's history must not re-derive the last
+        history = RelationalOps.scd2UpsertBatch(history, batch,
+          "user_id", "ts", "event_id", Seq("event_type")).localCheckpoint()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", unix_micros($"ts").as("f"),
+          coalesce(unix_micros($"effective_to"), lit(-1L)).as("t"),
+          $"event_type", $"is_current")
+        .as[(Long, Long, Long, String, Boolean)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(canon(history) === canon(expected))
+  }
 }
