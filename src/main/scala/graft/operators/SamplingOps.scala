@@ -68,4 +68,46 @@ object SamplingOps {
     df.withColumn("copy",
       explode(when(repeats >= 1, sequence(lit(1), repeats))))
   }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): reduce each document to hashed unigram
+    * buckets, fit add-one-smoothed bucket distributions over the TARGET
+    * slice (rows matching `targetPred`) and over the RAW corpus, and
+    * weight each document by its summed log-likelihood ratio
+    * Σ_tokens (ln p_target(bucket) − ln p_raw(bucket)). Documents that
+    * look like the target get high weight; resampling by this weight
+    * shifts the corpus mixture toward the target domain without a
+    * trained classifier. Returns (id, n_tokens, log_w).
+    *
+    * Scale posture: one token scan feeds both the distribution fit and
+    * the scoring join (lineage-cut, materialized once); the fitted
+    * distributions are `buckets` rows — broadcast — and the totals are a
+    * one-row aggregate broadcast-cross-joined (no driver count). The only
+    * shuffles are the bucket-count hash aggregate and the final per-doc
+    * sum. Hashing uses the portable md5-prefix hash32, so the weights are
+    * reproducible across engines and an oracle can verify the exact
+    * resampled row set. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        targetPred: Column, buckets: Int = 64): DataFrame = {
+    import graft.core.Lineage.LineageOps
+    val toks = docs
+      .select(col(idCol).as("id"), targetPred.as("is_target"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .withColumn("b", pmod(TextOps.hash32(col("token")), lit(buckets)))
+      .select(col("id"), col("is_target"), col("b"))
+      .cut(eager = false)
+    val stats = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("c_tgt"))
+    val totals = stats.agg(sum(col("c_raw")).as("t_raw"),
+      sum(col("c_tgt")).as("t_tgt"))
+    val probs = stats.crossJoin(broadcast(totals))
+      .select(col("b"),
+        ((col("c_tgt") + 1.0) / (col("t_tgt") + buckets)).as("p_tgt"),
+        ((col("c_raw") + 1.0) / (col("t_raw") + buckets)).as("p_raw"))
+    toks.join(broadcast(probs), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(col("p_tgt")) - log(col("p_raw"))).as("log_w"))
+  }
 }

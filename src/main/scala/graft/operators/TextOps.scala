@@ -166,6 +166,67 @@ object TextOps {
     regexp_replace(regexp_replace(text, emailRegex, "[EMAIL]"),
       ipv4Regex, "[IP]")
 
+  /** Unicode punctuation the normalizer folds to ASCII (curly quotes,
+    * en/em dash, NBSP) — one string so the Spark `translate` and the
+    * DuckDB twin share it character-for-character. */
+  val normFrom = "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0"
+  val normTo = "''\"\"-- "
+
+  /** CCNet/C4-style text normalization: control chars → space, unicode
+    * punctuation folded to ASCII, runs of spaces collapsed, trimmed,
+    * lowercased. Pure column expression (scan-local, codegen'd); both
+    * regexes are RE2-safe so the DuckDB oracle applies the identical
+    * pipeline. Normalizing already-clean text is the identity. */
+  def normalizeText(text: Column): Column = {
+    val noCtl = regexp_replace(text, "[\\x00-\\x1f\\x7f]", " ")
+    val ascii = translate(noCtl, normFrom, normTo)
+    lower(trim(regexp_replace(ascii, " {2,}", " ")))
+  }
+
+  /** Per-document bigram list as (w1, w2) structs — the same
+    * evaluate-arrays-once zip_with construction as [[shingles]] (a
+    * `transform` + `element_at` lambda would re-split the text per
+    * element). Documents under 2 tokens yield an empty array. */
+  def bigramPairs(text: Column): Column = {
+    val toks = tokens(text)
+    val zipped = slice(zip_with(toks, slice(toks, lit(2), size(toks) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2"))), lit(1), size(toks) - 1)
+    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(zipped)
+  }
+
+  /** Bigram language-model quality score (the CCNet perplexity-filter
+    * shape, self-trained): fit add-one-smoothed bigram conditionals
+    * P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) on the corpus itself, then score
+    * each document as avg −log2 P — bits per token; high bits = surprising
+    * = low-quality/outlier text. Returns (id, n_bigrams, bits_per_token).
+    *
+    * Scale posture: the doc→bigram scan feeds both the count fit and the
+    * scoring join, so it is lineage-cut to materialize once; the fitted
+    * model is O(vocab²) rows — tiny — and is explicitly broadcast into the
+    * scoring join, as is the one-row vocabulary size; the only shuffles
+    * are the two count hash-aggregates and the final per-doc average. */
+  def bigramLmBits(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.LineageOps
+    val pairs = docs
+      .select(col(idCol).as("id"), explode(bigramPairs(col(textCol))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .cut(eager = false)
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val contextCounts = bigramCounts.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val model = bigramCounts.join(contextCounts, "w1")
+    pairs.join(broadcast(model), Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        -log2((col("c12") + 1.0) / (col("c1") + col("v"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(col("nll")).as("bits_per_token"))
+  }
+
   /** Word-level n-gram shingles: token[i..i+n-1] joined by a space.
     * Documents shorter than n tokens yield an empty array.
     *

@@ -283,5 +283,50 @@ object HygieneQueries {
             |FROM surv GROUP BY lang, split ORDER BY lang, split""".stripMargin),
     headline = true)
 
-  def all: Seq[Q] = Seq(decontam, gopher, semdedup, mix, pack, trainingCorpus)
+  /** DSIR-style importance resampling toward the English slice: hashed
+    * unigram buckets → add-one-smoothed target/raw distributions → per-doc
+    * summed log-likelihood ratio → top 25 docs by weight (rounded BEFORE
+    * the rank cut, doc_id tiebreak, so both engines cut identically).
+    * The oracle refits the identical distributions and verifies the exact
+    * resampled set — the determinism that makes domain re-weighting
+    * reproducible at 100 TB. */
+  private val importance = Q(
+    "mix_importance_resample",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      graft.operators.SamplingOps
+        .importanceWeights(d, "doc_id", "text", $"lang" === "en", 64)
+        .join(d.select($"doc_id".as("id"), $"lang"), "id")
+        .select($"id".as("doc_id"), $"lang", $"n_tokens",
+          round($"log_w", 6).as("log_w"))
+        .orderBy($"log_w".desc, $"doc_id")
+        .limit(25)
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, is_target,
+           |         ('0x'||substr(md5(token),1,8))::BIGINT % 64 AS b
+           |  FROM (SELECT doc_id, lang = 'en' AS is_target,
+           |               unnest(string_split(text,' ')) AS token
+           |        FROM documents)),
+           |stats AS (
+           |  SELECT b, count(*) AS c_raw,
+           |         sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+           |  FROM tok GROUP BY b),
+           |tot AS (SELECT sum(c_raw)::BIGINT AS t_raw,
+           |               sum(c_tgt)::BIGINT AS t_tgt FROM stats),
+           |probs AS (
+           |  SELECT b, (c_tgt + 1.0) / (t_tgt + 64) AS p_tgt,
+           |         (c_raw + 1.0) / (t_raw + 64) AS p_raw
+           |  FROM stats, tot),
+           |w AS (
+           |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           |         round(sum(ln(p_tgt) - ln(p_raw)), 6) AS log_w
+           |  FROM tok JOIN probs USING (b) GROUP BY doc_id)
+           |SELECT w.doc_id, d.lang, w.n_tokens, w.log_w
+           |FROM w JOIN documents d USING (doc_id)
+           |ORDER BY log_w DESC, doc_id LIMIT 25""".stripMargin))
+
+  def all: Seq[Q] =
+    Seq(decontam, gopher, semdedup, mix, pack, trainingCorpus, importance)
 }

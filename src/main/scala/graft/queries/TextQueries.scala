@@ -265,7 +265,80 @@ object TextQueries {
             |      '${TextOps.ipv4Regex}', '[IP]', 'g')) AS redacted_md5
             |FROM aug ORDER BY doc_id""".stripMargin))
 
+  /** CCNet/C4-style normalization over a deterministically-dirtied copy
+    * of each document (leading/trailing whitespace, an uppercased prefix
+    * echo, a tab, an NBSP) — proving the cleanup pipeline actually folds
+    * case, control chars, and space runs — plus the identity property on the
+    * already-clean original. md5 of the normalized text keeps the output
+    * compact while hash-checking every byte. */
+  private val normalizeQ = Q(
+    "text_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val dirty = concat(lit("  "), upper(substring($"text", 1, 12)),
+        lit("\t"), $"text", lit(" \u00A0 "))
+      t(s, dir).documents.select(
+        $"doc_id",
+        md5(TextOps.normalizeText(dirty)).as("norm_md5"),
+        length(TextOps.normalizeText(dirty)).as("n_chars_norm"),
+        (TextOps.normalizeText($"text") === $"text").as("already_clean"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      // the same pipeline, spelled in DuckDB: control chars → space,
+      // unicode punctuation folded via the shared translate table, space
+      // runs collapsed, trim, lower
+      def norm(e: String) =
+        s"""lower(trim(regexp_replace(translate(regexp_replace($e,
+           |    '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+           |    '${TextOps.normFrom}', '${TextOps.normTo.replace("'", "''")}'),
+           |  ' {2,}', ' ', 'g')))""".stripMargin
+      s"""WITH aug AS (
+         |  SELECT doc_id, text,
+         |         '  ' || upper(text[1:12]) || chr(9) || text ||
+         |           ' ' || chr(160) || ' ' AS dirty
+         |  FROM documents)
+         |SELECT doc_id,
+         |       md5(${norm("dirty")}) AS norm_md5,
+         |       length(${norm("dirty")})::INT AS n_chars_norm,
+         |       (${norm("text")} = text) AS already_clean
+         |FROM aug ORDER BY doc_id""".stripMargin
+    })
+
+  /** Self-trained bigram-LM scoring (the CCNet perplexity-filter shape):
+    * bits-per-token per document under add-one-smoothed corpus bigram
+    * conditionals. DuckDB twin refits the identical model; both engines
+    * compute (c12+1)/(c1+V) from exact integers, so only the final
+    * avg(−log2) needs rounding. */
+  private val perplexityQ = Q(
+    "text_perplexity_bigram",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.bigramLmBits(t(s, dir).documents, "doc_id", "text")
+        .select($"id".as("doc_id"), $"n_bigrams",
+          round($"bits_per_token", 6).as("bits_per_token"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+           |big AS (
+           |  SELECT doc_id,
+           |         unnest([{'w1': t[i], 'w2': t[i+1]}
+           |                 FOR i IN generate_series(1, len(t)-1)],
+           |                recursive := true)
+           |  FROM toks WHERE len(t) >= 2),
+           |bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+           |cc AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM bc GROUP BY w1),
+           |v AS (SELECT count(DISTINCT token) AS v
+           |      FROM (SELECT unnest(string_split(text,' ')) AS token
+           |            FROM documents))
+           |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+           |       round(avg(-log2((bc.c12 + 1.0) / (cc.c1 + v.v))), 6)
+           |         AS bits_per_token
+           |FROM big b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+           |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, bm25Q,
-      chunkQ, piiRedact)
+      chunkQ, piiRedact, normalizeQ, perplexityQ)
 }

@@ -61,6 +61,48 @@ class TextOpsSpec extends SparkSpec {
       .agg(min($"q"), max($"q")).head()
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
+
+  test("normalizeText folds case/ctl/nbsp/quotes and is identity on clean") {
+    val out = Seq(
+      "  Hello\t World  ",           // ws runs + tab + nbsp + case
+      "‘a’ “b” –c—d", // unicode punct → ascii
+      "already clean text")
+      .toDF("t").select(TextOps.normalizeText($"t")).as[String].collect()
+    assert(out(0) === "hello world")
+    assert(out(1) === "'a' \"b\" -c-d")
+    assert(out(2) === "already clean text")
+  }
+
+  test("bigram LM: repeated bigram is cheaper than a novel one") {
+    // corpus: "a b" appears 3×, "a c" once → P(b|a) > P(c|a); the doc made
+    // of the common bigram must score fewer bits than the rare one
+    val docs = Seq((1L, "a b a b a b"), (2L, "a c"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val bits = TextOps.bigramLmBits(docs, "doc_id", "text")
+      .select($"id", $"bits_per_token").as[(Long, Double)].collect().toMap
+    assert(bits(3) < bits(2), s"common bigram must be cheaper: $bits")
+    // hand-check doc 3: c("a b")=4 (3 in doc1 + doc3), context a appears
+    // 5× as bigram-left ("a b"×4 + "a c"), V=3 → P = (4+1)/(5+3) = 5/8
+    assert(math.abs(bits(3) - (-math.log(5.0 / 8) / math.log(2))) < 1e-9)
+  }
+
+  test("importance weights: target-like docs outrank off-target docs") {
+    // target slice speaks {x,y}; off-target speaks {p,q}; a fresh doc of
+    // x/y must get a higher log-ratio weight than one of p/q
+    val docs = Seq(
+      (1L, "x y x y x", "en"), (2L, "x y y x", "en"),
+      (3L, "p q p q p", "de"), (4L, "q p q q", "de"),
+      (5L, "x y x", "fr"), (6L, "p q q", "fr")).toDF("doc_id", "text", "lang")
+    val w = SamplingOps
+      .importanceWeights(docs, "doc_id", "text", $"lang" === "en", 16)
+      .select($"id", $"log_w").as[(Long, Double)].collect().toMap
+    assert(w(5) > w(6), s"target-like doc must outweigh off-target: $w")
+    // determinism: a second run produces bit-identical weights
+    val w2 = SamplingOps
+      .importanceWeights(docs, "doc_id", "text", $"lang" === "en", 16)
+      .select($"id", $"log_w").as[(Long, Double)].collect().toMap
+    assert(w === w2)
+  }
 }
 
 class DedupOpsSpec extends SparkSpec {
