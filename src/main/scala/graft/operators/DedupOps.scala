@@ -331,16 +331,24 @@ object DedupOps {
     * posture as the reference's XCom control flow. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // lazy cuts: edges and the initial labels are still materialized
+    // exactly once (checkpoint storage is populated at the first action
+    // and reused every later round), but LAZILY — round 1's convergence
+    // count computes edges + labels + the first propagation in ONE fused
+    // job instead of three sequential job launches. At sf0.1 the loop is
+    // launch-overhead-bound, not data-bound, so fewer jobs = faster wall
+    // clock; at 100 TB the materialize-once property is what matters and
+    // it is unchanged.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .cut() // reused every round — materialize once
+      .cut(eager = false) // reused every round — materialize once
     // initialization IS the first propagation round: label₀ =
     // min(id, min neighbor id) — one aggregate instead of a full
     // join+checkpoint+count iteration
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .cut()
+      .cut(eager = false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {

@@ -265,7 +265,92 @@ object EventQueries {
            |FROM isl GROUP BY user_id, island
            |ORDER BY user_id, island""".stripMargin))
 
+  /** Ordered funnel view → click → purchase: each step's timestamp is the
+    * user's first qualifying event STRICTLY after the previous step (the
+    * classic event-analytics funnel). Step frames shrink monotonically
+    * (≤ #users rows) and are broadcast into the next step's scan, so the
+    * big events table is scanned three times but never shuffled against
+    * itself; conversion = step count / previous step count. */
+  private val funnel = Q(
+    "events_funnel_steps",
+    (s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val t1 = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val t2 = e.join(broadcast(t1), "user_id")
+        .filter($"event_type" === "click" && $"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val t3 = e.join(broadcast(t2), "user_id")
+        .filter($"event_type" === "purchase" && $"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      val wide = t1.join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .agg(count($"t1").as("n1"), count($"t2").as("n2"),
+          count($"t3").as("n3"))
+      wide.select(explode(array(
+          struct(lit(1).as("step"), lit("view").as("event_type"),
+            $"n1".as("n_users"), round(lit(1.0), 6).as("conv_from_prev")),
+          struct(lit(2).as("step"), lit("click").as("event_type"),
+            $"n2".as("n_users"),
+            round($"n2".cast("double") / $"n1", 6).as("conv_from_prev")),
+          struct(lit(3).as("step"), lit("purchase").as("event_type"),
+            $"n3".as("n_users"),
+            round($"n3".cast("double") / $"n2", 6).as("conv_from_prev")))))
+        .select($"col.*")
+        .orderBy($"step")
+    },
+    Some("""WITH t1 AS (
+           |  SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |t2 AS (
+           |  SELECT e.user_id, min(e.ts) AS t2
+           |  FROM events e JOIN t1 USING (user_id)
+           |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+           |  GROUP BY e.user_id),
+           |t3 AS (
+           |  SELECT e.user_id, min(e.ts) AS t3
+           |  FROM events e JOIN t2 USING (user_id)
+           |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+           |  GROUP BY e.user_id),
+           |wide AS (
+           |  SELECT count(t1.t1) AS n1, count(t2.t2) AS n2, count(t3.t3) AS n3
+           |  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+           |SELECT step, event_type, n_users, conv_from_prev FROM (
+           |  SELECT 1::INT AS step, 'view' AS event_type, n1 AS n_users,
+           |         round(1.0::DOUBLE, 6) AS conv_from_prev FROM wide
+           |  UNION ALL
+           |  SELECT 2::INT, 'click', n2, round(n2::DOUBLE / n1, 6) FROM wide
+           |  UNION ALL
+           |  SELECT 3::INT, 'purchase', n3, round(n3::DOUBLE / n2, 6) FROM wide)
+           |ORDER BY step""".stripMargin))
+
+  /** Daily retention cohorts: users grouped by first-activity date, count
+    * of distinct active users per (cohort, day offset) — integer-exact.
+    * The cohort map is ≤ #users rows, broadcast back onto the event scan;
+    * the only real shuffle is the final (cohort, offset) aggregate. */
+  private val retention = Q(
+    "events_retention_cohorts",
+    (s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir).select($"user_id", to_date($"ts").as("d"))
+      val cohorts = e.groupBy($"user_id").agg(min($"d").as("cohort"))
+      e.join(broadcast(cohorts), "user_id")
+        .groupBy($"cohort", datediff($"d", $"cohort").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_active"))
+        .select(date_format($"cohort", "yyyy-MM-dd").as("cohort"),
+          $"day_offset", $"n_active")
+        .orderBy($"cohort", $"day_offset")
+    },
+    Some("""WITH d AS (SELECT user_id, ts::DATE AS d FROM events),
+           |cohorts AS (SELECT user_id, min(d) AS cohort FROM d GROUP BY user_id)
+           |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           |       (d.d - c.cohort)::INT AS day_offset,
+           |       count(DISTINCT d.user_id)::BIGINT AS n_active
+           |FROM d JOIN cohorts c USING (user_id)
+           |GROUP BY c.cohort, day_offset ORDER BY cohort, day_offset""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
-      intervalMerge)
+      intervalMerge, funnel, retention)
 }

@@ -245,7 +245,61 @@ object StatsQueries {
            |         AS trailing_1h_sum
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Equal-width histogram with data-driven bounds: the (min, max) row is
+    * a one-row aggregate broadcast-cross-joined into the binning scan (no
+    * driver collect), bin = floor((x−min)/width) clamped to the last bin.
+    * `floor()` explicitly on both sides — Spark's double→int cast
+    * truncates while DuckDB's rounds, so the cast form would diverge. */
+  private val histogram = Q(
+    "stats_histogram",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables(s, dir).orders
+      val bounds = o.agg(min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          least(floor(($"o_totalprice" - $"lo") / (($"hi" - $"lo") / 20.0)),
+            lit(19.0)).cast("long"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          round(min($"o_totalprice"), 2).as("bin_min"),
+          round(max($"o_totalprice"), 2).as("bin_max"))
+        .orderBy($"bin")
+    },
+    Some("""WITH b AS (SELECT min(o_totalprice) lo, max(o_totalprice) hi
+           |           FROM orders)
+           |SELECT least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)),
+           |             19.0)::BIGINT AS bin,
+           |       count(*) AS n,
+           |       round(min(o_totalprice), 2) AS bin_min,
+           |       round(max(o_totalprice), 2) AS bin_max
+           |FROM orders, b GROUP BY bin ORDER BY bin""".stripMargin))
+
+  /** Pearson correlation + sample covariance per group — the classic
+    * two-column association stats, both mergeable co-moment aggregates
+    * (map-side partials combine, same posture as stddev/var). Rounded at
+    * 4dp like the dispersion query: co-moment accumulation order differs
+    * across engines at ~1e-10 relative, far inside the rounding. */
+  private val correlation = Q(
+    "stats_correlation",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("covar_qty_price"),
+          round(corr($"l_discount", $"l_tax"), 4).as("corr_disc_tax"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           |       round(corr(l_discount, l_tax), 4) AS corr_disc_tax
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
-      groupingSets, ntileQ, rangeFrame)
+      groupingSets, ntileQ, rangeFrame, histogram, correlation)
 }

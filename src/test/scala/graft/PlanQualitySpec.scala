@@ -153,6 +153,17 @@ class PlanQualitySpec extends SparkSpec {
       s"daily close must partial-aggregate map-side:\n${plan.take(1200)}")
   }
 
+  test("funnel: step frames broadcast, events never shuffled against itself") {
+    val q = SparkEntry.queries("events_funnel_steps")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // t1/t2 step frames are ≤ #users rows — every join against the big
+    // event scan must be a broadcast, never a sort-merge self-shuffle
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"step joins must broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "funnel must not sort-merge the event table")
+  }
+
   test("line dedup plans with no pair join (window + reassembly agg only)") {
     val q = SparkEntry.queries("dedup_lines")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)
