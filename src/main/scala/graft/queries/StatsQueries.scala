@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Lineage.LineageOps
 import graft.operators.{ProfileOps, TextOps}
 
 /** Statistical / multi-dimensional aggregation coverage: grouping sets
@@ -299,7 +300,46 @@ object StatsQueries {
            |       round(corr(l_discount, l_tax), 4) AS corr_disc_tax
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Heavy hitters via count-min sketch, gated by invariant oracle: the
+    * exact top-10 token counts (hash-checked) carry two in-plan booleans —
+    * the CMS point estimate never undercounts (structural guarantee) and
+    * overshoots by less than 5·N/width (generous vs the ε≈e/width expected
+    * bound). The sketch is ONE fixed-size mergeable buffer (4×512 longs)
+    * aggregated map-side — the 100 TB frequency path when an exact
+    * per-token shuffle is too expensive; the probe is a pure column
+    * expression over the broadcast sketch (no UDF — the aggregator's
+    * bucket hash IS Spark's builtin `hash()`, spec-asserted). DuckDB twin
+    * recomputes the exact top-10 and emits literal true. */
+  private val heavyHitters = Q(
+    "stats_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val depth = 4
+      val width = 512
+      val toks = Tables(s, dir).documents
+        .select(explode(graft.operators.TextOps.tokens($"text")).as("token"))
+        .cut(eager = false)
+      val exactTop = toks.groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token").limit(10)
+      val cmsU = udaf(new graft.functions.CmsAggregator(depth, width))
+      val cmsRow = toks.agg(cmsU($"token").as("cms"), count(lit(1)).as("nb"))
+      val est = (0 until depth).map { r =>
+        element_at($"cms", lit(r * width) +
+          pmod(hash(concat($"token", lit(":" + r))), lit(width)) + 1)
+      }.reduce(least(_, _))
+      exactTop.crossJoin(broadcast(cmsRow))
+        .withColumn("est", est)
+        .select($"token", $"n",
+          ($"est" >= $"n").as("no_undercount"),
+          ($"est" <= $"n" + lit(5.0) * $"nb" / lit(width)).as("within_bound"))
+        .orderBy($"n".desc, $"token")
+    },
+    Some("""SELECT token, count(*) AS n,
+           |       true AS no_undercount, true AS within_bound
+           |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+           |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
-      groupingSets, ntileQ, rangeFrame, histogram, correlation)
+      groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Lineage.LineageOps
 import graft.operators.TextOps
 
 /** [EXT] Text-analysis queries over `documents` (SURVEY §2E): token
@@ -338,7 +339,55 @@ object TextQueries {
            |FROM big b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
            |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin))
 
+  /** PMI collocation mining: pointwise mutual information over bigram
+    * events, PMI(w1,w2) = ln(c12·NB / (cL(w1)·cR(w2))) — high-PMI pairs
+    * co-occur far above chance (the classic collocation extractor).
+    * Support floor c12 ≥ 5 kills noise; ranking cuts on the ROUNDED score
+    * with a (w1, w2) tiebreak so both engines cut identically. All counts
+    * are exact integers; the margin tables are vocab-sized → broadcast;
+    * NB is a one-row aggregate broadcast-cross-joined. */
+  private val pmiQ = Q(
+    "text_pmi_collocations",
+    (s, dir) => {
+      import s.implicits._
+      val big = t(s, dir).documents
+        .select(explode(TextOps.bigramPairs($"text")).as("bg"))
+        .select($"bg.w1", $"bg.w2")
+        .cut(eager = false)
+      val c12 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val cl = big.groupBy($"w1").agg(count(lit(1)).as("cl"))
+      val cr = big.groupBy($"w2").agg(count(lit(1)).as("cr"))
+      val nb = big.agg(count(lit(1)).as("nb"))
+      c12.filter($"c12" >= 5)
+        .join(broadcast(cl), "w1").join(broadcast(cr), "w2")
+        .crossJoin(broadcast(nb))
+        .select($"w1", $"w2", $"c12",
+          // cast BEFORE dividing: Spark long/long truncates where DuckDB's
+          // integer `/` already yields DOUBLE — both products stay exact
+          // in double (≪ 2^53)
+          round(log(($"c12" * $"nb").cast("double") / ($"cl" * $"cr")), 6)
+            .as("pmi"))
+        .orderBy($"pmi".desc, $"w1", $"w2")
+        .limit(15)
+    },
+    Some("""WITH big AS (
+           |  SELECT doc_id,
+           |         unnest([{'w1': t[i], 'w2': t[i+1]}
+           |                 FOR i IN generate_series(1, len(t)-1)],
+           |                recursive := true)
+           |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+           |  WHERE len(t) >= 2),
+           |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+           |cl AS (SELECT w1, count(*) AS cl FROM big GROUP BY w1),
+           |cr AS (SELECT w2, count(*) AS cr FROM big GROUP BY w2),
+           |nb AS (SELECT count(*) AS nb FROM big)
+           |SELECT w1, w2, c12,
+           |       round(ln(c12 * nb / (cl * cr)), 6) AS pmi
+           |FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nb
+           |WHERE c12 >= 5
+           |ORDER BY pmi DESC, w1, w2 LIMIT 15""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, bm25Q,
-      chunkQ, piiRedact, normalizeQ, perplexityQ)
+      chunkQ, piiRedact, normalizeQ, perplexityQ, pmiQ)
 }

@@ -86,6 +86,33 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(bits(3) - (-math.log(5.0 / 8) / math.log(2))) < 1e-9)
   }
 
+  test("CMS: JVM bucket hash == builtin hash() column; never undercounts") {
+    import graft.functions.CmsAggregator
+    val width = 512
+    // the pure-column probe is only valid if both sides hash identically
+    val toks = Seq("alpha", "beta", "gamma:0", "", "x y").toDF("t")
+    (0 until 4).foreach { r =>
+      val cols = toks.select(
+          pmod(hash(concat($"t", lit(":" + r))), lit(width))).as[Int].collect()
+      val jvm = Seq("alpha", "beta", "gamma:0", "", "x y")
+        .map(CmsAggregator.bucket(_, r, width))
+      assert(cols.toSeq === jvm, s"row $r hash mismatch")
+    }
+    // merge of split sketches == sketch of the whole; estimates ≥ truth
+    val agg = new CmsAggregator(4, width)
+    val data = Seq.fill(200)("hot") ++ (1 to 300).map(i => s"tok$i")
+    val (l, rr) = data.splitAt(137)
+    val whole = data.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      rr.foldLeft(agg.zero)(agg.reduce))
+    assert(whole.toSeq === merged.toSeq)
+    def estimate(tok: String) = (0 until 4).map { r =>
+      whole(r * width + CmsAggregator.bucket(tok, r, width))
+    }.min
+    assert(estimate("hot") >= 200)
+    assert((1 to 300).forall(i => estimate(s"tok$i") >= 1))
+  }
+
   test("importance weights: target-like docs outrank off-target docs") {
     // target slice speaks {x,y}; off-target speaks {p,q}; a fresh doc of
     // x/y must get a higher log-ratio weight than one of p/q
