@@ -514,11 +514,74 @@ object RelationalQueries {
            |      FROM customer)
            |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin))
 
+  /** Full outer join: per-nation customer vs supplier counts — nations
+    * with only one side present keep NULL-coalesced zeros on the other.
+    * Both sides pre-aggregate to ≤ #nations rows BEFORE the join (partial
+    * aggregation collapses the big tables map-side), so the outer join
+    * itself touches only dim-sized inputs. */
+  private val fullOuter = Q(
+    "join_full_outer_nations",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir).customer.groupBy($"c_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val su = t(s, dir).supplier.groupBy($"s_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select($"nationkey",
+          coalesce($"n_customers", lit(0L)).as("n_customers"),
+          coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+        .orderBy($"nationkey")
+    },
+    Some("""WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+           |           FROM customer GROUP BY 1),
+           |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+           |      FROM supplier GROUP BY 1)
+           |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           |       coalesce(n_customers, 0) AS n_customers,
+           |       coalesce(n_suppliers, 0) AS n_suppliers
+           |FROM c FULL OUTER JOIN s USING (nationkey)
+           |ORDER BY nationkey""".stripMargin))
+
+  /** first_value / last_value / nth_value over an explicit full-partition
+    * frame — the frame spec matters: last_value over the DEFAULT frame
+    * (unbounded preceding → current row) is just the current row, a
+    * classic window footgun both engines share. */
+  private val firstLast = Q(
+    "window_first_last",
+    (s, dir) => {
+      import s.implicits._
+      val frame = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir).orders
+        .select($"o_orderstatus", $"o_orderkey",
+          first($"o_orderkey").over(frame).as("first_key"),
+          last($"o_orderkey").over(frame).as("last_key"),
+          nth_value($"o_orderkey", 2).over(frame).as("second_key"))
+        .groupBy($"o_orderstatus")
+        .agg(max($"first_key").as("first_key"), max($"last_key").as("last_key"),
+          max($"second_key").as("second_key"), count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+           |       max(first_key) AS first_key, max(last_key) AS last_key,
+           |       max(second_key) AS second_key, count(*) AS n
+           |FROM (SELECT o_orderstatus,
+           |        first_value(o_orderkey) OVER w AS first_key,
+           |        last_value(o_orderkey) OVER w AS last_key,
+           |        nth_value(o_orderkey, 2) OVER w AS second_key
+           |      FROM orders
+           |      WINDOW w AS (PARTITION BY o_orderstatus
+           |        ORDER BY o_orderdate, o_orderkey
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   private val all0: Seq[Q] = Seq(
     q1, q3, q5, s3Lookup, f5, semi, q17,
     f3, f6, f7, f18, f19,
     f1, f4, pivotQ, f11, f13, f14, f8,
-    setExcept, setUnion, topk)
+    setExcept, setUnion, topk, fullOuter, firstLast)
 
   def all: Seq[Q] = all0
 }

@@ -65,6 +65,51 @@ object StreamingOps {
       }
   }
 
+  /** Funnel state: earliest micros of each reached step (None = not yet).
+    * O(1) per key — the watermark-free analog of a conversion tracker. */
+  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+  case class FunnelProgress(user_id: Long, step: Int)
+
+  /** Streaming ordered funnel via `flatMapGroupsWithState`: per user, a
+    * 3-step state machine (steps(0) → steps(1) → steps(2)) where each
+    * step's timestamp must be STRICTLY after the previous step's — the
+    * incremental twin of the batch `events_funnel_steps` chain (first
+    * qualifying event per step). Rows inside one micro-batch arrive
+    * unordered, so each invocation folds its rows in (ts, event_id)
+    * order; across batches the state carries the earliest step times, so
+    * in-order batch arrival (the CDC contract, same as SCD2 upsert)
+    * yields exactly the batch result. Emits the user's current step count
+    * on every update. */
+  def funnelProgress(events: Dataset[Event], steps: Seq[String])
+      : Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(steps.size == 3, "3-step funnel")
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            if (st.t1.isEmpty) {
+              if (e.event_type == steps(0)) st = st.copy(t1 = Some(us))
+            } else if (st.t2.isEmpty) {
+              if (e.event_type == steps(1) && us > st.t1.get)
+                st = st.copy(t2 = Some(us))
+            } else if (st.t3.isEmpty) {
+              if (e.event_type == steps(2) && us > st.t2.get)
+                st = st.copy(t3 = Some(us))
+            }
+          }
+          state.update(st)
+          Iterator(FunnelProgress(uid,
+            Seq(st.t1, st.t2, st.t3).count(_.nonEmpty)))
+      }
+  }
+
   /** Streaming exact dedup with bounded state: drop duplicate keys whose
     * event time is within the watermark; state for keys older than the
     * watermark is reclaimed — the streaming twin of exact dedup for an

@@ -115,4 +115,53 @@ class StreamBatchParitySpec extends SparkSpec {
         .collect().sortBy(r => (r._1, r._2)).toSeq
     assert(canon(history) === canon(expected))
   }
+
+  test("funnel state machine: streaming flatMapGroupsWithState == batch chain") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-funnel")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(graft.TestSpark.sfDir + "/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(stageDir.toString).schema
+
+    val streamed = spark.readStream
+      .schema(schema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamingOps.Event]
+    val q = StreamingOps
+      .funnelProgress(streamed, Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamedSteps = spark.table("funnel_out")
+      .as[(Long, Int)].collect().toMap
+
+    // batch truth: the events_funnel_steps chain, kept per-user
+    val e = graft.core.Tables(spark, graft.TestSpark.sfDir).events
+    val t1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val t2 = e.join(t1, "user_id")
+      .filter($"event_type" === "click" && $"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val t3 = e.join(t2, "user_id")
+      .filter($"event_type" === "purchase" && $"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val batchSteps = t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select($"user_id",
+        ($"t1".isNotNull.cast("int") + $"t2".isNotNull.cast("int") +
+          $"t3".isNotNull.cast("int")).as("step"))
+      .as[(Long, Int)].collect().toMap
+
+    // every user with a step-1 event must agree exactly; users with no
+    // 'view' at all emit step 0 in streaming and are absent from batch t1
+    batchSteps.foreach { case (u, s) =>
+      assert(streamedSteps(u) === s, s"user $u: batch $s vs ${streamedSteps(u)}")
+    }
+    streamedSteps.filterNot(kv => batchSteps.contains(kv._1))
+      .foreach { case (u, s) => assert(s === 0, s"user $u should be step 0") }
+  }
 }
