@@ -350,7 +350,55 @@ object EventQueries {
            |FROM d JOIN cohorts c USING (user_id)
            |GROUP BY c.cohort, day_offset ORDER BY cohort, day_offset""".stripMargin))
 
+  /** Point-in-time dimension lookup: each purchase event joined to the
+    * SCD2 history segment (events_scd2_history's build) that was CURRENT
+    * at the purchase timestamp — `eff_from ≤ ts < eff_to` with the
+    * half-open interval making exactly one segment match. This is the
+    * label-leakage-safe enrichment pattern: training features must read
+    * the dimension AS OF the event time, never the latest row. The join
+    * is user-equi first (one shuffle on the key both sides already
+    * share), the interval predicate filters within the key group. */
+  private val pointInTime = Q(
+    "events_point_in_time_join",
+    (s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val hist = graft.operators.RelationalOps.scd2(
+          e.select($"user_id", $"ts", $"event_id", $"event_type"),
+          "user_id", "ts", "event_id", Seq("event_type"))
+        .select($"user_id".as("h_user"), $"event_type".as("seg_type"),
+          $"ts".as("eff_from"), $"effective_to")
+      e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+        .join(hist, $"user_id" === $"h_user" && $"ts" >= $"eff_from" &&
+          ($"effective_to".isNull || $"ts" < $"effective_to"))
+        .select($"event_id", $"user_id",
+          date_format($"ts", fmt).as("ts"), $"seg_type",
+          unix_micros($"eff_from").as("eff_from_us"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH ordered AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |         lag(event_type) OVER
+           |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           |  FROM events),
+           |hist AS (
+           |  SELECT user_id, event_type AS seg_type, ts AS eff_from,
+           |         lead(ts) OVER
+           |           (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+           |  FROM ordered
+           |  WHERE prev_type IS NULL OR prev_type <> event_type),
+           |p AS (SELECT event_id, user_id, ts FROM events
+           |      WHERE event_type = 'purchase')
+           |SELECT p.event_id, p.user_id,
+           |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           |       h.seg_type, epoch_us(h.eff_from) AS eff_from_us
+           |FROM p JOIN hist h
+           |  ON p.user_id = h.user_id AND p.ts >= h.eff_from
+           | AND (h.eff_to IS NULL OR p.ts < h.eff_to)
+           |ORDER BY p.event_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
-      intervalMerge, funnel, retention)
+      intervalMerge, funnel, retention, pointInTime)
 }
