@@ -90,4 +90,57 @@ object GoldOps {
       : DataFrame =
     prices.join(broadcast(calendar.select(col("date").as(date),
       col("is_market_holiday"), col("quarter_id"))), Seq(date), "left")
+
+  /** OHLC bars as MERGEABLE PARTIALS: same bars as [[ohlcResample]] plus
+    * the ordering keys (open/close ts + tiebreak) that make two partial
+    * bars combinable. This is the incremental-gold algebra: maintain the
+    * bar table by merging each micro-batch's partials into the stored
+    * partials (associative and order-independent — spec-asserted), never
+    * re-reading history. Project the partials through [[ohlcFinish]] for
+    * the user-facing bar columns. */
+  def ohlcPartials(series: DataFrame, key: String, tsCol: String,
+                   tiebreak: String, valueCol: String,
+                   bucket: Column): DataFrame = {
+    val ord = struct(col(tsCol), col(tiebreak))
+    val keyed = struct(col(valueCol).as("v"), col(tsCol).as("ts"),
+      col(tiebreak).as("tb"))
+    series.groupBy(col(key), bucket.as("bucket"))
+      .agg(min_by(keyed, ord).as("o"), max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"), max_by(keyed, ord).as("c"),
+        count(lit(1)).as("n"))
+      .select(col(key), col("bucket"),
+        col("o.v").as("open"), col("o.ts").as("open_ts"),
+        col("o.tb").as("open_tb"),
+        col("high"), col("low"),
+        col("c.v").as("close"), col("c.ts").as("close_ts"),
+        col("c.tb").as("close_tb"), col("n"))
+  }
+
+  /** Merge two partial-bar tables: earliest open wins, extremes combine,
+    * latest close wins, counts add. One hash aggregate on (key, bucket) —
+    * the micro-batch side is usually tiny, so at scale this is a
+    * broadcast-sized increment against a bucketed bar table. */
+  def ohlcMergePartials(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val openKeyed = struct(col("open").as("v"), col("open_ts").as("ts"),
+      col("open_tb").as("tb"))
+    val closeKeyed = struct(col("close").as("v"), col("close_ts").as("ts"),
+      col("close_tb").as("tb"))
+    a.unionByName(b).groupBy(col(key), col("bucket"))
+      .agg(
+        min_by(openKeyed, struct(col("open_ts"), col("open_tb"))).as("o"),
+        max(col("high")).as("high"), min(col("low")).as("low"),
+        max_by(closeKeyed, struct(col("close_ts"), col("close_tb"))).as("c"),
+        sum(col("n")).as("n"))
+      .select(col(key), col("bucket"),
+        col("o.v").as("open"), col("o.ts").as("open_ts"),
+        col("o.tb").as("open_tb"),
+        col("high"), col("low"),
+        col("c.v").as("close"), col("c.ts").as("close_ts"),
+        col("c.tb").as("close_tb"), col("n"))
+  }
+
+  /** User-facing bar projection of a partials table. */
+  def ohlcFinish(partials: DataFrame, key: String): DataFrame =
+    partials.select(col(key), col("bucket"), col("open"), col("high"),
+      col("low"), col("close"), col("n"))
 }

@@ -242,11 +242,18 @@ object GoldQueries {
           Seq("usd_krw", "jpy100_krw"), "pair", "rate")
         .filter($"pair" === "usd_krw").select($"date", $"rate")
       val w = Window.partitionBy($"symbol").orderBy($"date")
+      // a zero close (possible in the synthetic series) must yield NULL
+      // return, not an ANSI divide-by-zero — guard explicitly on both
+      // engines rather than relying on engine-specific /0 semantics
+      def ret(c: org.apache.spark.sql.Column) = {
+        val prev = lag(c, 1).over(w)
+        when(prev =!= 0.0, c / prev - 1)
+      }
       prices.join(broadcast(workingDays), Seq("date"))
         .join(broadcast(usd), Seq("date"))
         .withColumn("close_usd", $"close_krw" / $"rate")
-        .withColumn("ret_krw", $"close_krw" / lag($"close_krw", 1).over(w) - 1)
-        .withColumn("ret_usd", $"close_usd" / lag($"close_usd", 1).over(w) - 1)
+        .withColumn("ret_krw", ret($"close_krw"))
+        .withColumn("ret_usd", ret($"close_usd"))
         .select($"symbol", date_format($"date", "yyyy-MM-dd").as("date"),
           round($"close_krw", 2).as("close_krw"),
           round($"close_usd", 6).as("close_usd"),
@@ -276,8 +283,10 @@ object GoldQueries {
          |SELECT symbol, strftime(date, '%Y-%m-%d') AS date,
          |       round(close_krw, 2) AS close_krw,
          |       round(close_usd, 6) AS close_usd,
-         |       round(close_krw / lag(close_krw) OVER w - 1, 6) AS ret_krw,
-         |       round(close_usd / lag(close_usd) OVER w - 1, 6) AS ret_usd
+         |       round(CASE WHEN lag(close_krw) OVER w <> 0
+         |             THEN close_krw / lag(close_krw) OVER w - 1 END, 6) AS ret_krw,
+         |       round(CASE WHEN lag(close_usd) OVER w <> 0
+         |             THEN close_usd / lag(close_usd) OVER w - 1 END, 6) AS ret_usd
          |FROM j
          |WINDOW w AS (PARTITION BY symbol ORDER BY date)
          |ORDER BY symbol, date""".stripMargin

@@ -577,11 +577,99 @@ object RelationalQueries {
            |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** TPC-H Q7 shape — bilateral shipping volume: revenue flowing between
+    * two chosen nations (supplier side ↔ customer side) per year, both
+    * directions. Five joins: the fact table joins four dims, every dim
+    * side broadcast; the cross-pair filter ((s=A ∧ c=B) ∨ (s=B ∧ c=A))
+    * lands on the joined row before aggregation. Catalyst's join reorder
+    * + broadcast selection is the thing under test. */
+  private val q7 = Q(
+    "q7_nation_volume",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      tt.lineitem
+        .join(tt.orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(tt.customer), $"o_custkey" === $"c_custkey")
+        .join(broadcast(tt.supplier), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(tt.nation.select($"n_nationkey".as("ck"),
+          $"n_name".as("cust_nation"))), $"c_nationkey" === $"ck")
+        .join(broadcast(tt.nation.select($"n_nationkey".as("sk"),
+          $"n_name".as("supp_nation"))), $"s_nationkey" === $"sk")
+        .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+          ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").as("l_year"))
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    },
+    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           |       year(l_shipdate)::INT AS l_year,
+           |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |       count(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
+  /** TPC-H Q8 shape — market share: NATION_3 suppliers' fraction of total
+    * PROMO-part revenue per order year. The share is a conditional-sum /
+    * sum ratio computed INSIDE each group (one aggregation, no second
+    * pass); integer-exact counts ride along, the double ratio rounds at
+    * 6 after identical-operand division on both engines. */
+  private val q8 = Q(
+    "q8_market_share",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      tt.lineitem
+        .join(broadcast(tt.part.filter($"p_type" === "PROMO")),
+          $"l_partkey" === $"p_partkey")
+        .join(tt.orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(tt.supplier), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(tt.nation), $"s_nationkey" === $"n_nationkey")
+        // raw products into the sums — per-row rounding would land on
+        // exact 4-decimal midpoints where Spark (HALF_UP) and DuckDB
+        // (HALF_EVEN) disagree; only OUTPUTS round
+        .withColumn("vol", $"l_extendedprice" * (lit(1) - $"l_discount"))
+        .groupBy(year($"o_orderdate").as("o_year"))
+        .agg(
+          sum(when($"n_name" === "NATION_3", $"vol").otherwise(0.0)).as("nv"),
+          sum($"vol").as("tv"),
+          count(lit(1)).as("n_items"))
+        .select($"o_year", round($"nv", 2).as("nation_vol"),
+          round($"tv", 2).as("total_vol"),
+          round($"nv" / $"tv", 6).as("mkt_share"), $"n_items")
+        .orderBy($"o_year")
+    },
+    Some("""WITH base AS (
+           |  SELECT year(o_orderdate)::INT AS o_year, n_name,
+           |         l_extendedprice * (1 - l_discount) AS vol
+           |  FROM lineitem
+           |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey)
+           |SELECT o_year,
+           |       round(sum(CASE WHEN n_name = 'NATION_3' THEN vol ELSE 0 END), 2)
+           |         AS nation_vol,
+           |       round(sum(vol), 2) AS total_vol,
+           |       round(sum(CASE WHEN n_name = 'NATION_3' THEN vol ELSE 0 END)
+           |             / sum(vol), 6) AS mkt_share,
+           |       count(*) AS n_items
+           |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin))
+
   private val all0: Seq[Q] = Seq(
     q1, q3, q5, s3Lookup, f5, semi, q17,
     f3, f6, f7, f18, f19,
     f1, f4, pivotQ, f11, f13, f14, f8,
-    setExcept, setUnion, topk, fullOuter, firstLast)
+    setExcept, setUnion, topk, fullOuter, firstLast, q7, q8)
 
   def all: Seq[Q] = all0
 }

@@ -62,4 +62,33 @@ class GoldOpsSpec extends SparkSpec {
     assert(out.filter($"d" === "2025-01-02")
       .select($"quarter_id").as[String].head() === "2025Q1")
   }
+
+  test("OHLC partials merge == batch resample, in any merge order") {
+    val e = graft.core.Tables(spark, graft.TestSpark.sfDir).events
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"bucket", round($"open", 6).as("open"),
+          round($"high", 6).as("high"), round($"low", 6).as("low"),
+          round($"close", 6).as("close"), $"n".cast("long").as("n"))
+        .as[(Long, String, Double, Double, Double, Double, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val whole = canon(GoldOps.ohlcResample(e, "user_id", "ts", "event_id",
+      "value", date_format($"ts", "yyyyMM")))
+    // three disjoint chunks that cut straight through the MONTHLY bucket
+    // (all events are January), so every merge must stitch partial bars:
+    // earliest open wins, extremes combine, latest close wins, counts add
+    val chunks = Seq($"ts" < "2024-01-11",
+      $"ts" >= "2024-01-11" && $"ts" < "2024-01-21", $"ts" >= "2024-01-21")
+      .map(p => GoldOps.ohlcPartials(e.filter(p), "user_id", "ts",
+        "event_id", "value", date_format($"ts", "yyyyMM")))
+    val fwd = canon(GoldOps.ohlcFinish(
+      GoldOps.ohlcMergePartials(
+        GoldOps.ohlcMergePartials(chunks(0), chunks(1), "user_id"),
+        chunks(2), "user_id"), "user_id"))
+    val rev = canon(GoldOps.ohlcFinish(
+      GoldOps.ohlcMergePartials(chunks(0),
+        GoldOps.ohlcMergePartials(chunks(2), chunks(1), "user_id"),
+        "user_id"), "user_id"))
+    assert(fwd === whole)
+    assert(rev === whole)
+  }
 }
