@@ -293,10 +293,12 @@ object EventQueries {
             $"n1".as("n_users"), round(lit(1.0), 6).as("conv_from_prev")),
           struct(lit(2).as("step"), lit("click").as("event_type"),
             $"n2".as("n_users"),
-            round($"n2".cast("double") / $"n1", 6).as("conv_from_prev")),
+            round(when($"n1" > 0, $"n2".cast("double") / $"n1"), 6)
+              .as("conv_from_prev")),
           struct(lit(3).as("step"), lit("purchase").as("event_type"),
             $"n3".as("n_users"),
-            round($"n3".cast("double") / $"n2", 6).as("conv_from_prev")))))
+            round(when($"n2" > 0, $"n3".cast("double") / $"n2"), 6)
+              .as("conv_from_prev")))))
         .select($"col.*")
         .orderBy($"step")
     },
@@ -320,9 +322,11 @@ object EventQueries {
            |  SELECT 1::INT AS step, 'view' AS event_type, n1 AS n_users,
            |         round(1.0::DOUBLE, 6) AS conv_from_prev FROM wide
            |  UNION ALL
-           |  SELECT 2::INT, 'click', n2, round(n2::DOUBLE / n1, 6) FROM wide
+           |  SELECT 2::INT, 'click', n2,
+           |         round(CASE WHEN n1 > 0 THEN n2::DOUBLE / n1 END, 6) FROM wide
            |  UNION ALL
-           |  SELECT 3::INT, 'purchase', n3, round(n3::DOUBLE / n2, 6) FROM wide)
+           |  SELECT 3::INT, 'purchase', n3,
+           |         round(CASE WHEN n2 > 0 THEN n3::DOUBLE / n2 END, 6) FROM wide)
            |ORDER BY step""".stripMargin))
 
   /** Daily retention cohorts: users grouped by first-activity date, count
