@@ -202,10 +202,14 @@ object TextOps {
     * = low-quality/outlier text. Returns (id, n_bigrams, bits_per_token).
     *
     * Scale posture: the doc→bigram scan feeds both the count fit and the
-    * scoring join, so it is lineage-cut to materialize once; the fitted
-    * model is O(vocab²) rows — tiny — and is explicitly broadcast into the
-    * scoring join, as is the one-row vocabulary size; the only shuffles
-    * are the two count hash-aggregates and the final per-doc average. */
+    * scoring join, so it is lineage-cut to materialize once. The fitted
+    * model is O(observed bigrams) rows — small on this corpus but
+    * UNBOUNDED on a real one (vocab² worst case), so the scoring join is
+    * NOT hint-broadcast: Catalyst/AQE broadcasts it when its measured
+    * size allows and falls back to a (w1,w2)-keyed shuffle join when it
+    * doesn't. Only the provably-one-row vocabulary size is explicitly
+    * broadcast. The shuffles: two count hash-aggregates, the scoring
+    * join, the final per-doc average. */
   def bigramLmBits(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String): org.apache.spark.sql.DataFrame = {
     import graft.core.Lineage.LineageOps
@@ -218,7 +222,7 @@ object TextOps {
     val vocab = docs.select(explode(tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     val model = bigramCounts.join(contextCounts, "w1")
-    pairs.join(broadcast(model), Seq("w1", "w2"))
+    pairs.join(model, Seq("w1", "w2"))
       .crossJoin(broadcast(vocab))
       .withColumn("nll",
         -log2((col("c12") + 1.0) / (col("c1") + col("v"))))

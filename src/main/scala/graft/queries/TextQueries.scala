@@ -344,8 +344,10 @@ object TextQueries {
     * co-occur far above chance (the classic collocation extractor).
     * Support floor c12 ≥ 5 kills noise; ranking cuts on the ROUNDED score
     * with a (w1, w2) tiebreak so both engines cut identically. All counts
-    * are exact integers; the margin tables are vocab-sized → broadcast;
-    * NB is a one-row aggregate broadcast-cross-joined. */
+    * are exact integers. The margin tables are O(vocab) — unbounded on a
+    * real corpus — so their joins are left to Catalyst/AQE (broadcast
+    * when measured-small, keyed shuffle otherwise); only the one-row NB
+    * aggregate is explicitly broadcast-cross-joined. */
   private val pmiQ = Q(
     "text_pmi_collocations",
     (s, dir) => {
@@ -359,7 +361,7 @@ object TextQueries {
       val cr = big.groupBy($"w2").agg(count(lit(1)).as("cr"))
       val nb = big.agg(count(lit(1)).as("nb"))
       c12.filter($"c12" >= 5)
-        .join(broadcast(cl), "w1").join(broadcast(cr), "w2")
+        .join(cl, "w1").join(cr, "w2")
         .crossJoin(broadcast(nb))
         .select($"w1", $"w2", $"c12",
           // cast BEFORE dividing: Spark long/long truncates where DuckDB's
