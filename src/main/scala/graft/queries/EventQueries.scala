@@ -267,25 +267,33 @@ object EventQueries {
 
   /** Ordered funnel view → click → purchase: each step's timestamp is the
     * user's first qualifying event STRICTLY after the previous step (the
-    * classic event-analytics funnel). Step frames shrink monotonically
-    * (≤ #users rows) and are broadcast into the next step's scan, so the
-    * big events table is scanned three times but never shuffled against
-    * itself; conversion = step count / previous step count. */
+    * classic event-analytics funnel).
+    *
+    * Scale shape: ZERO joins, ONE shuffle. Step times are layered
+    * whole-partition windows over user_id — `t2 = min(click ts where
+    * ts > t1) over (partition by user)` reads the previous layer's column
+    * in the same partitioning, and the per-user collapse + global count
+    * reuse that exchange. A broadcast-the-step-frames formulation would
+    * cap out when #users outgrows the driver; this one only ever
+    * partitions by user, which is the key the data already has.
+    * Plan-asserted: no Join operator, exactly one hash exchange. */
   private val funnel = Q(
     "events_funnel_steps",
     (s, dir) => {
       import s.implicits._
       val e = ev(s, dir)
-      val t1 = e.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("t1"))
-      val t2 = e.join(broadcast(t1), "user_id")
-        .filter($"event_type" === "click" && $"ts" > $"t1")
-        .groupBy($"user_id").agg(min($"ts").as("t2"))
-      val t3 = e.join(broadcast(t2), "user_id")
-        .filter($"event_type" === "purchase" && $"ts" > $"t2")
-        .groupBy($"user_id").agg(min($"ts").as("t3"))
-      val wide = t1.join(t2, Seq("user_id"), "left")
-        .join(t3, Seq("user_id"), "left")
+      val byUser = Window.partitionBy($"user_id")
+      val layered = e
+        .withColumn("t1",
+          min(when($"event_type" === "view", $"ts")).over(byUser))
+        .withColumn("t2", min(when(
+          $"event_type" === "click" && $"ts" > $"t1", $"ts")).over(byUser))
+        .withColumn("t3", min(when(
+          $"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(byUser))
+      val wide = layered
+        .groupBy($"user_id")
+        .agg(first($"t1").as("t1"), first($"t2").as("t2"),
+          first($"t3").as("t3"))
         .agg(count($"t1").as("n1"), count($"t2").as("n2"),
           count($"t3").as("n3"))
       wide.select(explode(array(

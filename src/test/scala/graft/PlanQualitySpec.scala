@@ -153,15 +153,16 @@ class PlanQualitySpec extends SparkSpec {
       s"daily close must partial-aggregate map-side:\n${plan.take(1200)}")
   }
 
-  test("funnel: step frames broadcast, events never shuffled against itself") {
+  test("funnel: zero joins, one hash exchange (layered windows on user)") {
     val q = SparkEntry.queries("events_funnel_steps")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)
-    // t1/t2 step frames are ≤ #users rows — every join against the big
-    // event scan must be a broadcast, never a sort-merge self-shuffle
-    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
-      s"step joins must broadcast:\n${plan.take(1200)}")
-    assert(!plan.contains("SortMergeJoin"),
-      "funnel must not sort-merge the event table")
+    // the layered-window form never joins and shuffles the events once,
+    // on user_id — the windows, per-user collapse, and global count all
+    // reuse that one exchange (remaining exchanges are the single-row
+    // global agg and the 3-row final sort)
+    assert(!plan.contains("Join"), s"funnel must not join:\n${plan.take(1200)}")
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1,
+      s"events must shuffle exactly once:\n${plan.take(1200)}")
   }
 
   test("line dedup plans with no pair join (window + reassembly agg only)") {
