@@ -339,15 +339,17 @@ object EventQueries {
 
   /** Daily retention cohorts: users grouped by first-activity date, count
     * of distinct active users per (cohort, day offset) — integer-exact.
-    * The cohort map is ≤ #users rows, broadcast back onto the event scan;
-    * the only real shuffle is the final (cohort, offset) aggregate. */
+    * Zero joins: the cohort date is a min-over-user window (a
+    * broadcast-the-cohort-map formulation would be O(#users) on the
+    * driver); the only shuffles are the user partitioning and the final
+    * (cohort, offset) distinct-count — both unavoidable key changes. */
   private val retention = Q(
     "events_retention_cohorts",
     (s, dir) => {
       import s.implicits._
-      val e = ev(s, dir).select($"user_id", to_date($"ts").as("d"))
-      val cohorts = e.groupBy($"user_id").agg(min($"d").as("cohort"))
-      e.join(broadcast(cohorts), "user_id")
+      ev(s, dir).select($"user_id", to_date($"ts").as("d"))
+        .withColumn("cohort",
+          min($"d").over(Window.partitionBy($"user_id")))
         .groupBy($"cohort", datediff($"d", $"cohort").as("day_offset"))
         .agg(countDistinct($"user_id").as("n_active"))
         .select(date_format($"cohort", "yyyy-MM-dd").as("cohort"),

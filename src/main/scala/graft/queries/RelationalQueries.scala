@@ -588,10 +588,13 @@ object RelationalQueries {
     (s, dir) => {
       import s.implicits._
       val tt = t(s, dir)
+      // hint policy: only CONSTANT-bounded tables (nation: 25 rows) get a
+      // broadcast hint; customer/supplier scale with SF, so their join
+      // strategy is left to Catalyst/AQE (broadcast when measured-small)
       tt.lineitem
         .join(tt.orders, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(tt.customer), $"o_custkey" === $"c_custkey")
-        .join(broadcast(tt.supplier), $"l_suppkey" === $"s_suppkey")
+        .join(tt.customer, $"o_custkey" === $"c_custkey")
+        .join(tt.supplier, $"l_suppkey" === $"s_suppkey")
         .join(broadcast(tt.nation.select($"n_nationkey".as("ck"),
           $"n_name".as("cust_nation"))), $"c_nationkey" === $"ck")
         .join(broadcast(tt.nation.select($"n_nationkey".as("sk"),
@@ -628,11 +631,13 @@ object RelationalQueries {
     (s, dir) => {
       import s.implicits._
       val tt = t(s, dir)
+      // part/supplier scale with SF — no forced broadcast (AQE decides);
+      // nation is constant-bounded
       tt.lineitem
-        .join(broadcast(tt.part.filter($"p_type" === "PROMO")),
+        .join(tt.part.filter($"p_type" === "PROMO"),
           $"l_partkey" === $"p_partkey")
         .join(tt.orders, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(tt.supplier), $"l_suppkey" === $"s_suppkey")
+        .join(tt.supplier, $"l_suppkey" === $"s_suppkey")
         .join(broadcast(tt.nation), $"s_nationkey" === $"n_nationkey")
         // raw products into the sums — per-row rounding would land on
         // exact 4-decimal midpoints where Spark (HALF_UP) and DuckDB
