@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.core.Lineage.LineageOps
 import graft.operators.{ProfileOps, TextOps}
@@ -339,7 +340,61 @@ object StatsQueries {
            |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
            |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin))
 
+  /** ROC AUC of a score against a binary label via the Mann–Whitney
+    * U statistic — the scalable classifier-evaluation path (no threshold
+    * sweep, no per-row global rank): first a hash aggregate to per-
+    * DISTINCT-SCORE (pos, neg) counts, then one running-sum window over
+    * those (cardinality = distinct scores, here bounded by 6dp rounding —
+    * orders of magnitude below row count), then
+    * U = Σ_s n⁺_s · (cum_neg_below + n⁻_s/2) and AUC = U / (n⁺·n⁻).
+    * Ties contribute the half term exactly. Here: does the composite
+    * quality score separate English documents from the rest? */
+  private val aucQ = Q(
+    "stats_auc_quality",
+    (s, dir) => {
+      import s.implicits._
+      val byScore = Tables(s, dir).documents
+        .select(($"lang" === "en").as("pos"),
+          TextOps.qualityScore($"text").as("score"))
+        .groupBy($"score")
+        .agg(sum(when($"pos", 1L).otherwise(0L)).as("np"),
+          sum(when(!$"pos", 1L).otherwise(0L)).as("nn"))
+      val below = Window.orderBy($"score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("cum_neg", coalesce(sum($"nn").over(below), lit(0L)))
+        .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+          sum($"np" * ($"cum_neg" + $"nn" / 2.0)).as("u"))
+        .select($"n_pos", $"n_neg",
+          round($"u" / ($"n_pos" * $"n_neg"), 6).as("auc"))
+    },
+    Some("""WITH scored AS (
+           |  SELECT lang = 'en' AS pos,
+           |    round(least(length(text)::DOUBLE/500.0, 1.0)*0.5
+           |      + (1.0 - least(round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+           |                    / length(text), 6)*5.0, 1.0))*0.3
+           |      + least(round(len(list_filter(string_split(text,' '),
+           |                t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+           |              / len(string_split(text,' ')), 6)*4.0, 1.0)*0.2, 6) AS score
+           |  FROM documents),
+           |by_score AS (
+           |  SELECT score,
+           |         sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS np,
+           |         sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS nn
+           |  FROM scored GROUP BY score),
+           |cum AS (
+           |  SELECT np, nn,
+           |         coalesce(sum(nn) OVER (ORDER BY score
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS cum_neg
+           |  FROM by_score)
+           |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+           |       round(sum(np * (cum_neg + nn / 2.0))
+           |             / (sum(np) * sum(nn)), 6) AS auc
+           |FROM cum""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
-      groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters)
+      groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
+      aucQ)
 }

@@ -116,6 +116,52 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(canon(history) === canon(expected))
   }
 
+  test("OHLC bars maintained incrementally via foreachBatch == batch bars") {
+    import graft.gold.GoldOps
+    val log = graft.core.Tables(spark, graft.TestSpark.sfDir).events
+      .select($"user_id", $"ts", $"event_id", $"value")
+    // stage 3 time-ordered chunk files (mod-times make the file source's
+    // oldest-first order deterministic; one micro-batch per file)
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-ohlc").toFile
+    val t0 = System.currentTimeMillis() - 600000
+    Seq($"ts" < "2024-01-11", $"ts" >= "2024-01-11" && $"ts" < "2024-01-21",
+        $"ts" >= "2024-01-21").zipWithIndex.foreach { case (pred, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-ohlc-c$i")
+      log.filter(pred).coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val part = tmp.resolve("p").toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(stageDir, s"chunk-$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 10000L)
+    }
+
+    val monthly = date_format($"ts", "yyyyMM")
+    var bars = GoldOps.ohlcPartials(log.limit(0), "user_id", "ts",
+      "event_id", "value", monthly).localCheckpoint()
+    val q = spark.readStream
+      .schema(log.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        bars = GoldOps.ohlcMergePartials(bars,
+          GoldOps.ohlcPartials(batch, "user_id", "ts", "event_id", "value",
+            date_format(batch("ts"), "yyyyMM")), "user_id").localCheckpoint()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"bucket", round($"open", 6), round($"high", 6),
+          round($"low", 6), round($"close", 6), $"n".cast("long"))
+        .as[(Long, String, Double, Double, Double, Double, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = canon(GoldOps.ohlcResample(log, "user_id", "ts",
+      "event_id", "value", monthly))
+    assert(canon(GoldOps.ohlcFinish(bars, "user_id")) === expected)
+  }
+
   test("funnel state machine: streaming flatMapGroupsWithState == batch chain") {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-funnel")
     java.nio.file.Files.copy(
