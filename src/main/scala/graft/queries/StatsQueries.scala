@@ -393,8 +393,57 @@ object StatsQueries {
            |             / (sum(np) * sum(nn)), 6) AS auc
            |FROM cum""".stripMargin))
 
+  /** Robust outlier detection — median / MAD (median absolute deviation),
+    * the data-cleaning pass that survives the outliers it is hunting
+    * (mean/stddev z-scores get dragged by the very tail they flag). Three
+    * scan+hash-agg passes over a constant-bounded group key (event_type),
+    * group stats broadcast back into the scan each time — no row-level
+    * shuffle anywhere. Exact `percentile` buffers per group; the 100 TB
+    * swap-in is `approx_percentile` (see stats_approx_percentiles).
+    * Median/MAD are rounded to 6dp BEFORE the cut predicate so the
+    * boundary arithmetic is identical across engines. */
+  private val madQ = Q(
+    "stats_mad_outliers",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events.select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy($"event_type")
+        .agg(max($"med").as("med"),
+          round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy($"event_type")
+        .agg(max($"med").as("med"), max($"mad").as("mad"),
+          sum(when(abs($"value" - $"med") > lit(3.0) * lit(1.4826) * $"mad",
+            1L).otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .select($"event_type", $"med", $"mad", $"n_outliers",
+          round($"n_outliers".cast("double") / $"n", 6).as("outlier_rate"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH med AS (
+           |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+           |  FROM events GROUP BY event_type),
+           |mad AS (
+           |  SELECT e.event_type, max(m.med) AS med,
+           |         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+           |  FROM events e JOIN med m USING (event_type)
+           |  GROUP BY e.event_type),
+           |cut AS (
+           |  SELECT e.event_type, max(s.med) AS med, max(s.mad) AS mad,
+           |         sum(CASE WHEN abs(e.value - s.med) > 3.0*1.4826*s.mad
+           |                  THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           |         count(*) AS n
+           |  FROM events e JOIN mad s USING (event_type)
+           |  GROUP BY e.event_type)
+           |SELECT event_type, med, mad, n_outliers,
+           |       round(n_outliers::DOUBLE / n, 6) AS outlier_rate
+           |FROM cut ORDER BY event_type""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
-      aucQ)
+      aucQ, madQ)
 }

@@ -216,6 +216,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").isEmpty)
   }
 
+  test("dim filter dynamically prunes fact partitions (DPP)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val t = Tables(spark, TestSpark.sfDir)
+    // fact partitioned by ship month; the selective predicate lives on the
+    // DIM side, so static pruning can't fire — the scan must instead pick
+    // up a dynamicpruning expression fed by the dim's broadcast
+    t.lineitem.withColumn("ym", date_format($"l_shipdate", "yyyy-MM"))
+      .write.partitionBy("ym").mode("overwrite").parquet(dir)
+    val dim = t.orders
+      .select(date_format($"o_orderdate", "yyyy-MM").as("ym"))
+      .distinct().filter($"ym" >= "1998-06")
+    val q = spark.read.parquet(dir).join(dim, "ym").groupBy($"ym").count()
+    q.collect() // finalize AQE so the inserted pruning subquery is visible
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression in the fact scan's partition filters:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val t = Tables(spark, TestSpark.sfDir)
     spark.sql("DROP TABLE IF EXISTS b_orders")
