@@ -82,4 +82,45 @@ object Writers {
     * ≡ the procedure's `DELETE WHERE year=` + insert (sql.py:36). */
   def writeYearPartition(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy("year").parquet(path)
+
+  /** MERGE-INTO semantics on a plain partitioned parquet table: delta rows
+    * replace same-key rows, new keys append, everything else is kept —
+    * and ONLY the partitions present in the delta are read or rewritten.
+    *
+    * Scale shape: the touched-partition list is a driver collect of
+    * O(#touched partitions) (bounded — a daily upsert touches a handful);
+    * the existing-side read carries a partition `isin` filter, so 100 TB
+    * of untouched history is never scanned; the write is a dynamic
+    * partition overwrite, so untouched partitions' files are never
+    * replaced. The merged frame is lineage-cut (`Lineage.cut`) before the
+    * overwrite: the read and the write share `path`, and the cut both
+    * materializes the merge result ahead of any file deletion and removes
+    * the self-referencing file scan from the write plan. On a real
+    * cluster set `spark.graft.checkpointDir` so the cut is durable — a
+    * lost executor between materialize and commit must not be able to
+    * drop blocks of the data being written over its only source.
+    *
+    * Generalizes the reference's per-object `replace=True` put
+    * (dags/common/s3_utils.py:7-14) from whole-partition replacement to
+    * keyed row-level upsert. */
+  def upsertByKey(delta: DataFrame, path: String, keyCols: Seq[String],
+                  partitionCol: String): Unit = {
+    val spark = delta.sparkSession
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    val merged = if (!exists) delta else {
+      val touched = delta.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0))
+      val current = spark.read.parquet(path)
+        .filter(col(partitionCol).isin(touched: _*))
+      // keep-existing-unless-replaced: anti-join on the key, then union
+      current.join(delta.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+        .unionByName(delta)
+    }
+    graft.core.Lineage.cut(merged)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+  }
 }

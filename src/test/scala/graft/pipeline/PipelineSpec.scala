@@ -34,6 +34,32 @@ class WritersSpec extends SparkSpec {
     Writers.writeForDate(df, path, "2025-01-01", "parquet")
     assert(spark.read.parquet(path).count() === 2)
   }
+
+  test("upsertByKey: replaces matched keys, appends new, untouched partitions' files unchanged") {
+    val path = Files.createTempDirectory("graft-io").toString + "/t"
+    // seed two partitions
+    Writers.upsertByKey(
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+        .toDF("id", "v", "part"), path, Seq("id"), "part")
+    val p2Files = new java.io.File(s"$path/part=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    // delta: update id=1, insert id=4 — both in p1; p2 untouched
+    Writers.upsertByKey(
+      Seq((1L, "a9", "p1"), (4L, "d", "p1")).toDF("id", "v", "part"),
+      path, Seq("id"), "part")
+    val out = spark.read.parquet(path)
+      .select($"id", $"v", $"part").as[(Long, String, String)].collect().toSet
+    assert(out === Set((1L, "a9", "p1"), (2L, "b", "p1"), (3L, "c", "p2"),
+      (4L, "d", "p1")))
+    val p2After = new java.io.File(s"$path/part=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    assert(p2After === p2Files, "untouched partition must keep its exact files")
+    // idempotence: replaying the same delta changes nothing
+    Writers.upsertByKey(
+      Seq((1L, "a9", "p1"), (4L, "d", "p1")).toDF("id", "v", "part"),
+      path, Seq("id"), "part")
+    assert(spark.read.parquet(path).count() === 4)
+  }
 }
 
 class CompactionSpec extends SparkSpec {
