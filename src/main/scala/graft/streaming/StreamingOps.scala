@@ -124,10 +124,17 @@ object StreamingOps {
     * the same key within `[left.ts − lookback, left.ts]`. Watermarks on
     * BOTH sides bound the join state (right rows older than the watermark
     * + lookback are evicted). Columns are prefixed l_/r_ to keep the
-    * output unambiguous. */
+    * output unambiguous.
+    *
+    * `joinType = "left_outer"` additionally emits a null-padded row for
+    * each left event that finds no partner — but only once the watermark
+    * has passed the event's whole join window, i.e. the engine can PROVE
+    * no matching right row can still arrive. Outer results are therefore
+    * watermark-delayed by construction; both sides' time columns must
+    * appear in the join condition (they do) for state eviction. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-                   tsCol: String, lookback: String, watermark: String)
-      : DataFrame = {
+                   tsCol: String, lookback: String, watermark: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
       .withWatermark(s"l_$tsCol", watermark)
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
@@ -135,7 +142,7 @@ object StreamingOps {
     l.join(r, expr(
       s"""l_$keyCol = r_$keyCol AND
          |r_$tsCol >= l_$tsCol - interval $lookback AND
-         |r_$tsCol <= l_$tsCol""".stripMargin))
+         |r_$tsCol <= l_$tsCol""".stripMargin), joinType)
   }
 
   /** foreachBatch sink wiring: lift any batch writer (e.g. the idempotent

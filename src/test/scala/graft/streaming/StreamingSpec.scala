@@ -113,6 +113,36 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((20L, 10L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched left emits nulls after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = intervalJoin(
+      purchases.toDF(), views.toDF(), "user_id", "ts", "1 hour",
+      "10 minutes", "left_outer")
+      .select($"l_event_id", $"r_event_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode(OutputMode.Append).start()
+    views.addData(Event(10, ts("2024-01-01 09:30:00"), 1, "view", 1.0))
+    purchases.addData(
+      Event(20, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0), // matched
+      Event(21, ts("2024-01-01 10:00:00"), 3, "purchase", 7.0)) // no view
+    q.processAllAvailable()
+    // the unmatched row must NOT have emitted yet: a 09:00–10:00 view for
+    // user 3 could still arrive until the watermark passes its window
+    assert(spark.table("ssj_outer").as[(Long, Option[Long])].collect().toSet
+      === Set((20L, Some(10L))))
+    // advance BOTH watermarks well past 10:00 + lookback
+    views.addData(Event(90, ts("2024-01-01 23:00:00"), 9, "view", 1.0))
+    purchases.addData(Event(91, ts("2024-01-01 23:00:00"), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssj_outer").as[(Long, Option[Long])].collect().toSet
+    assert(out.contains((21L, None)),
+      s"unmatched left must null-pad once provably partnerless: $out")
+    assert(out.filter(_._1 == 20L) === Set((20L, Some(10L))))
+  }
+
   test("foreachBatch sink: idempotent partitioned write from a stream") {
     val root = Files.createTempDirectory("graft-feb").toString
     val src = s"$root/in"
