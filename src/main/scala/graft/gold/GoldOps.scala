@@ -143,4 +143,42 @@ object GoldOps {
   def ohlcFinish(partials: DataFrame, key: String): DataFrame =
     partials.select(col(key), col("bucket"), col("open"), col("high"),
       col("low"), col("close"), col("n"))
+
+  /** Densify a sparse daily series to EVERY calendar day in each key's
+    * observed [min, max] range and forward-fill the value (LOCF) — the
+    * gap-filling step before any calendar-aligned computation (returns on
+    * a holiday-gapped series, telemetry with silent days). Rows created by
+    * the fill are flagged `filled`.
+    *
+    * Scale posture: the per-key date grid is built with
+    * `sequence(min, max)` + `explode` off a per-key single-row aggregate —
+    * grid size is (days in range), never (keys × global range). The fill
+    * itself is one `last(ignoreNulls)` running window, so the whole op is
+    * two shuffles on the key (agg + window) regardless of key count; no
+    * join against a global calendar table is ever materialized. */
+  def denseForwardFill(series: DataFrame, key: String, date: String,
+                       valueCol: String): DataFrame = {
+    val grid = series.groupBy(col(key))
+      .agg(min(col(date)).as("__lo"), max(col(date)).as("__hi"))
+      .select(col(key),
+        explode(sequence(col("__lo"), col("__hi"))).as(date))
+    val w = Window.partitionBy(col(key)).orderBy(col(date))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(series, Seq(key, date), "left")
+      .withColumn("filled", col(valueCol).isNull)
+      .withColumn(valueCol,
+        last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Rolling exact median over the trailing `n` rows per key — the robust
+    * centre line (median band) a quant pipeline pairs with [[withRolling]]'s
+    * mean/vol. Exact `percentile(0.5)` as a window aggregate: Catalyst
+    * evaluates the aggregate over each ROWS frame, so the state is bounded
+    * by the frame (n rows), not the partition — one shuffle on the key. */
+  def withRollingMedian(prices: DataFrame, key: String, date: String,
+                        valueCol: String, n: Int): DataFrame = {
+    val w = byAsset(key, date).rowsBetween(-(n - 1), Window.currentRow)
+    prices.withColumn(s"med$n",
+      percentile(col(valueCol), lit(0.5)).over(w))
+  }
 }

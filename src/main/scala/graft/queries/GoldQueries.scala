@@ -292,6 +292,77 @@ object GoldQueries {
          |ORDER BY symbol, date""".stripMargin
     })
 
+  /** Gap filling (densify + LOCF): daily last-event value per user, then
+    * every calendar day in each user's observed range with the close
+    * forward-filled across silent days. The per-key grid comes from a
+    * single-row-per-key aggregate (`sequence` + `explode`), NOT a join
+    * against a global calendar — see GoldOps.denseForwardFill. */
+  private val gapFill = Q(
+    "gold_gap_fill_locf",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir).events
+        .select($"user_id", to_date($"ts").as("date"), $"ts", $"event_id",
+          $"value")
+        .groupBy($"user_id", $"date")
+        .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
+      GoldOps.denseForwardFill(daily, "user_id", "date", "close")
+        .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
+          round($"close", 2).as("close"), $"filled")
+        .orderBy($"user_id", $"date")
+    },
+    Some("""WITH px AS (
+           |  SELECT user_id, date, value AS close
+           |  FROM (SELECT user_id, ts::DATE AS date, value,
+           |               row_number() OVER (PARTITION BY user_id, ts::DATE
+           |                 ORDER BY ts DESC, event_id DESC) AS rn
+           |        FROM events)
+           |  WHERE rn = 1),
+           |grid AS (
+           |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS date
+           |  FROM (SELECT user_id, min(date) AS lo, max(date) AS hi
+           |        FROM px GROUP BY user_id))
+           |SELECT g.user_id, strftime(g.date, '%Y-%m-%d') AS date,
+           |       round(last_value(p.close IGNORE NULLS) OVER
+           |         (PARTITION BY g.user_id ORDER BY g.date
+           |          ROWS UNBOUNDED PRECEDING), 2) AS close,
+           |       p.close IS NULL AS filled
+           |FROM grid g LEFT JOIN px p
+           |  ON g.user_id = p.user_id AND g.date = p.date
+           |ORDER BY g.user_id, date""".stripMargin))
+
+  /** Rolling exact median (20-row trailing frame) over the daily close
+    * series — robust centre line; exact `percentile(0.5)` as a bounded
+    * ROWS-frame window aggregate (state = frame, one shuffle on the key). */
+  private val rollingMedian = Q(
+    "gold_rolling_median",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir).events
+        .select($"user_id", to_date($"ts").as("date"), $"ts", $"event_id",
+          $"value")
+        .groupBy($"user_id", $"date")
+        .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
+      GoldOps.withRollingMedian(daily, "user_id", "date", "close", 20)
+        .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
+          round($"close", 2).as("close"), round($"med20", 6).as("med20"))
+        .orderBy($"user_id", $"date")
+    },
+    Some("""WITH px AS (
+           |  SELECT user_id, date, value AS close
+           |  FROM (SELECT user_id, ts::DATE AS date, value,
+           |               row_number() OVER (PARTITION BY user_id, ts::DATE
+           |                 ORDER BY ts DESC, event_id DESC) AS rn
+           |        FROM events)
+           |  WHERE rn = 1)
+           |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+           |       round(close, 2) AS close,
+           |       round(median(close) OVER
+           |         (PARTITION BY user_id ORDER BY date
+           |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS med20
+           |FROM px ORDER BY user_id, date""".stripMargin))
+
   def all: Seq[Q] =
-    Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted)
+    Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,
+      gapFill, rollingMedian)
 }

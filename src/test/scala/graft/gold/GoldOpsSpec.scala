@@ -91,4 +91,27 @@ class GoldOpsSpec extends SparkSpec {
     assert(fwd === whole)
     assert(rev === whole)
   }
+
+  test("denseForwardFill: every day in each key's range, LOCF, fill flag") {
+    val sparse = Seq(("A", "2025-01-01", 10.0), ("A", "2025-01-04", 13.0),
+      ("B", "2025-01-02", 5.0))
+      .toDF("k", "d", "v").withColumn("d", to_date($"d"))
+    val out = GoldOps.denseForwardFill(sparse, "k", "d", "v")
+      .orderBy($"k", $"d")
+      .select($"k", date_format($"d", "yyyy-MM-dd"), $"v", $"filled")
+      .as[(String, String, Double, Boolean)].collect().toSeq
+    // A densified to 4 days (gap days carry 10.0 and are flagged), B to 1
+    assert(out === Seq(
+      ("A", "2025-01-01", 10.0, false), ("A", "2025-01-02", 10.0, true),
+      ("A", "2025-01-03", 10.0, true), ("A", "2025-01-04", 13.0, false),
+      ("B", "2025-01-02", 5.0, false)))
+  }
+
+  test("rolling median: exact interpolated percentile over the frame") {
+    val out = GoldOps.withRollingMedian(prices, "ticker", "d", "close", 2)
+      .filter($"ticker" === "BTC").orderBy($"d")
+      .select(round($"med2", 2)).as[Double].collect()
+    // frames: [100], [100,110], [110,99], [99,121]
+    assert(out === Array(100.0, 105.0, 104.5, 110.0))
+  }
 }
