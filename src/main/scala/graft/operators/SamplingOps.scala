@@ -69,6 +69,33 @@ object SamplingOps {
       explode(when(repeats >= 1, sequence(lit(1), repeats))))
   }
 
+  /** Cap each stratum (web-corpus "domain") at `k` rows, chosen
+    * deterministically: the k rows with the SMALLEST salted portable hash
+    * of their key win, so the survivor set is a pure function of the data
+    * — reproducible across runs, engines, and partitionings, and
+    * verifiable by an oracle (unlike `ORDER BY rand() LIMIT k`).
+    *
+    * Scale posture: a `row_number` window would sort-shuffle every row of
+    * every domain; the bounded-heap TopKAggregator partial-aggregates
+    * map-side, so each partition contributes ≤k (hash, key) pairs per
+    * domain it touches and the exchange carries O(partitions × k) rows per
+    * domain instead of the domain's full row count — a hot domain with
+    * 100M rows shuffles ≤ 32k pairs, not 100M rows. Winners then rejoin
+    * the input on the key (AQE picks broadcast when domains × k is small). */
+  def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
+                    k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    // k smallest hashes == k largest negated hashes; hash tie → smaller key
+    val winners = df
+      .select(col(strataCol), col(keyCol).cast("long").as(keyCol),
+        (-TextOps.hash32(concat(col(keyCol).cast("string"), lit(":cap"))))
+          .cast("double").as("__score"))
+      .groupBy(col(strataCol))
+      .agg(topk(col("__score"), col(keyCol)).as("__top"))
+      .select(col(strataCol), explode(col("__top._2")).as(keyCol))
+    df.join(winners, Seq(strataCol, keyCol))
+  }
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): reduce each document to hashed unigram
     * buckets, fit add-one-smoothed bucket distributions over the TARGET

@@ -327,6 +327,29 @@ object HygieneQueries {
            |FROM w JOIN documents d USING (doc_id)
            |ORDER BY log_w DESC, doc_id LIMIT 25""".stripMargin))
 
+  /** Per-domain cap (web-corpus "≤ k docs per domain"): each source keeps
+    * the 10 docs with the smallest salted portable hash — deterministic, so
+    * the oracle verifies the exact survivor set. Spark plan: bounded-heap
+    * TopKAggregator per source (map-side partial, ≤k pairs per partition
+    * shuffled), NOT a row_number window over every row. */
+  private val domainCap = Q(
+    "mix_domain_cap",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.SamplingOps.capPerStratum(docs(s, dir), "source",
+          "doc_id", 10)
+        .select($"source", $"doc_id", $"lang")
+        .orderBy($"source", $"doc_id")
+    },
+    Some("""SELECT source, doc_id, lang FROM (
+           |  SELECT source, doc_id, lang,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY ('0x'||substr(md5(doc_id::VARCHAR || ':cap'),1,8))::BIGINT,
+           |               doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin))
+
   def all: Seq[Q] =
-    Seq(decontam, gopher, semdedup, mix, pack, trainingCorpus, importance)
+    Seq(decontam, gopher, semdedup, mix, pack, trainingCorpus, importance,
+      domainCap)
 }

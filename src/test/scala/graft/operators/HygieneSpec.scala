@@ -59,6 +59,24 @@ class HygieneOpsSpec extends SparkSpec {
     assert(splits === Set("train", "val", "test"))
   }
 
+  test("capPerStratum: exactly k survivors per big stratum, partition-invariant") {
+    val df = spark.range(1000)
+      .select(($"id" % 3).cast("string").as("dom"), $"id".as(("k")))
+    val capped = SamplingOps.capPerStratum(df, "dom", "k", 7)
+    val byDom = capped.groupBy($"dom").count()
+      .as[(String, Long)].collect().toMap
+    assert(byDom === Map("0" -> 7L, "1" -> 7L, "2" -> 7L))
+    // survivor set is a pure function of the keys — not of partitioning
+    // (the map-side heap merge must pick the same global winners)
+    val again = SamplingOps.capPerStratum(df.repartition(17), "dom", "k", 7)
+    assert(capped.select($"dom", $"k").as[(String, Long)].collect().toSet ===
+      again.select($"dom", $"k").as[(String, Long)].collect().toSet)
+    // a stratum smaller than k keeps everything
+    val tiny = SamplingOps.capPerStratum(
+      Seq(("x", 1L), ("x", 2L)).toDF("dom", "k"), "dom", "k", 7)
+    assert(tiny.count() === 2)
+  }
+
   test("upsample repeats strata exactly and tags copies") {
     val df = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
     val up = SamplingOps.upsample(df, "lang", Map("en" -> 3))
