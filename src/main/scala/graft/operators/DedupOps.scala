@@ -377,4 +377,46 @@ object DedupOps {
       s"connectedComponents did not converge in $maxIter iterations")
     labels
   }
+
+  /** Delta dedup against a large history with a TWO-SIDED Bloom prefilter:
+    * returns exactly the `batch` rows whose key does not appear in
+    * `history` (≡ `batch LEFT ANTI JOIN history`), but shaped for the
+    * 100 TB case where both sides are huge and the overlap is small.
+    *
+    *  1. One aggregate pass over history builds a fixed-size Bloom filter
+    *     (mergeable bit array, OR-combined map-side), broadcast to the
+    *     batch scan. Probe misses are DEFINITELY new (no false negatives)
+    *     and bypass the join entirely — scan-local, zero shuffle.
+    *  2. Probe hits (true dups + false positives) are the only batch rows
+    *     that enter the exact anti-join; a second Bloom built over those
+    *     candidate keys filters the HISTORY scan the same way, so the
+    *     anti-join shuffles ≈ |overlap| keys from each side instead of
+    *     |batch| + |history|.
+    *
+    * Both filters only ever discard provably-irrelevant rows, so the
+    * result is exact — oracle-checked against the plain anti-join. */
+  def bloomDeltaNew(batch: DataFrame, history: DataFrame, keyCol: String,
+                    numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val bloomAgg = udaf(new graft.functions.BloomAggregator(numBits, numHashes))
+    val key = col(keyCol).cast("string")
+
+    val histBloom = history.agg(bloomAgg(key).as("__bloom"))
+    val probed = batch.crossJoin(broadcast(histBloom))
+    val hit = graft.functions.BloomAggregator
+      .mightContain(col("__bloom"), key, numBits, numHashes)
+    // run the scan once for both branches — the probe is the same pass
+    val probedOnce = probed.withColumn("__hit", hit).drop("__bloom")
+      .cut(eager = false)
+    val definitelyNew = probedOnce.filter(!col("__hit")).drop("__hit")
+    val candidates = probedOnce.filter(col("__hit")).drop("__hit")
+
+    val candBloom = candidates.agg(bloomAgg(key).as("__bloom"))
+    val relevantHistory = history.select(key.as("__k"))
+      .crossJoin(broadcast(candBloom))
+      .filter(graft.functions.BloomAggregator
+        .mightContain(col("__bloom"), col("__k"), numBits, numHashes))
+      .select(col("__k"))
+    definitelyNew.unionByName(
+      candidates.join(relevantHistory, key === col("__k"), "left_anti"))
+  }
 }

@@ -288,7 +288,31 @@ object DedupQueries {
            |                FILTER (WHERE rn = 1), '') AS clean_text
            |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Delta dedup with a two-sided Bloom prefilter: events from 2024-01-02
+    * onward whose user was never seen before the cutoff (new-user
+    * detection against a history table). Bloom misses skip the join
+    * scan-locally; the exact anti-join runs only on probe hits vs
+    * bloom-reduced history — result is EXACT (≡ plain anti join), which is
+    * what the oracle checks. */
+  private val bloomDelta = Q(
+    "dedup_bloom_delta",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).events
+      val cut = lit("2024-01-02").cast("timestamp")
+      DedupOps.bloomDeltaNew(
+          e.filter($"ts" >= cut), e.filter($"ts" < cut), "user_id",
+          numBits = 1 << 16)
+        .select($"event_id", $"user_id", $"event_type")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type FROM events e
+           |WHERE ts >= TIMESTAMP '2024-01-02' AND NOT EXISTS (
+           |  SELECT 1 FROM events h
+           |  WHERE h.ts < TIMESTAMP '2024-01-02' AND h.user_id = e.user_id)
+           |ORDER BY event_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
-      minhash, simhashQ, lines)
+      minhash, simhashQ, lines, bloomDelta)
 }

@@ -113,6 +113,39 @@ class TextOpsSpec extends SparkSpec {
     assert((1 to 300).forall(i => estimate(s"tok$i") >= 1))
   }
 
+  test("Bloom: column probe == JVM bits; no false negatives; delta == anti join") {
+    import graft.functions.BloomAggregator
+    val bits = 1 << 10
+    val hashes = 4
+    // probe-vs-aggregator hash equality: every inserted key must probe true
+    // (the no-false-negative contract the miss-path shortcut relies on)
+    val agg = new BloomAggregator(bits, hashes)
+    val keys = Seq("1", "42", "", "k:0", "long key with spaces")
+    val bloom = keys.foldLeft(agg.zero)(agg.reduce)
+    val probed = keys.toDF("k")
+      .crossJoin(Seq(Tuple1(bloom)).toDF("bloom"))
+      .select(BloomAggregator.mightContain($"bloom", $"k", bits, hashes))
+      .as[Boolean].collect()
+    assert(probed.forall(identity))
+    // merge is OR: split build == whole build
+    val (l, r) = keys.splitAt(2)
+    assert(agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce)).toSeq === bloom.toSeq)
+    // end-to-end exactness on overlapping key sets, incl. a tiny bit array
+    // (high fp rate) — false positives cost work, never correctness
+    val batch = spark.range(0, 300).select($"id", ($"id" % 7).as("tag"))
+    val history = spark.range(150, 1000).toDF("id")
+    for (nb <- Seq(64, 1 << 16)) {
+      val got = DedupOps.bloomDeltaNew(batch, history, "id", numBits = nb)
+        .select($"id").as[Long].collect().toSet
+      assert(got === (0L until 150L).toSet, s"numBits=$nb")
+    }
+    // disjoint keys: everything is definitely-new (pure miss path)
+    val disjoint = DedupOps.bloomDeltaNew(
+      batch.filter($"id" < 10), spark.range(5000, 6000).toDF("id"), "id")
+    assert(disjoint.count() === 10)
+  }
+
   test("importance weights: target-like docs outrank off-target docs") {
     // target slice speaks {x,y}; off-target speaks {p,q}; a fresh doc of
     // x/y must get a higher log-ratio weight than one of p/q
