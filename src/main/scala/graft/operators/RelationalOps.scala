@@ -127,4 +127,33 @@ object RelationalOps {
       keyCol, orderCol, tieCol, attrCols)
     untouched.unionByName(merged)
   }
+
+  /** Snapshot reconciliation: classify every key of two table versions as
+    * `added` / `removed` / `changed` (unchanged keys drop out), with the
+    * null-safe list of differing columns. The data-migration acceptance
+    * check: "what did the new pipeline version change?".
+    *
+    * One full-outer sort-merge join on the key — each side shuffles once,
+    * comparisons are per-row expressions (null-safe `<=>`), so the op is
+    * two scans + one exchange pair at any scale. `changed_cols` is a
+    * comma-joined string (portable to oracle comparison). */
+  def diffByKey(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                compareCols: Seq[String]): DataFrame = {
+    val keyed = keyCols.map(col)
+    val av = a.select((keyed :+ struct(compareCols.map(col): _*).as("__a")): _*)
+    val bv = b.select((keyed :+ struct(compareCols.map(col): _*).as("__b")): _*)
+    val diffs = concat(compareCols.map { c =>
+      when(!(col(s"__a.$c") <=> col(s"__b.$c")), array(lit(c)))
+        .otherwise(array().cast("array<string>"))
+    }: _*)
+    av.join(bv, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__a").isNull, "added")
+          .when(col("__b").isNull, "removed")
+          .when(!(col("__a") <=> col("__b")), "changed"))
+      .filter(col("change_type").isNotNull)
+      .withColumn("changed_cols",
+        when(col("change_type") === "changed", array_join(diffs, ",")))
+      .drop("__a", "__b")
+  }
 }

@@ -670,11 +670,59 @@ object RelationalQueries {
            |       count(*) AS n_items
            |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin))
 
+  /** Snapshot reconciliation between two versions of the orders feed:
+    * version B extends the date range (added), purges pending orders
+    * (removed), and reprices urgent ones (changed). Full-outer diff with
+    * null-safe per-column comparison — see RelationalOps.diffByKey. */
+  private val reconDiff = Q(
+    "recon_snapshot_diff",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir).orders
+      val snapA = o.filter($"o_orderdate" < "1998-01-01")
+      val snapB = o.filter($"o_orderdate" < "1999-01-01" &&
+          $"o_orderstatus" =!= "P")
+        .withColumn("o_totalprice",
+          when($"o_orderpriority" === "1-URGENT",
+            round($"o_totalprice" * 1.1, 2)).otherwise($"o_totalprice"))
+      graft.operators.RelationalOps.diffByKey(snapA, snapB,
+          Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+        .select($"o_orderkey", $"change_type", $"changed_cols")
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH a AS (
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           |  WHERE o_orderdate < DATE '1998-01-01'),
+           |b AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |         CASE WHEN o_orderpriority = '1-URGENT'
+           |              THEN round(o_totalprice * 1.1, 2)
+           |              ELSE o_totalprice END AS o_totalprice
+           |  FROM orders
+           |  WHERE o_orderdate < DATE '1999-01-01' AND o_orderstatus <> 'P')
+           |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           |       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+           |            WHEN b.o_orderkey IS NULL THEN 'removed'
+           |            ELSE 'changed' END AS change_type,
+           |       CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+           |            THEN array_to_string(
+           |              list_concat(
+           |                CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+           |                     THEN ['o_orderstatus'] ELSE [] END,
+           |                CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+           |                     THEN ['o_totalprice'] ELSE [] END), ',')
+           |       END AS changed_cols
+           |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+           |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           |   OR (a.o_orderstatus, a.o_totalprice)
+           |      IS DISTINCT FROM (b.o_orderstatus, b.o_totalprice)
+           |ORDER BY o_orderkey""".stripMargin))
+
   private val all0: Seq[Q] = Seq(
     q1, q3, q5, s3Lookup, f5, semi, q17,
     f3, f6, f7, f18, f19,
     f1, f4, pivotQ, f11, f13, f14, f8,
-    setExcept, setUnion, topk, fullOuter, firstLast, q7, q8)
+    setExcept, setUnion, topk, fullOuter, firstLast, q7, q8, reconDiff)
 
   def all: Seq[Q] = all0
 }

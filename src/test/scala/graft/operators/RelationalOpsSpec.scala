@@ -114,4 +114,30 @@ class RelationalOpsSpec extends SparkSpec {
       (1L, 40L, Some("b"), None, true),
       (2L, 10L, Some("x"), None, true)))
   }
+
+  test("diffByKey: added/removed/changed with null-safe column lists") {
+    val a = Seq(
+      (1L, Option("x"), Option(10.0)), // unchanged → dropped
+      (2L, Option("x"), Option(10.0)), // price changes
+      (3L, None, Option(10.0)),        // null → value: changed
+      (4L, Option("x"), None),         // removed
+      (5L, None, None)                 // both null both sides → unchanged
+    ).toDF("k", "s", "p")
+    val b = Seq(
+      (1L, Option("x"), Option(10.0)),
+      (2L, Option("x"), Option(11.0)),
+      (3L, Option("y"), Option(10.0)),
+      (5L, None, None),
+      (6L, Option("z"), Option(1.0))   // added
+    ).toDF("k", "s", "p")
+    val out = RelationalOps.diffByKey(a, b, Seq("k"), Seq("s", "p"))
+      .orderBy($"k")
+      .select($"k", $"change_type", $"changed_cols")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(out === Seq(
+      (2L, "changed", Some("p")),
+      (3L, "changed", Some("s")),
+      (4L, "removed", None),
+      (6L, "added", None)))
+  }
 }
