@@ -250,4 +250,31 @@ object TextOps {
     }
     when(size(toks) < n, array().cast("array<string>")).otherwise(folded)
   }
+
+  /** Vocabulary construction + out-of-vocabulary rate: fit the top-`v`
+    * tokens by corpus frequency (tie → token asc, so the vocabulary is
+    * deterministic) and score each document's fraction of token
+    * OCCURRENCES outside it — the tokenizer-coverage metric that decides
+    * whether a corpus needs vocab retraining.
+    *
+    * One token scan feeds both the fit and the scoring join (lineage-cut,
+    * materialized once). The vocab fit is a hash aggregate + bounded
+    * TakeOrdered (v rows to the driver plan, never the token table); the
+    * fitted vocab is explicitly broadcast into the scoring join, so
+    * scoring adds a scan-local probe + one per-doc aggregate. */
+  def vocabOov(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, v: Int): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.LineageOps
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .cut(eager = false)
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(v)
+      .select(col("token"), lit(true).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(when(col("__in_vocab"), 0.0).otherwise(1.0)), 6)
+          .as("oov_rate"))
+  }
 }

@@ -389,7 +389,30 @@ object TextQueries {
            |WHERE c12 >= 5
            |ORDER BY pmi DESC, w1, w2 LIMIT 15""".stripMargin))
 
+  /** Vocabulary coverage: fit the top-50 corpus vocabulary (count desc,
+    * token asc — deterministic) and report each document's OOV occurrence
+    * rate. Vocab broadcast into the scoring join; token scan runs once. */
+  private val vocabOovQ = Q(
+    "text_vocab_oov",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.vocabOov(t(s, dir).documents, "doc_id", "text", 50)
+        .select($"id".as("doc_id"), $"n_tokens", $"oov_rate")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |  FROM documents),
+           |v AS (
+           |  SELECT token FROM tok GROUP BY token
+           |  ORDER BY count(*) DESC, token LIMIT 50)
+           |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           |       round(avg(CASE WHEN v.token IS NULL THEN 1.0 ELSE 0.0 END), 6)
+           |         AS oov_rate
+           |FROM tok t LEFT JOIN v ON t.token = v.token
+           |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, bm25Q,
-      chunkQ, piiRedact, normalizeQ, perplexityQ, pmiQ)
+      chunkQ, piiRedact, normalizeQ, perplexityQ, pmiQ, vocabOovQ)
 }

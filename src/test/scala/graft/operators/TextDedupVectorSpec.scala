@@ -113,6 +113,22 @@ class TextOpsSpec extends SparkSpec {
     assert((1 to 300).forall(i => estimate(s"tok$i") >= 1))
   }
 
+  test("vocabOov: deterministic tie-break, occurrence-weighted rate") {
+    val docs = Seq(
+      (1L, "a a b z"),   // with vocab {a, b}: 1 of 4 occurrences OOV
+      (2L, "b b"),       // fully covered
+      (3L, "q r s")      // fully OOV
+    ).toDF("doc_id", "text")
+    // counts: a=2(doc1) b=3 z=1 q=1 r=1 s=1 → v=2 picks b(3), a(2)
+    val out = TextOps.vocabOov(docs, "doc_id", "text", 2)
+      .orderBy($"id").as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 4L, 0.25), (2L, 2L, 0.0), (3L, 3L, 1.0)))
+    // tie at count 1 → token-asc wins: vocab of size 4 is {b, a, q, r}
+    val out4 = TextOps.vocabOov(docs, "doc_id", "text", 4)
+      .orderBy($"id").as[(Long, Long, Double)].collect().toSeq
+    assert(out4.map(_._3) === Seq(0.25, 0.0, 0.333333))
+  }
+
   test("Bloom: column probe == JVM bits; no false negatives; delta == anti join") {
     import graft.functions.BloomAggregator
     val bits = 1 << 10
