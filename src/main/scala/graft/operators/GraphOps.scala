@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Lineage.LineageOps
+
+/** [EXT] Iterative graph analytics over edge tables. Companion to
+  * `DedupOps.connectedComponents` (min-label propagation): same design
+  * rules — the iterated state is a NARROW (id, value) table, the heavy
+  * edge table is normalized once and reused every round, and each round's
+  * lineage is cut (durable `checkpoint()` under `spark.graft.checkpointDir`,
+  * else lazy `localCheckpoint`) so plans don't snowball.
+  */
+object GraphOps {
+
+  /** Weighted PageRank with a fixed iteration count and proper dangling-
+    * mass redistribution:
+    * `r'(v) = (1−d)/N + d·(Σ_{(u,v)∈E} r(u)·w(u,v)/out_w(u) + D/N)`
+    * where `D = Σ_{u dangling} r(u)`. Nodes are `src ∪ dst` of the edge
+    * table.
+    *
+    * Scale posture: the transition table (edges with out-weight-normalized
+    * probabilities) is computed once, lineage-cut, and re-joined each
+    * round; per round the plan is one equi-join ranks⋈trans on src + one
+    * hash aggregate on dst + a one-row dangling-mass aggregate broadcast
+    * back in — the rank state that iterates is (id, rank), never the edge
+    * table. N is the single driver-side scalar (one count, like the
+    * connected-components convergence check); iterations are fixed by
+    * contract, so the oracle can unroll them exactly. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, iterations: Int,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().cut(eager = false)
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val trans = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
+      .cut(eager = false)
+    val dangling = nodes
+      .join(trans.select(col("src").as("id")), Seq("id"), "left_anti")
+      .cut(eager = false)
+    val n = nodes.count().toDouble
+
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    var iter = 0
+    while (iter < iterations) {
+      val dmass = ranks.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contrib = trans.join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("p") * col("rank")).as("c"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dmass))
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + col("dm") / n)).as("rank"))
+        .cut(eager = false)
+      iter += 1
+    }
+    ranks
+  }
+}

@@ -412,7 +412,60 @@ object EventQueries {
            | AND (h.eff_to IS NULL OR p.ts < h.eff_to)
            |ORDER BY p.event_id""".stripMargin))
 
+  /** Weighted PageRank over the page-transition graph: consecutive events
+    * per user define (prev page → page) edges weighted by transition
+    * count; 3 fixed iterations with damping 0.85 and dangling-mass
+    * redistribution. The oracle unrolls the identical recurrence, so
+    * values match to 6dp. */
+  private val pagerank = Q(
+    "graph_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val edges = ev(s, dir)
+        .withColumn("dst", get_json_object($"props", "$.k").cast("int"))
+        .withColumn("src", lag($"dst", 1).over(byUser))
+        .filter($"src".isNotNull)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      graft.operators.GraphOps.pageRank(edges, "src", "dst", "w", 3)
+        .select($"id".as("page"), round($"rank", 6).as("rank"))
+        .orderBy($"page")
+    },
+    Some {
+      val d = "0.85"
+      val iters = (1 to 3).map { i =>
+        s"""dm$i AS (SELECT coalesce(sum(rank), 0) AS dm
+           |         FROM r${i - 1} JOIN dang USING (id)),
+           |c$i AS (SELECT t.dst AS id, sum(t.p * r.rank) AS c
+           |        FROM trans t JOIN r${i - 1} r ON t.src = r.id
+           |        GROUP BY t.dst),
+           |r$i AS (SELECT nodes.id,
+           |          (1 - $d)/n + $d * (coalesce(c.c, 0) + dm.dm/n) AS rank
+           |        FROM nodes LEFT JOIN c$i c ON nodes.id = c.id
+           |        CROSS JOIN nn CROSS JOIN dm$i dm)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lagged AS (
+         |  SELECT (props->>'k')::INT AS dst,
+         |         lag((props->>'k')::INT) OVER
+         |           (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM events),
+         |edges AS (
+         |  SELECT src, dst, count(*)::DOUBLE AS w FROM lagged
+         |  WHERE src IS NOT NULL GROUP BY src, dst),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |trans AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+         |          FROM edges),
+         |dang AS (SELECT id FROM nodes
+         |         WHERE id NOT IN (SELECT DISTINCT src FROM edges)),
+         |r0 AS (SELECT id, 1.0/n AS rank FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT id AS page, round(rank, 6) AS rank FROM r3 ORDER BY page""".stripMargin
+    })
+
   def all: Seq[Q] =
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
-      intervalMerge, funnel, retention, pointInTime)
+      intervalMerge, funnel, retention, pointInTime, pagerank)
 }

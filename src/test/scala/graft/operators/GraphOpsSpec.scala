@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A ⇄ B, C → A, A → D; D is dangling (no out-edges)
+  private lazy val edges = Seq(
+    ("A", "B", 2L), ("B", "A", 1L), ("C", "A", 1L), ("A", "D", 2L))
+    .toDF("src", "dst", "w")
+
+  test("pageRank: mass conserved, hub outranks leaf, dangling handled") {
+    val r = GraphOps.pageRank(edges, "src", "dst", "w", 5)
+      .as[(String, Double)].collect().toMap
+    assert(r.keySet === Set("A", "B", "C", "D"))
+    // with dangling mass redistributed, total rank is exactly 1 per round
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+    // A receives from B, C, and the dangling share — it must dominate;
+    // C receives only the teleport + dangling share — it must trail
+    assert(r("A") > r("B") && r("A") > r("D") && r("A") > r("C"))
+    assert(C_isMin(r))
+  }
+
+  private def C_isMin(r: Map[String, Double]): Boolean =
+    r("C") === r.values.min
+
+  test("pageRank: one hand-computed iteration on a weighted pair") {
+    // X → Y (only edge): r0 = 1/2 each; Y dangling ⇒ D = 1/2
+    // r1(X) = 0.15/2 + 0.85·(0 + 0.25)        = 0.2875
+    // r1(Y) = 0.15/2 + 0.85·(0.5·1 + 0.25)    = 0.7125
+    val r = GraphOps.pageRank(
+      Seq(("X", "Y", 3L)).toDF("src", "dst", "w"), "src", "dst", "w", 1)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r("X") - 0.2875) < 1e-12)
+    assert(math.abs(r("Y") - 0.7125) < 1e-12)
+  }
+}
