@@ -127,6 +127,30 @@ class PlanQualitySpec extends SparkSpec {
       s"max_by must partial-aggregate map-side:\n${plan.take(800)}")
   }
 
+  test("domain cap plans as a bounded-heap partial aggregate, not a window") {
+    val q = SparkEntry.queries("mix_domain_cap")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // the TopKAggregator must partial-aggregate map-side (≤k pairs per
+    // partition cross the wire); a row_number window would sort-shuffle
+    // every row of every domain
+    assert(!plan.contains("Window"),
+      s"cap must not be a window:\n${plan.take(800)}")
+    assert(plan.split("ObjectHashAggregate").length - 1 >= 2,
+      s"expected partial+final ObjectHashAggregate pair:\n${plan.take(800)}")
+  }
+
+  test("bloom delta: scan-local getbit probe, single anti join on candidates") {
+    val q = SparkEntry.queries("dedup_bloom_delta")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // the membership probe must be a pure column expression over the
+    // broadcast bit array (no UDF, no join for the miss path)
+    assert(plan.contains("getbit"),
+      s"expected getbit probe expressions in the plan:\n${plan.take(800)}")
+    val antiJoins = "LeftAnti".r.findAllMatchIn(plan).length
+    assert(antiJoins === 1,
+      s"exactly one exact anti-join (on bloom hits only), got $antiJoins")
+  }
+
   test("minhash LSH candidate join keys include the triangle-block columns") {
     val q = SparkEntry.queries("dedup_minhash_lsh")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)
