@@ -96,6 +96,27 @@ object SamplingOps {
     df.join(winners, Seq(strataCol, keyCol))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006),
+    * deterministic: each row draws its "uniform" u ∈ (0,1] from the salted
+    * portable hash of its key and the k rows with the largest
+    * `u^(1/weight)` win — equivalently `ln(u)/weight`, which avoids the
+    * pow. Inclusion probability is proportional to weight, the selection
+    * is a pure function of the keys (reproducible, oracle-checkable), and
+    * the plan is scan-local scoring + one bounded TakeOrdered(k) — no
+    * shuffle of the full table, no rand().
+    *
+    * The sort key is pre-rounded to 12dp so the ordering is stable across
+    * engines' `ln` implementations (sub-ulp differences). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (TextOps.hash32(concat(col(keyCol).cast("string"), lit(":ws")))
+      + 1.0) / 4294967296.0
+    df.withColumn("__wkey", round(log(u) / col(weightCol), 12))
+      .orderBy(col("__wkey").desc, col(keyCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): reduce each document to hashed unigram
     * buckets, fit add-one-smoothed bucket distributions over the TARGET

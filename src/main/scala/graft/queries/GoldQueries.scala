@@ -362,7 +362,48 @@ object GoldQueries {
            |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS med20
            |FROM px ORDER BY user_id, date""".stripMargin))
 
+  /** Rolling 20-day correlation of each user's daily close against the
+    * equal-weight market average — the beta-screen shape. Market series is
+    * a tiny per-date aggregate broadcast back in (6dp-prerounded so both
+    * engines correlate identical inputs); corr runs as a bounded
+    * ROWS-frame window aggregate, one shuffle on the key. */
+  private val rollingCorr = Q(
+    "gold_rolling_corr",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir).events
+        .select($"user_id", to_date($"ts").as("date"), $"ts", $"event_id",
+          $"value")
+        .groupBy($"user_id", $"date")
+        .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
+      val market = daily.groupBy($"date")
+        .agg(round(avg($"close"), 6).as("mkt"))
+      val w = Window.partitionBy($"user_id").orderBy($"date")
+        .rowsBetween(-19, Window.currentRow)
+      daily.join(broadcast(market), "date")
+        .withColumn("corr20", corr($"close", $"mkt").over(w))
+        .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
+          round($"close", 2).as("close"), round($"corr20", 6).as("corr20"))
+        .orderBy($"user_id", $"date")
+    },
+    Some("""WITH px AS (
+           |  SELECT user_id, date, value AS close
+           |  FROM (SELECT user_id, ts::DATE AS date, value,
+           |               row_number() OVER (PARTITION BY user_id, ts::DATE
+           |                 ORDER BY ts DESC, event_id DESC) AS rn
+           |        FROM events)
+           |  WHERE rn = 1),
+           |mkt AS (SELECT date, round(avg(close), 6) AS mkt
+           |        FROM px GROUP BY date)
+           |SELECT p.user_id, strftime(p.date, '%Y-%m-%d') AS date,
+           |       round(p.close, 2) AS close,
+           |       round(corr(p.close, m.mkt) OVER
+           |         (PARTITION BY p.user_id ORDER BY p.date
+           |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS corr20
+           |FROM px p JOIN mkt m USING (date)
+           |ORDER BY p.user_id, date""".stripMargin))
+
   def all: Seq[Q] =
     Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,
-      gapFill, rollingMedian)
+      gapFill, rollingMedian, rollingCorr)
 }

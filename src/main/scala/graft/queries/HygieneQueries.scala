@@ -349,7 +349,27 @@ object HygieneQueries {
            |  FROM documents)
            |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin))
 
+  /** Weighted sampling without replacement: 25 documents drawn with
+    * probability ∝ n_chars (longer docs favored), Efraimidis–Spirakis
+    * keys from the salted portable hash — the oracle reproduces the EXACT
+    * sample. Plan: scan-local scoring + bounded TakeOrdered(25). */
+  private val weighted = Q(
+    "mix_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.SamplingOps.weightedSample(docs(s, dir), "doc_id",
+          "n_chars", 25)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM (
+           |  SELECT doc_id, lang, n_chars,
+           |    round(ln((('0x'||substr(md5(doc_id::VARCHAR || ':ws'),1,8))::BIGINT
+           |              + 1.0) / 4294967296.0) / n_chars, 12) AS wkey
+           |  FROM documents ORDER BY wkey DESC, doc_id LIMIT 25)
+           |ORDER BY doc_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(decontam, gopher, semdedup, mix, pack, trainingCorpus, importance,
-      domainCap)
+      domainCap, weighted)
 }

@@ -442,8 +442,47 @@ object StatsQueries {
            |       round(n_outliers::DOUBLE / n, 6) AS outlier_rate
            |FROM cut ORDER BY event_type""".stripMargin))
 
+  /** Winsorization: clip each group's values to its own [p05, p95] band
+    * and report the mean before/after — the standard outlier-robust
+    * preprocessing for heavy-tailed features. Same shape as
+    * stats_mad_outliers: two scan+agg passes; the per-group bounds are a
+    * tiny table broadcast back into the clipping scan. Bounds are
+    * 6dp-prerounded on both engines BEFORE clipping so the clip boundary
+    * is engine-stable. */
+  private val winsorize = Q(
+    "stats_winsorize",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem.select($"l_returnflag", $"l_extendedprice")
+      val bounds = li.groupBy($"l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("lo"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(max($"lo").as("lo"), max($"hi").as("hi"),
+          round(avg($"l_extendedprice"), 6).as("mean_raw"),
+          round(avg(greatest($"lo", least($"hi", $"l_extendedprice"))), 6)
+            .as("mean_winsorized"),
+          sum(when($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi",
+            1L).otherwise(0L)).as("n_clipped"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH b AS (
+           |  SELECT l_returnflag,
+           |         round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+           |         round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l.l_returnflag, max(b.lo) AS lo, max(b.hi) AS hi,
+           |       round(avg(l_extendedprice), 6) AS mean_raw,
+           |       round(avg(greatest(b.lo, least(b.hi, l_extendedprice))), 6)
+           |         AS mean_winsorized,
+           |       sum(CASE WHEN l_extendedprice < b.lo OR l_extendedprice > b.hi
+           |                THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+           |FROM lineitem l JOIN b USING (l_returnflag)
+           |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
-      aucQ, madQ)
+      aucQ, madQ, winsorize)
 }

@@ -77,6 +77,26 @@ class HygieneOpsSpec extends SparkSpec {
     assert(tiny.count() === 2)
   }
 
+  test("weightedSample: weight-proportional inclusion, deterministic, k-bounded") {
+    val df = spark.range(200).select($"id",
+      when($"id" === 7L, 1e9).otherwise(1.0).as("w"))
+    val got = SamplingOps.weightedSample(df, "id", "w", 10)
+      .select($"id").as[Long].collect().toSet
+    assert(got.size === 10)
+    // a weight 10⁹ row has wkey ≈ 0, strictly above any weight-1 row
+    assert(got.contains(7L))
+    val again = SamplingOps.weightedSample(df.repartition(13), "id", "w", 10)
+      .select($"id").as[Long].collect().toSet
+    assert(got === again)
+    // aggregate behavior: doubling the weight of half the keys must raise
+    // their selection share well above the unweighted baseline
+    val big = spark.range(2000).select($"id",
+      when($"id" % 2 === 0, 8.0).otherwise(1.0).as("w"))
+    val sel = SamplingOps.weightedSample(big, "id", "w", 400)
+      .filter($"id" % 2 === 0).count()
+    assert(sel > 260, s"heavy half got $sel of 400 — expected a clear majority")
+  }
+
   test("upsample repeats strata exactly and tags copies") {
     val df = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
     val up = SamplingOps.upsample(df, "lang", Map("en" -> 3))
