@@ -481,8 +481,59 @@ object StatsQueries {
            |FROM lineitem l JOIN b USING (l_returnflag)
            |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Cumulative distinct users per day, two ways in one plan:
+    * (a) EXACT via the first-seen trick — `min(date)` per user then a
+    * running sum of new-user counts: one narrow aggregate, no history
+    * re-scan per day (the O(days × history) naive form); (b) APPROX via
+    * mergeable DataSketches HLL — daily sketches union over a running
+    * window, the form that maintains incrementally at 100 TB (store
+    * per-day sketches, union on read; datasketches are mergeable partials
+    * exactly like the OHLC bars). The driver-checked result emits the
+    * exact numbers plus an in-plan `hll_within_5pct` boolean (sketch
+    * estimate vs exact), so the hash gate proves the sketch's error bound
+    * held — same invariant-oracle pattern as stats_approx_percentiles.
+    * The running-union window is over the ~30-row per-day table, not the
+    * event table. */
+  private val hllCumulative = Q(
+    "stats_hll_cumulative",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).events
+        .select(to_date($"ts").as("date"), $"user_id")
+      val daily = e.groupBy($"date").agg(
+        hll_sketch_agg($"user_id", 14).as("sk"),
+        count_distinct($"user_id").as("daily_distinct"))
+      val firstSeen = e.groupBy($"user_id").agg(min($"date").as("date"))
+        .groupBy($"date").agg(count(lit(1)).as("new_users"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"date")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily.join(firstSeen, Seq("date"), "left")
+        .withColumn("cum_exact",
+          sum(coalesce($"new_users", lit(0L))).over(w))
+        .withColumn("cum_est",
+          hll_sketch_estimate(hll_union_agg($"sk").over(w)))
+        .select(date_format($"date", "yyyy-MM-dd").as("date"),
+          $"daily_distinct", $"cum_exact",
+          (abs($"cum_est".cast("double") - $"cum_exact".cast("double")) /
+            $"cum_exact".cast("double") <= 0.05).as("hll_within_5pct"))
+        .orderBy($"date")
+    },
+    Some("""WITH daily AS (
+           |  SELECT ts::DATE AS date, count(DISTINCT user_id) AS daily_distinct
+           |  FROM events GROUP BY 1),
+           |fs AS (
+           |  SELECT date, count(*) AS new_users
+           |  FROM (SELECT user_id, min(ts::DATE) AS date FROM events GROUP BY 1)
+           |  GROUP BY date)
+           |SELECT strftime(d.date, '%Y-%m-%d') AS date, d.daily_distinct,
+           |       sum(coalesce(fs.new_users, 0)) OVER
+           |         (ORDER BY d.date ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_exact,
+           |       TRUE AS hll_within_5pct
+           |FROM daily d LEFT JOIN fs ON d.date = fs.date
+           |ORDER BY date""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
-      aucQ, madQ, winsorize)
+      aucQ, madQ, winsorize, hllCumulative)
 }

@@ -145,6 +145,19 @@ object StreamingOps {
          |r_$tsCol <= l_$tsCol""".stripMargin), joinType)
   }
 
+  /** Stream-static enrichment: join a stream against a batch dimension
+    * table (the lookup-table pattern — prices × static calendar, events ×
+    * user dim). The static side is explicitly broadcast: each micro-batch
+    * probes the dim map-side with NO stream-side shuffle and NO state
+    * store — unlike stream-stream joins this is stateless, so no
+    * watermark is required. The dim is re-resolved per micro-batch, so a
+    * view/table that changes between batches is picked up (the Spark
+    * stream-static contract). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keyCols: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      keyCols, "left")
+
   /** foreachBatch sink wiring: lift any batch writer (e.g. the idempotent
     * partitioned Writers.writeForDate) into a streaming sink — each
     * micro-batch is written under its batch id exactly once on retry

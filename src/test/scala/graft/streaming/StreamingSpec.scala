@@ -209,6 +209,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("stream-static dim enrichment: broadcast join, stateless, == batch") {
+    val docsPath = graft.TestSpark.sfDir + "/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    val dim = Seq(("en", "English", true), ("de", "German", true),
+      ("zh", "Chinese", false)).toDF("lang", "lang_name", "latin")
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingOps.enrichWithDim(df, dim, Seq("lang"))
+        .select($"doc_id", $"lang", $"lang_name", $"latin")
+    val tmp = Files.createTempDirectory("graft-dim-stream")
+    Files.copy(java.nio.file.Paths.get(docsPath), tmp.resolve("documents.parquet"))
+    val q = enrich(spark.readStream.schema(schema).parquet(tmp.toString))
+      .writeStream.format("memory").queryName("dim_stream")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("dim_stream")
+      .as[(Long, String, Option[String], Option[Boolean])].collect().toSet
+    val batch = enrich(spark.read.parquet(docsPath))
+      .as[(Long, String, Option[String], Option[Boolean])].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+    // left join: unmatched langs pass through null-padded, none dropped
+    assert(streamed.exists(_._3.isEmpty))
+    assert(streamed.size === spark.read.parquet(docsPath).count())
+  }
+
   test("AvailableNow file source processes new files only (S15/S17 story)") {
     val root = Files.createTempDirectory("graft-stream").toString
     val src = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
