@@ -412,7 +412,94 @@ object TextQueries {
            |FROM tok t LEFT JOIN v ON t.token = v.token
            |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin))
 
+  /** One BPE-training iteration: count adjacent character pairs across
+    * all token OCCURRENCES and rank the merge candidates — the inner loop
+    * of byte-pair-encoding tokenizer training, distributed. Pure
+    * generate+aggregate plan: `explode(sequence)` char-pair extraction is
+    * scan-local; one hash aggregate on the pair. */
+  private val bpePairs = Q(
+    "text_bpe_pair_counts",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).documents
+        .select(explode(TextOps.tokens($"text")).as("tok"))
+        .filter(length($"tok") >= 2)
+        .select($"tok", explode(sequence(lit(1), length($"tok") - 1)).as("i"))
+        .select($"tok".substr($"i", lit(2)).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(15)
+    },
+    Some("""WITH tok AS (
+           |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |p AS (
+           |  SELECT substring(tok, unnest(generate_series(1, length(tok) - 1)), 2)
+           |           AS pair
+           |  FROM tok WHERE length(tok) >= 2)
+           |SELECT pair, count(*)::BIGINT AS n FROM p
+           |GROUP BY pair ORDER BY n DESC, pair LIMIT 15""".stripMargin))
+
+  /** χ² feature selection: the tokens most associated with English
+    * documents by the 2×2 presence contingency (doc frequency, not
+    * occurrences), χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with a df ≥ 5
+    * floor. Counts are exact integers on both engines; only the final χ²
+    * is floating (rounded). Two hash aggregates over per-doc distinct
+    * tokens + one tiny corpus-stats cross join. */
+  private val chi2 = Q(
+    "text_chi2_features",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir).documents
+        .select($"doc_id", ($"lang" === "en").as("is_en"),
+          explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      val stats = d.groupBy($"token")
+        .agg(sum(when($"is_en", 1L).otherwise(0L)).as("a"),
+          count(lit(1)).as("df"))
+      val corpus = t(s, dir).documents
+        .agg(count(lit(1)).as("n"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"))
+      stats.crossJoin(broadcast(corpus))
+        .filter($"df" >= 5)
+        .withColumn("b", $"df" - $"a")
+        .withColumn("c", $"n_en" - $"a")
+        .withColumn("d", $"n" - $"df" - $"c")
+        // (ad−bc)² and the margin product stay EXACT 64-bit integers on
+        // both engines; only the final mul/div is floating — identical
+        // operand doubles ⇒ identical rounded χ²
+        .withColumn("diff", $"a" * $"d" - $"b" * $"c")
+        .withColumn("chi2", round(
+          $"n".cast("double") * ($"diff" * $"diff").cast("double") /
+            (($"a" + $"b") * ($"c" + $"d") * ($"a" + $"c") * ($"b" + $"d"))
+              .cast("double"), 6))
+        .select($"token", $"a".as("df_en"), $"df", $"chi2")
+        .orderBy($"chi2".desc, $"token")
+        .limit(10)
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, lang = 'en' AS is_en,
+           |         unnest(list_distinct(string_split(text, ' '))) AS token
+           |  FROM documents),
+           |stats AS (
+           |  SELECT token,
+           |         sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS a,
+           |         count(*)::BIGINT AS df
+           |  FROM tok GROUP BY token),
+           |corpus AS (
+           |  SELECT count(*)::BIGINT AS n,
+           |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
+           |  FROM documents),
+           |cells AS (
+           |  SELECT token, a, df, n, df - a AS b, n_en - a AS c,
+           |         n - df - (n_en - a) AS d
+           |  FROM stats CROSS JOIN corpus WHERE df >= 5)
+           |SELECT token, a AS df_en, df,
+           |       round(n::DOUBLE * ((a*d - b*c) * (a*d - b*c))::DOUBLE
+           |             / ((a + b)*(c + d)*(a + c)*(b + d))::DOUBLE, 6) AS chi2
+           |FROM cells
+           |ORDER BY chi2 DESC, token LIMIT 10""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, bm25Q,
-      chunkQ, piiRedact, normalizeQ, perplexityQ, pmiQ, vocabOovQ)
+      chunkQ, piiRedact, normalizeQ, perplexityQ, pmiQ, vocabOovQ, bpePairs,
+      chi2)
 }
