@@ -33,7 +33,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop blocks pinned by lineage cuts (localCheckpoint) so storage
+      // pressure from one query can't bleed into the next — without this,
+      // 100+ queries in one JVM accumulate pinned RDDs until eviction/GC
+      // inflates late-suite timings ~2× (measured on this box)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      dt
     }
 
     // warmup: JVM + codegen + parquet footer reads, untimed — one query
@@ -58,9 +64,11 @@ object Bench {
     println(line)
     // driver output tails can truncate the per-query map on long registries;
     // also persist the full line as a tracked artifact so every round's
-    // per-query regression check is auditable from the repo alone
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // per-query regression check is auditable from the repo alone.
+    // Subset (dev) runs must not clobber the full-registry artifact.
+    if (args.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

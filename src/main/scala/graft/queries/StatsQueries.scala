@@ -454,9 +454,12 @@ object StatsQueries {
     (s, dir) => {
       import s.implicits._
       val li = Tables(s, dir).lineitem.select($"l_returnflag", $"l_extendedprice")
+      // both bounds from ONE percentile buffer (array percentage) — two
+      // separate percentile aggregates would each collect the group twice
       val bounds = li.groupBy($"l_returnflag")
-        .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("lo"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("hi"))
+        .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("b"))
+        .select($"l_returnflag", round(element_at($"b", 1), 6).as("lo"),
+          round(element_at($"b", 2), 6).as("hi"))
       li.join(broadcast(bounds), "l_returnflag")
         .groupBy($"l_returnflag")
         .agg(max($"lo").as("lo"), max($"hi").as("hi"),
