@@ -170,6 +170,51 @@ object GoldOps {
         last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** As-of join, direction = NEAREST (pandas `merge_asof(direction=
+    * 'nearest')`): each spine row takes the sparse row of the same key
+    * closest in time — before OR after — within `tolerance` (micros);
+    * ties break to the earlier sparse row. Spark has no nearest-asof, and
+    * a range join would re-scan candidates; this is the scalable form:
+    * union both sides, then per key ONE ordered window pass computing the
+    * last sparse value at-or-before (running `last(ignoreNulls)`) and the
+    * first at-or-after (`first(ignoreNulls)` over the FOLLOWING frame) —
+    * a single shuffle on the key, state bounded by the frame.
+    *
+    * Sparse rows sort BEFORE spine rows at the same timestamp (side tag),
+    * so an exact-tie sparse row is seen by the backward pass — "before"
+    * includes "simultaneous", matching ASOF semantics. */
+  def asOfNearest(spine: DataFrame, sparse: DataFrame, key: String,
+                  tsCol: String, valueCol: String,
+                  tolerance: Long): DataFrame = {
+    val tagged = spine
+      .select(col(key), col(tsCol),
+        lit(null).cast("double").as("__v"),
+        lit(null).cast("long").as("__qts"), lit(1).as("__side"))
+      .unionByName(sparse.select(col(key), col(tsCol),
+        col(valueCol).cast("double").as("__v"),
+        unix_micros(col(tsCol)).as("__qts"), lit(0).as("__side")))
+    val ord = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("__side"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(col("__v"), ignoreNulls = true).over(back)
+    val prevTs = last(col("__qts"), ignoreNulls = true).over(back)
+    val nextV = first(col("__v"), ignoreNulls = true).over(fwd)
+    val nextTs = first(col("__qts"), ignoreNulls = true).over(fwd)
+    val dPrev = unix_micros(col(tsCol)) - prevTs
+    val dNext = nextTs - unix_micros(col(tsCol))
+    val takePrev = prevTs.isNotNull && dPrev <= tolerance &&
+      (nextTs.isNull || dNext > tolerance || dPrev <= dNext)
+    val takeNext = nextTs.isNotNull && dNext <= tolerance && !takePrev
+    tagged
+      .withColumn(valueCol,
+        when(takePrev, prevV).when(takeNext, nextV))
+      .withColumn("matched_delta_us",
+        when(takePrev, dPrev).when(takeNext, dNext))
+      .filter(col("__side") === 1)
+      .drop("__v", "__qts", "__side")
+  }
+
   /** Rolling exact median over the trailing `n` rows per key — the robust
     * centre line (median band) a quant pipeline pairs with [[withRolling]]'s
     * mean/vol. Exact `percentile(0.5)` as a window aggregate: Catalyst

@@ -403,7 +403,77 @@ object GoldQueries {
            |FROM px p JOIN mkt m USING (date)
            |ORDER BY p.user_id, date""".stripMargin))
 
+  /** As-of NEAREST alignment: each purchase takes the click value of the
+    * same user closest in time (before or after) within 30 minutes, ties
+    * to the earlier click — the pandas merge_asof(direction='nearest')
+    * surface. One union + one ordered window pass per key (see
+    * GoldOps.asOfNearest); the oracle reruns the identical construction
+    * with IGNORE NULLS windows. */
+  private val asofNearest = Q(
+    "gold_asof_nearest",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).events
+      val spine = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      val clicks = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("click_value"))
+      GoldOps.asOfNearest(
+          spine.select($"user_id", $"ts").distinct(), clicks,
+          "user_id", "ts", "click_value", 1800L * 1000000L)
+        .join(spine, Seq("user_id", "ts"))
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts"),
+          round($"click_value", 2).as("click_value"), $"matched_delta_us")
+        .orderBy($"event_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts, max(value) AS v
+           |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+           |p AS (SELECT DISTINCT user_id, ts FROM events
+           |      WHERE event_type = 'purchase'),
+           |u AS (
+           |  SELECT user_id, ts, NULL::DOUBLE AS v, NULL::BIGINT AS qts,
+           |         1 AS side FROM p
+           |  UNION ALL
+           |  SELECT user_id, ts, v, epoch_us(ts), 0 FROM c),
+           |w AS (
+           |  SELECT *,
+           |    last_value(v IGNORE NULLS) OVER wb AS prev_v,
+           |    last_value(qts IGNORE NULLS) OVER wb AS prev_ts,
+           |    first_value(v IGNORE NULLS) OVER wf AS next_v,
+           |    first_value(qts IGNORE NULLS) OVER wf AS next_ts
+           |  FROM u
+           |  WINDOW
+           |    wb AS (PARTITION BY user_id ORDER BY ts, side
+           |           ROWS UNBOUNDED PRECEDING),
+           |    wf AS (PARTITION BY user_id ORDER BY ts, side
+           |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+           |m AS (
+           |  SELECT user_id, ts,
+           |    CASE WHEN take_prev THEN prev_v
+           |         WHEN take_next THEN next_v END AS click_value,
+           |    CASE WHEN take_prev THEN d_prev
+           |         WHEN take_next THEN d_next END AS matched_delta_us
+           |  FROM (
+           |    SELECT *,
+           |      prev_ts IS NOT NULL AND d_prev <= 1800000000 AND
+           |        (next_ts IS NULL OR d_next > 1800000000 OR d_prev <= d_next)
+           |        AS take_prev,
+           |      next_ts IS NOT NULL AND d_next <= 1800000000 AND NOT (
+           |        prev_ts IS NOT NULL AND d_prev <= 1800000000 AND
+           |        (next_ts IS NULL OR d_next > 1800000000 OR d_prev <= d_next))
+           |        AS take_next
+           |    FROM (SELECT *, epoch_us(ts) - prev_ts AS d_prev,
+           |                 next_ts - epoch_us(ts) AS d_next
+           |          FROM w WHERE side = 1)))
+           |SELECT e.event_id, e.user_id,
+           |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           |       round(m.click_value, 2) AS click_value, m.matched_delta_us
+           |FROM events e JOIN m ON e.user_id = m.user_id AND e.ts = m.ts
+           |WHERE e.event_type = 'purchase'
+           |ORDER BY e.event_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,
-      gapFill, rollingMedian, rollingCorr)
+      gapFill, rollingMedian, rollingCorr, asofNearest)
 }

@@ -92,6 +92,34 @@ class GoldOpsSpec extends SparkSpec {
     assert(rev === whole)
   }
 
+  test("asOfNearest: picks closer side, ties to earlier, honors tolerance") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val spine = Seq(("A", ts(100)), ("A", ts(200)), ("A", ts(300)),
+      ("A", ts(1000)), ("B", ts(50)))
+      .toDF("k", "ts")
+    val sparse = Seq(
+      ("A", ts(95), 1.0),   // 5s before t=100 (next is 12s after → prev wins)
+      ("A", ts(112), 2.0),  // 12s after t=100; 88s before t=200
+      ("A", ts(288), 3.0),  // 88s after t=200 → TIE with prev at 88s → prev
+      ("A", ts(300), 4.0),  // exact hit for t=300 (simultaneous counts as before)
+      ("B", ts(49), 9.0))
+      .toDF("k", "ts", "v")
+    def run(tolUs: Long) =
+      GoldOps.asOfNearest(spine, sparse, "k", "ts", "v", tolUs)
+        .orderBy($"k", $"ts")
+        .select($"k", $"v", $"matched_delta_us")
+        .as[(String, Option[Double], Option[Long])].collect().toSeq
+    // tolerance 60 s: the t=200 row (88 s to both sides) matches nothing
+    assert(run(60L * 1000000L) === Seq(
+      ("A", Some(1.0), Some(5000000L)),  // prev 5 s beats next 12 s
+      ("A", None, None),                 // both candidates beyond tolerance
+      ("A", Some(4.0), Some(0L)),        // simultaneous sparse row counts
+      ("A", None, None),                 // t=1000: nearest is 700 s away
+      ("B", Some(9.0), Some(1000000L))))
+    // tolerance 100 s: t=200 sees an exact 88 s tie → earlier (prev) wins
+    assert(run(100L * 1000000L)(1) === ("A", Some(2.0), Some(88000000L)))
+  }
+
   test("denseForwardFill: every day in each key's range, LOCF, fill flag") {
     val sparse = Seq(("A", "2025-01-01", 10.0), ("A", "2025-01-04", 13.0),
       ("B", "2025-01-02", 5.0))
