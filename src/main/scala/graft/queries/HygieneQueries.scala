@@ -369,7 +369,64 @@ object HygieneQueries {
            |  FROM documents ORDER BY wkey DESC, doc_id LIMIT 25)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Embedding-space capstone — SemDedup end-to-end as ONE plan:
+    * IVF-assign every vector to its nearest (deterministic) centroid,
+    * generate cluster-local near-dup pairs at cos ≥ 0.4 (triangle-blocked,
+    * never a global pair join), resolve duplicate groups with pointer-
+    * jumping connected components, keep the min-id representative of each
+    * group, and report per-label survival — the embedding twin of
+    * pipeline_training_corpus. Oracle: same centroids/pairs in SQL + a
+    * recursive-CTE reachability twin for the components. */
+  private val semdedupCorpus = Q(
+    "pipeline_semdedup_embeddings",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+      val pairs = graft.operators.VectorOps.semdedupPairs(
+        e, e.filter($"vec_id" < 8),
+        "vec_id", "embedding", "vec_id", "embedding", 0.4)
+      val comps = graft.operators.DedupOps
+        .connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("label", "rep")
+      e.join(comps, $"vec_id" === $"id", "left")
+        .withColumn("survivor", coalesce($"rep", $"vec_id") === $"vec_id")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when($"survivor", 1L).otherwise(0L)).as("n_survivors"))
+        .orderBy($"label")
+    },
+    Some {
+      def dcos(a: String, b: String) =
+        s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |c AS (SELECT vec_id centroid_id, v cv FROM e WHERE vec_id < 8),
+         |scored AS (SELECT e.vec_id, e.v, c.centroid_id,
+         |             round(${dcos("e.v", "c.cv")}, 6) cos
+         |           FROM e CROSS JOIN c),
+         |best AS (SELECT vec_id, v, centroid_id FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) rn FROM scored)
+         |  WHERE rn = 1),
+         |prs AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM best a JOIN best b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  WHERE round(${dcos("a.v", "b.v")}, 6) >= 0.4),
+         |edges AS (SELECT ia src, ib dst FROM prs UNION SELECT ib, ia FROM prs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT ed.dst, reach.r FROM reach JOIN edges ed ON ed.src = reach.id),
+         |rep AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+         |SELECT e.label, count(*) AS n_vectors,
+         |       sum(CASE WHEN coalesce(rep.rep, e.vec_id) = e.vec_id
+         |                THEN 1 ELSE 0 END)::BIGINT AS n_survivors
+         |FROM e LEFT JOIN rep ON rep.id = e.vec_id
+         |GROUP BY e.label ORDER BY e.label""".stripMargin
+    })
+
   def all: Seq[Q] =
     Seq(decontam, gopher, semdedup, mix, pack, trainingCorpus, importance,
-      domainCap, weighted)
+      domainCap, weighted, semdedupCorpus)
 }
