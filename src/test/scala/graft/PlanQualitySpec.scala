@@ -286,6 +286,45 @@ class PlanQualitySpec extends SparkSpec {
       s"bucketed join must not re-shuffle its keys:\n$plan")
   }
 
+  test("AQE coalesces post-shuffle partitions (runtime re-plan at small SF)") {
+    val t = Tables(spark, TestSpark.sfDir)
+    val df = t.lineitem.groupBy($"l_orderkey").agg(sum($"l_quantity"))
+    df.collect() // finalize the adaptive plan on THIS queryExecution
+    val plan = df.queryExecution.executedPlan.toString
+    // the static 4-partition shuffle must be read back as fewer coalesced
+    // partitions — the knob that keeps task counts sane when the same
+    // query runs at sf0.001 and at 100 TB
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"expected AQE coalesced shuffle read:\n${plan.take(1200)}")
+  }
+
+  test("runtime bloom-filter reduction injects on a selective shuffle join") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "true")
+      conf.set(keys(1), "0")   // default 10GB — lower so the test SF qualifies
+      conf.set(keys(2), "-1")  // force a shuffle join; bloom targets those
+      val t = Tables(spark, TestSpark.sfDir)
+      val dim = t.orders.filter($"o_orderpriority" === "1-URGENT")
+      val q = t.lineitem.join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      // Catalyst's InjectRuntimeFilter should gate the fact scan with a
+      // might_contain(bloom of the filtered dim keys) — the engine's own
+      // version of the BloomAggregator prefilter, driven by the optimizer
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom runtime filter:\n${optimized.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("nested struct access prunes to the leaf in the parquet ReadSchema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
     graft.operators.MultimodalOps.fakeMediaFromDocuments(
