@@ -404,8 +404,12 @@ object DedupOps {
     val probed = batch.crossJoin(broadcast(histBloom))
     val hit = graft.functions.BloomAggregator
       .mightContain(col("__bloom"), key, numBits, numHashes)
-    // run the scan once for both branches — the probe is the same pass
-    val probedOnce = probed.withColumn("__hit", hit).drop("__bloom")
+    // run the scan once for both branches — the probe is the same pass.
+    // A NULL key probes NULL: anti-join semantics keep null-key batch rows
+    // (NULL never equals a history key), so NULL-hit rows are
+    // definitely-new, not dropped — coalesce makes that explicit.
+    val probedOnce = probed
+      .withColumn("__hit", coalesce(hit, lit(false))).drop("__bloom")
       .cut(eager = false)
     val definitelyNew = probedOnce.filter(!col("__hit")).drop("__hit")
     val candidates = probedOnce.filter(col("__hit")).drop("__hit")

@@ -81,7 +81,8 @@ object SamplingOps {
     * domain it touches and the exchange carries O(partitions × k) rows per
     * domain instead of the domain's full row count — a hot domain with
     * 100M rows shuffles ≤ 32k pairs, not 100M rows. Winners then rejoin
-    * the input on the key (AQE picks broadcast when domains × k is small). */
+    * the input on the key (AQE picks broadcast when domains × k is small).
+    * Contract: keys are non-null (a null key cannot win the rejoin). */
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
                     k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k))
@@ -106,7 +107,9 @@ object SamplingOps {
     * shuffle of the full table, no rand().
     *
     * The sort key is pre-rounded to 12dp so the ordering is stable across
-    * engines' `ln` implementations (sub-ulp differences). */
+    * engines' `ln` implementations (sub-ulp differences). Contract: keys
+    * non-null, weights strictly positive (ln(u) ≤ 0 flips order under a
+    * negative weight). */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      k: Int): DataFrame = {
     val u = (TextOps.hash32(concat(col(keyCol).cast("string"), lit(":ws")))

@@ -448,7 +448,10 @@ object StatsQueries {
     * stats_mad_outliers: two scan+agg passes; the per-group bounds are a
     * tiny table broadcast back into the clipping scan. Bounds are
     * 6dp-prerounded on both engines BEFORE clipping so the clip boundary
-    * is engine-stable. */
+    * is engine-stable. Exact `percentile` here because the oracle needs
+    * exact bounds; the 100 TB form swaps in the mergeable
+    * `percentile_approx` sketch (same plan shape, bounded memory —
+    * stats_approx_percentiles proves that path's error bound). */
   private val winsorize = Q(
     "stats_winsorize",
     (s, dir) => {

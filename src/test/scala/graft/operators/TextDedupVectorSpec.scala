@@ -160,6 +160,13 @@ class TextOpsSpec extends SparkSpec {
     val disjoint = DedupOps.bloomDeltaNew(
       batch.filter($"id" < 10), spark.range(5000, 6000).toDF("id"), "id")
     assert(disjoint.count() === 10)
+    // NULL-key batch rows survive (anti join keeps them: NULL matches
+    // nothing) — they must not vanish into neither branch of the probe
+    val withNull = Seq(Some(1L), None, Some(9999L)).toDF("id")
+    val hist = Seq(Some(1L), None).toDF("id")
+    val kept = DedupOps.bloomDeltaNew(withNull, hist, "id")
+      .select($"id").as[Option[Long]].collect().toSet
+    assert(kept === Set(None, Some(9999L)))
   }
 
   test("importance weights: target-like docs outrank off-target docs") {
