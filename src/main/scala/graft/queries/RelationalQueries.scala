@@ -479,6 +479,20 @@ object RelationalQueries {
            |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
            |ORDER BY c_custkey""".stripMargin))
 
+  private val setIntersect = Q(
+    "setops_intersect",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir).customer
+      c.filter($"c_acctbal" > 1000).select($"c_custkey")
+        .intersect(c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+           |INTERSECT
+           |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           |ORDER BY c_custkey""".stripMargin))
+
   private val setUnion = Q(
     "setops_union_distinct",
     (s, dir) => {
@@ -722,7 +736,8 @@ object RelationalQueries {
     q1, q3, q5, s3Lookup, f5, semi, q17,
     f3, f6, f7, f18, f19,
     f1, f4, pivotQ, f11, f13, f14, f8,
-    setExcept, setUnion, topk, fullOuter, firstLast, q7, q8, reconDiff)
+    setExcept, setIntersect, setUnion, topk, fullOuter, firstLast, q7, q8,
+    reconDiff)
 
   def all: Seq[Q] = all0
 }

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
-import graft.io.{Layout, PartitionLedger, SchemaRegistry, Writers}
+import graft.io.{Layout, PartitionLedger, SchemaRegistry, Writers, Readers}
 import graft.model.Schemas
 import graft.sources._
 import org.apache.spark.sql.functions._
@@ -109,6 +109,32 @@ class LedgerRegistrySpec extends SparkSpec {
     // second call must NOT re-infer: point inferFrom at garbage
     val s2 = r.ensure(spark, "krx_codes", sys.error("re-inferred!"))
     assert(s2 === s1)
+  }
+
+  test("schema evolution: merged read surfaces added columns as NULL on old files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve")
+    val v1 = dir.resolve("v1").toString
+    val v2 = dir.resolve("v2").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(v1)
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(v2)
+    val merged = Readers.readEvolved(spark, v1, v2)
+    assert(merged.columns.toSet === Set("id", "name", "score"))
+    val rows = merged.orderBy($"id")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(rows === Seq((1L, "a", None), (2L, "b", Some(9.5))))
+    // conformed read: required set with a column no file has yet (null of
+    // declared type), dropping none, canonical order — both directions of
+    // reader/data version skew
+    val conformed = Readers.readConformed(spark,
+      Seq("id" -> "bigint", "score" -> "double", "region" -> "string"),
+      v1, v2)
+    assert(conformed.columns.toSeq === Seq("id", "score", "region"))
+    assert(conformed.schema("region").dataType.typeName === "string")
+    assert(conformed.filter($"region".isNotNull).count() === 0)
+    // pushdown on the evolved column still prunes correctly across files
+    assert(Readers.readEvolved(spark, v1, v2)
+      .filter($"score" > 9.0).count() === 1)
   }
 }
 
