@@ -62,4 +62,35 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Hop-bounded BFS from a set of source nodes: returns every node
+    * reachable within `maxHops` directed hops with its shortest hop count.
+    * Frontier iteration: each round joins ONLY the newly-discovered
+    * frontier (not the visited set) against the edge table, anti-joins
+    * away already-visited nodes, and unions into the visited set — so
+    * round h's join cost is |frontier_h| × out-degree, and a node's first
+    * discovery is by construction its shortest distance. Same narrow-state
+    * + lineage-cut discipline as [[pageRank]] / connectedComponents. */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, idCol: String,
+                   maxHops: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cut(eager = false)
+    var visited = sources.select(col(idCol).as("id"), lit(0).as("dist"))
+      .distinct()
+    var frontier = visited
+    var hop = 1
+    while (hop <= maxHops) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(hop).as("dist"))
+        .cut(eager = false)
+      visited = visited.unionByName(next).cut(eager = false)
+      frontier = next
+      hop += 1
+    }
+    visited
+  }
 }

@@ -465,7 +465,44 @@ object EventQueries {
          |SELECT id AS page, round(rank, 6) AS rank FROM r3 ORDER BY page""".stripMargin
     })
 
+  /** Hop-bounded reachability over the page-transition graph: every page
+    * reachable from page 0 within 3 clicks, with its shortest hop count —
+    * BFS frontier iteration (GraphOps.shortestHops); the oracle is the
+    * depth-bounded recursive CTE with min(dist) collapsing cycle
+    * rediscoveries. */
+  private val reachable = Q(
+    "graph_reachable_3hops",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val edges = ev(s, dir)
+        .withColumn("dst", get_json_object($"props", "$.k").cast("int"))
+        .withColumn("src", lag($"dst", 1).over(byUser))
+        .filter($"src".isNotNull)
+        .select($"src", $"dst")
+      val sources = s.range(0, 1).select($"id".cast("int").as("id"))
+      graft.operators.GraphOps.shortestHops(edges, "src", "dst",
+          sources, "id", 3)
+        .select($"id".as("page"), $"dist")
+        .orderBy($"page")
+    },
+    Some("""WITH RECURSIVE lagged AS (
+           |  SELECT (props->>'k')::INT AS dst,
+           |         lag((props->>'k')::INT) OVER
+           |           (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           |  FROM events),
+           |edges AS (
+           |  SELECT DISTINCT src, dst FROM lagged WHERE src IS NOT NULL),
+           |reach AS (
+           |  SELECT 0 AS id, 0 AS dist
+           |  UNION
+           |  SELECT e.dst, reach.dist + 1 FROM reach
+           |  JOIN edges e ON e.src = reach.id WHERE reach.dist < 3)
+           |SELECT id AS page, min(dist)::INT AS dist FROM reach
+           |GROUP BY id ORDER BY page""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
-      intervalMerge, funnel, retention, pointInTime, pagerank)
+      intervalMerge, funnel, retention, pointInTime, pagerank, reachable)
 }

@@ -26,6 +26,21 @@ class GraphOpsSpec extends SparkSpec {
   private def C_isMin(r: Map[String, Double]): Boolean =
     r("C") === r.values.min
 
+  test("shortestHops: BFS distances, cycles don't resurrect, bound honored") {
+    // 1 → 2 → 3 → 1 (cycle) and 3 → 4; 5 isolated
+    val e = Seq((1, 2), (2, 3), (3, 1), (3, 4), (9, 5))
+      .toDF("src", "dst")
+    val out = GraphOps.shortestHops(e, "src", "dst",
+        Seq(1).toDF("id"), "id", 3)
+      .as[(Int, Int)].collect().toMap
+    // 1 is rediscovered via the cycle at hop 3 — must keep dist 0
+    assert(out === Map(1 -> 0, 2 -> 1, 3 -> 2, 4 -> 3))
+    val bounded = GraphOps.shortestHops(e, "src", "dst",
+        Seq(1).toDF("id"), "id", 2)
+      .as[(Int, Int)].collect().toMap
+    assert(bounded === Map(1 -> 0, 2 -> 1, 3 -> 2)) // 4 is beyond 2 hops
+  }
+
   test("pageRank: one hand-computed iteration on a weighted pair") {
     // X → Y (only edge): r0 = 1/2 each; Y dangling ⇒ D = 1/2
     // r1(X) = 0.15/2 + 0.85·(0 + 0.25)        = 0.2875
