@@ -148,6 +148,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("diffByKey: diff(a, a) is empty; diff(∅, b) is all-added") {
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 40L), Gen.alphaStr, Gen.choose(0.0, 9.0)))
+    forAll(rowsGen, n = 5) { rows =>
+      val a = rows.toDF("k", "s", "p").dropDuplicates("k")
+      assert(RelationalOps.diffByKey(a, a, Seq("k"), Seq("s", "p")).isEmpty)
+      val empty = a.filter(lit(false))
+      val allAdded = RelationalOps.diffByKey(empty, a, Seq("k"), Seq("s", "p"))
+      assert(allAdded.count() === a.count())
+      assert(allAdded.filter($"change_type" =!= "added").isEmpty)
+    }
+  }
+
+  test("bloomDeltaNew ≡ plain anti join on arbitrary overlapping key sets") {
+    val setGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(0L, 300L)),
+      Gen.nonEmptyListOf(Gen.choose(150L, 450L)))
+    forAll(setGen, n = 5) { case (batchKeys, histKeys) =>
+      val batch = batchKeys.toDF("id")
+      val hist = histKeys.toDF("id")
+      val got = graft.operators.DedupOps
+        .bloomDeltaNew(batch, hist, "id", numBits = 256)
+        .as[Long].collect().sorted.toSeq
+      val want = batch.join(hist, Seq("id"), "left_anti")
+        .as[Long].collect().sorted.toSeq
+      assert(got === want)
+    }
+  }
+
+  test("pageRank conserves unit mass on arbitrary graphs") {
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 12), Gen.choose(0, 12), Gen.choose(1L, 5L)))
+    forAll(edgeGen, n = 5) { edges =>
+      val r = graft.operators.GraphOps
+        .pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", 3)
+        .agg(sum($"rank")).as[Double].head()
+      assert(math.abs(r - 1.0) < 1e-9)
+    }
+  }
+
   test("hash32 distributes: no value outside 32 bits, stable across evals") {
     forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { tokens =>
       val h1 = tokens.toDF("t").select(TextOps.hash32($"t")).as[Long].collect()
