@@ -81,4 +81,31 @@ object HygieneOps {
           col("rep_2gram") <= 0.05 &&
           col("top_token_ratio") <= 0.12, lit(false)))
   }
+
+  /** Semantic (embedding-space) decontamination: for every corpus vector,
+    * the max cosine against ANY benchmark vector — flagging rows whose
+    * nearest benchmark similarity clears `threshold`. The semantic
+    * complement to [[contaminationHits]]: catches paraphrased benchmark
+    * leakage that shares no shingles.
+    *
+    * Scale posture: the benchmark set is small by nature (eval suites) —
+    * broadcast; scoring is |corpus| × |benchmark| scan-local cosines that
+    * partial-aggregate (max per id) map-side before the one shuffle on the
+    * corpus id. Cosines are 6dp-prerounded before max so the flag
+    * boundary is engine-stable. */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+        VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val b = benchmark.select(VectorOps.toDouble(col(vecCol)).as("bv"))
+      .withColumn("bnrm", VectorOps.norm(col("bv")))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos", round(
+        VectorOps.cosinePrenormed(col("v"), col("bv"), col("nrm"), col("bnrm")), 6))
+      .groupBy(col("id"))
+      .agg(max(col("cos")).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= threshold)
+  }
 }

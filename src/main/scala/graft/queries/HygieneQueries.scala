@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Lineage.LineageOps
-import graft.operators.{HygieneOps, VectorOps}
+import graft.operators.{HygieneOps, TextOps, VectorOps}
 
 /** [EXT] Corpus-hygiene queries: benchmark decontamination, Gopher-style
   * quality gates, and SemDedup cluster-local embedding near-dup pairs —
@@ -426,7 +426,111 @@ object HygieneQueries {
          |GROUP BY e.label ORDER BY e.label""".stripMargin
     })
 
+  /** Semantic decontamination: corpus vectors (labels 0–8) scored by max
+    * cosine against the label-9 "benchmark" set — catches paraphrased
+    * leakage with no shared n-grams. Benchmark broadcast; max partial-
+    * aggregates map-side; 6dp-prerounded before the flag cut. */
+  private val semanticDecontam = Q(
+    "sim_semantic_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+      graft.operators.HygieneOps.semanticContamination(
+          e.filter($"label" =!= 9), e.filter($"label" === 9),
+          "vec_id", "embedding", 0.5)
+        .select($"id".as("vec_id"), $"max_cos", $"contaminated")
+        .orderBy($"vec_id")
+    },
+    Some {
+      def dcos(a: String, b: String) =
+        s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |b AS (SELECT v AS bv FROM e WHERE label = 9),
+         |s AS (SELECT e.vec_id, round(${dcos("e.v", "bv")}, 6) AS cos
+         |      FROM e CROSS JOIN b WHERE e.label <> 9)
+         |SELECT vec_id, max(cos) AS max_cos,
+         |       max(cos) >= 0.5 AS contaminated
+         |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    })
+
+  /** CCNet-style perplexity bucketing: within each language, docs split
+    * into head/middle/tail thirds by bigram-LM bits/token (ntile over the
+    * 6dp-rounded score with doc_id tiebreak — both engines cut
+    * identically). The mixture-control step that keeps some high-
+    * perplexity tail instead of hard-filtering. */
+  private val pplBuckets = Q(
+    "mix_perplexity_buckets",
+    (s, dir) => {
+      import s.implicits._
+      val bits = graft.operators.TextOps
+        .bigramLmBits(docs(s, dir), "doc_id", "text")
+        .join(docs(s, dir).select($"doc_id".as("id"), $"lang"), "id")
+        .withColumn("bits", round($"bits_per_token", 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"bits", $"id")
+      bits.withColumn("nt", ntile(3).over(w))
+        .withColumn("bucket",
+          when($"nt" === 1, "head").when($"nt" === 2, "middle")
+            .otherwise("tail"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n"), round(avg($"bits"), 6).as("avg_bits"))
+        .orderBy($"lang", $"bucket")
+    },
+    Some(s"""WITH ${TextQueries.perplexityCteBody},
+            |lb AS (
+            |  SELECT d.lang, p.doc_id, p.bits_per_token AS bits,
+            |         ntile(3) OVER (PARTITION BY d.lang
+            |                        ORDER BY p.bits_per_token, p.doc_id) AS nt
+            |  FROM perdoc p JOIN documents d USING (doc_id))
+            |SELECT lang,
+            |       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            |               ELSE 'tail' END AS bucket,
+            |       count(*) AS n, round(avg(bits), 6) AS avg_bits
+            |FROM lb GROUP BY lang, nt ORDER BY lang, bucket""".stripMargin))
+
+  /** Token-budget corpus selection: take documents in quality order until
+    * the running token total reaches the budget — the deterministic greedy
+    * cut for "best N-token subset". Running sum over a narrow per-doc
+    * stats table (the scalable form two-levels the cumsum exactly like
+    * PackingOps.packSequences; the selection itself is one ordered
+    * window + filter). */
+  private val tokenBudget = Q(
+    "mix_token_budget_select",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id",
+        round(graft.operators.TextOps.qualityScore($"text"), 6).as("q"),
+        graft.operators.TextOps.tokenCount($"text").cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"q".desc, $"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      d.withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .filter($"cum_tokens" <= 5000)
+        .select($"doc_id", $"q", $"n_tokens", $"cum_tokens")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val stopIn = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    round(least(length(text)::DOUBLE/500.0, 1.0)*0.5
+         |      + (1.0 - least(round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+         |                    / length(text), 6)*5.0, 1.0))*0.3
+         |      + least(round(len(list_filter(string_split(text,' '),
+         |                t -> t IN ($stopIn)))::DOUBLE
+         |              / len(string_split(text,' ')), 6)*4.0, 1.0)*0.2, 6) AS q,
+         |    len(string_split(text,' '))::BIGINT AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, q, n_tokens, cum_tokens FROM (
+         |  SELECT *, sum(n_tokens) OVER
+         |    (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING)::BIGINT
+         |    AS cum_tokens
+         |  FROM d)
+         |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin
+    })
+
   def all: Seq[Q] =
     Seq(decontam, gopher, semdedup, mix, pack, trainingCorpus, importance,
-      domainCap, weighted, semdedupCorpus)
+      domainCap, weighted, semdedupCorpus, semanticDecontam, pplBuckets,
+      tokenBudget)
 }

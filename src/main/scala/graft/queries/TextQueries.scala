@@ -306,6 +306,30 @@ object TextQueries {
          |FROM aug ORDER BY doc_id""".stripMargin
     })
 
+  /** Shared DuckDB CTE body: the add-one bigram LM refit + per-doc
+    * bits/token (`perdoc(doc_id, n_bigrams, bits_per_token)`) — used by
+    * text_perplexity_bigram and HygieneQueries.mix_perplexity_buckets. */
+  private[queries] val perplexityCteBody =
+    """toks AS (
+      |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |big AS (
+      |  SELECT doc_id,
+      |         unnest([{'w1': t[i], 'w2': t[i+1]}
+      |                 FOR i IN generate_series(1, len(t)-1)],
+      |                recursive := true)
+      |  FROM toks WHERE len(t) >= 2),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+      |cc AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM bc GROUP BY w1),
+      |v AS (SELECT count(DISTINCT token) AS v
+      |      FROM (SELECT unnest(string_split(text,' ')) AS token
+      |            FROM documents)),
+      |perdoc AS (
+      |  SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+      |         round(avg(-log2((bc.c12 + 1.0) / (cc.c1 + v.v))), 6)
+      |           AS bits_per_token
+      |  FROM big b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+      |  GROUP BY b.doc_id)""".stripMargin
+
   /** Self-trained bigram-LM scoring (the CCNet perplexity-filter shape):
     * bits-per-token per document under add-one-smoothed corpus bigram
     * conditionals. DuckDB twin refits the identical model; both engines
@@ -320,24 +344,9 @@ object TextQueries {
           round($"bits_per_token", 6).as("bits_per_token"))
         .orderBy($"doc_id")
     },
-    Some("""WITH toks AS (
-           |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
-           |big AS (
-           |  SELECT doc_id,
-           |         unnest([{'w1': t[i], 'w2': t[i+1]}
-           |                 FOR i IN generate_series(1, len(t)-1)],
-           |                recursive := true)
-           |  FROM toks WHERE len(t) >= 2),
-           |bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
-           |cc AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM bc GROUP BY w1),
-           |v AS (SELECT count(DISTINCT token) AS v
-           |      FROM (SELECT unnest(string_split(text,' ')) AS token
-           |            FROM documents))
-           |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
-           |       round(avg(-log2((bc.c12 + 1.0) / (cc.c1 + v.v))), 6)
-           |         AS bits_per_token
-           |FROM big b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
-           |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin))
+    Some(s"""WITH $perplexityCteBody
+            |SELECT doc_id, n_bigrams, bits_per_token
+            |FROM perdoc ORDER BY doc_id""".stripMargin))
 
   /** PMI collocation mining: pointwise mutual information over bigram
     * events, PMI(w1,w2) = ln(c12·NB / (cL(w1)·cR(w2))) — high-PMI pairs
