@@ -473,7 +473,48 @@ object GoldQueries {
            |WHERE e.event_type = 'purchase'
            |ORDER BY e.event_id""".stripMargin))
 
+  /** 7-CALENDAR-DAY rolling average via a time-based RANGE frame over the
+    * day number — NOT a ROWS frame: on a gapped daily series (weekends,
+    * silent days) "last 7 rows" and "last 7 days" differ, and the RANGE
+    * frame is the financially-correct one. Day-number ordering keys make
+    * the frame arithmetic integer-exact on both engines. */
+  private val rolling7d = Q(
+    "gold_rolling_7d_range",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir).events
+        .select($"user_id", to_date($"ts").as("date"), $"ts", $"event_id",
+          $"value")
+        .groupBy($"user_id", $"date")
+        .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
+        .withColumn("day_no", datediff($"date", lit("2024-01-01").cast("date")))
+      val w = Window.partitionBy($"user_id").orderBy($"day_no")
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("avg_7d", round(avg($"close").over(w), 6))
+        .withColumn("n_days_7d", count(lit(1)).over(w))
+        .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
+          round($"close", 2).as("close"), $"avg_7d", $"n_days_7d")
+        .orderBy($"user_id", $"date")
+    },
+    Some("""WITH px AS (
+           |  SELECT user_id, date, value AS close,
+           |         date - DATE '2024-01-01' AS day_no
+           |  FROM (SELECT user_id, ts::DATE AS date, value,
+           |               row_number() OVER (PARTITION BY user_id, ts::DATE
+           |                 ORDER BY ts DESC, event_id DESC) AS rn
+           |        FROM events)
+           |  WHERE rn = 1)
+           |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+           |       round(close, 2) AS close,
+           |       round(avg(close) OVER w, 6) AS avg_7d,
+           |       count(*) OVER w AS n_days_7d
+           |FROM px
+           |WINDOW w AS (PARTITION BY user_id ORDER BY day_no
+           |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           |ORDER BY user_id, date""".stripMargin))
+
   def all: Seq[Q] =
     Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,
-      gapFill, rollingMedian, rollingCorr, asofNearest)
+      gapFill, rollingMedian, rollingCorr, asofNearest, rolling7d)
 }
