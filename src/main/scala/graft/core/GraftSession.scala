@@ -26,6 +26,13 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // zstd beats snappy ~30% at-rest at comparable scan speed — at
+      // 100 TB that is tens of TB of storage and proportional scan IO;
+      // decode cost is amortized inside the columnar reader
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      // selective-join runtime bloom prefilter (the engine-level twin of
+      // DedupOps.bloomDeltaNew) — plan-asserted in PlanQualitySpec
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -74,4 +74,21 @@ class TopKAggregatorSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(viaAgg.sortBy(t => (t._1, t._2)) === viaWindow.sortBy(t => (t._1, t._2)))
   }
+
+  test("top-k partials merge in any grouping == whole-data top-k (incremental)") {
+    // the same mergeable-partials algebra as the OHLC bars: maintain a
+    // stored ≤k buffer per group and fold each micro-batch in — never
+    // re-rank history. Associativity + order-independence is what makes
+    // the stored buffer a valid incremental state.
+    val agg = new graft.functions.TopKAggregator(5)
+    val scored = (1 to 200).map(i => (((i * 37) % 101).toDouble, i.toLong))
+    val whole = scored.foldLeft(agg.zero)(agg.reduce)
+    val chunks = scored.grouped(70).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    val fwd = chunks.reduce(agg.merge)
+    val rev = chunks.reverse.reduce(agg.merge)
+    assert(fwd === whole)
+    assert(rev === whole)
+    assert(whole.size === 5)
+  }
 }
