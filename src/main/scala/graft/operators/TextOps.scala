@@ -262,6 +262,30 @@ object TextOps {
     * TakeOrdered (v rows to the driver plan, never the token table); the
     * fitted vocab is explicitly broadcast into the scoring join, so
     * scoring adds a scan-local probe + one per-doc aggregate. */
+  /** Encode documents to token-id sequences under a fitted top-`v`
+    * vocabulary (ids = frequency-rank order, OOV → −1) — the text→ids
+    * step that feeds a trainer. The fitted vocab is bounded (`v` rows) and
+    * becomes a LITERAL map compiled into the scan (`typedLit` +
+    * `element_at` inside `transform`): encoding is a pure scan-local
+    * column expression, zero joins and zero shuffles on the corpus —
+    * exactly how a broadcast tokenizer table behaves at 100 TB. The one
+    * driver materialization is the v-row vocab itself (same bounded-state
+    * contract as IVF centroids). */
+  def encodeIds(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, v: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    val vocab: Map[String, Int] = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(v)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getString(0) -> i }.toMap
+    val vmap = typedLit(vocab)
+    docs.select(col(idCol).as("id"),
+      transform(tokens(col(textCol)),
+        t => coalesce(element_at(vmap, t), lit(-1))).as("ids"))
+  }
+
   def vocabOov(docs: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String, v: Int): org.apache.spark.sql.DataFrame = {
     import graft.core.Lineage.LineageOps

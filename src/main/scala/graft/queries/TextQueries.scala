@@ -507,8 +507,36 @@ object TextQueries {
            |FROM cells
            |ORDER BY chi2 DESC, token LIMIT 10""".stripMargin))
 
+  /** Tokenizer encode: documents as token-id sequences under the fitted
+    * top-50 vocab (ids in frequency-rank order, OOV → −1), emitted as a
+    * space-joined string for portable comparison. The vocab compiles into
+    * the scan as a literal map — encoding is scan-local, zero corpus
+    * joins. */
+  private val encodeQ = Q(
+    "text_encode_ids",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.encodeIds(t(s, dir).documents, "doc_id", "text", 50)
+        .select($"id".as("doc_id"),
+          concat_ws(" ", $"ids").as("ids"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |  FROM documents),
+           |v AS (
+           |  SELECT token, (row_number() OVER (ORDER BY c DESC, token) - 1)::INT AS tid
+           |  FROM (SELECT token, count(*) AS c FROM tok GROUP BY token
+           |        ORDER BY c DESC, token LIMIT 50)),
+           |vm AS (SELECT map(list(token), list(tid)) AS m FROM v)
+           |SELECT doc_id,
+           |       array_to_string(
+           |         [coalesce(m[t][1], -1) FOR t IN string_split(text, ' ')],
+           |         ' ') AS ids
+           |FROM documents CROSS JOIN vm ORDER BY doc_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, bm25Q,
       chunkQ, piiRedact, normalizeQ, perplexityQ, pmiQ, vocabOovQ, bpePairs,
-      chi2)
+      chi2, encodeQ)
 }
