@@ -325,6 +325,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination broadcasts the benchmark, max partial-aggregates") {
+    val q = SparkEntry.queries("sim_semantic_decontaminate")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    assert(plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus must never shuffle for the benchmark join")
+    assert(plan.contains("partial_max"),
+      s"per-id max must partial-aggregate map-side:\n${plan.take(800)}")
+  }
+
+  test("tokenizer encode is join-free (vocab compiled into the scan)") {
+    val q = SparkEntry.queries("text_encode_ids")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    assert(!plan.contains("Join"),
+      s"encode must be scan-local, no corpus join:\n${plan.take(800)}")
+  }
+
   test("nested struct access prunes to the leaf in the parquet ReadSchema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
     graft.operators.MultimodalOps.fakeMediaFromDocuments(
