@@ -732,12 +732,46 @@ object RelationalQueries {
            |      IS DISTINCT FROM (b.o_orderstatus, b.o_totalprice)
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** NOT IN three-valued-logic semantics (null-aware anti join): against
+    * a null-free subquery NOT IN ≡ anti join, but ONE null in the set
+    * makes every comparison UNKNOWN and the result empty — the classic
+    * SQL trap, planned by Spark as a null-aware anti join rather than a
+    * plain LeftAnti. Emitted as both counts in one row so the oracle
+    * pins both branches. */
+  private val notInNull = Q(
+    "join_not_in_null_aware",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders_v")
+      Tables(s, dir).customer.createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM orders_v
+           WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer_v WHERE c_acctbal > 9000))
+            AS n_against_nullfree,
+          (SELECT count(*) FROM orders_v
+           WHERE o_custkey NOT IN
+             (SELECT nullif(c_custkey, c_custkey) FROM customer_v
+              WHERE c_acctbal > 9000))
+            AS n_against_nullset""")
+    },
+    Some("""SELECT
+           |  (SELECT count(*) FROM orders
+           |   WHERE o_custkey NOT IN
+           |     (SELECT c_custkey FROM customer WHERE c_acctbal > 9000))
+           |    AS n_against_nullfree,
+           |  (SELECT count(*) FROM orders
+           |   WHERE o_custkey NOT IN
+           |     (SELECT nullif(c_custkey, c_custkey) FROM customer
+           |      WHERE c_acctbal > 9000))
+           |    AS n_against_nullset""".stripMargin))
+
   private val all0: Seq[Q] = Seq(
     q1, q3, q5, s3Lookup, f5, semi, q17,
     f3, f6, f7, f18, f19,
     f1, f4, pivotQ, f11, f13, f14, f8,
     setExcept, setIntersect, setUnion, topk, fullOuter, firstLast, q7, q8,
-    reconDiff)
+    reconDiff, notInNull)
 
   def all: Seq[Q] = all0
 }
