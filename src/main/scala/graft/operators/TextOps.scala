@@ -101,7 +101,9 @@ object TextOps {
   /** TF-IDF over a tokenized corpus: returns one row per (docId, token)
     * with tf (term count / doc length), df, and tf·idf where
     * idf = ln((N+1)/(df+1)) (smoothed). Two shuffles: token stats per doc,
-    * document frequency per token — both plain hash aggregates. */
+    * document frequency per token — both plain hash aggregates. N is a
+    * one-row aggregate broadcast-cross-joined like BM25's corpus stats —
+    * no driver count, the whole thing stays one plan. */
   def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
             textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
@@ -111,9 +113,10 @@ object TextOps {
       .agg(count(lit(1)).as("term_count"))
       .withColumn("tf", col("term_count").cast("double") / col("doc_len"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = docs.count()
+    val corpusN = docs.agg(count(lit(1)).as("__n"))
     tf.join(dfreq, "token")
-      .withColumn("idf", log((lit(n) + 1.0) / (col("df") + 1.0)))
+      .crossJoin(broadcast(corpusN))
+      .withColumn("idf", log((col("__n") + 1.0) / (col("df") + 1.0)))
       .withColumn("tf_idf", col("tf") * col("idf"))
       .select(col("id"), col("token"), col("tf"), col("df"), col("tf_idf"))
   }
