@@ -615,15 +615,24 @@ object RelationalQueries {
           $"n_name".as("supp_nation"))), $"s_nationkey" === $"sk")
         .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
           ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+        // exact integer micro-units (cents × remaining-discount basis
+        // points) into the sum — a double sum's last ulp depends on
+        // accumulation order, and rounding it at 2dp can land either side
+        // of the boundary per engine/SF; the long sum is order-exact
+        .withColumn("vol_u",
+          round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long")))
         .groupBy($"supp_nation", $"cust_nation",
           year($"l_shipdate").as("l_year"))
-        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
-          .as("revenue"), count(lit(1)).as("n_items"))
+        .agg(round(sum($"vol_u") / 10000.0, 2).as("revenue"),
+          count(lit(1)).as("n_items"))
         .orderBy($"supp_nation", $"cust_nation", $"l_year")
     },
     Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            |       year(l_shipdate)::INT AS l_year,
-           |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |       round(sum(round(l_extendedprice*100)::BIGINT
+           |                 * (100 - round(l_discount*100)::BIGINT)) / 10000.0, 2)
+           |         AS revenue,
            |       count(*) AS n_items
            |FROM lineitem
            |JOIN orders ON l_orderkey = o_orderkey
@@ -653,34 +662,40 @@ object RelationalQueries {
         .join(tt.orders, $"l_orderkey" === $"o_orderkey")
         .join(tt.supplier, $"l_suppkey" === $"s_suppkey")
         .join(broadcast(tt.nation), $"s_nationkey" === $"n_nationkey")
-        // raw products into the sums — per-row rounding would land on
-        // exact 4-decimal midpoints where Spark (HALF_UP) and DuckDB
-        // (HALF_EVEN) disagree; only OUTPUTS round
-        .withColumn("vol", $"l_extendedprice" * (lit(1) - $"l_discount"))
+        // exact integer micro-units into both sums (see q7): per-row
+        // cents × basis points is decimal-exact as a long, so the sums
+        // are order-independent and identical across engines; a raw
+        // double sum's 2dp rounding can flip on the last ulp (observed
+        // at sf0.001 on total_vol before this form)
+        .withColumn("vol_u",
+          round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long")))
         .groupBy(year($"o_orderdate").as("o_year"))
         .agg(
-          sum(when($"n_name" === "NATION_3", $"vol").otherwise(0.0)).as("nv"),
-          sum($"vol").as("tv"),
+          sum(when($"n_name" === "NATION_3", $"vol_u").otherwise(0L)).as("nvu"),
+          sum($"vol_u").as("tvu"),
           count(lit(1)).as("n_items"))
-        .select($"o_year", round($"nv", 2).as("nation_vol"),
-          round($"tv", 2).as("total_vol"),
-          round($"nv" / $"tv", 6).as("mkt_share"), $"n_items")
+        .select($"o_year", round($"nvu" / 10000.0, 2).as("nation_vol"),
+          round($"tvu" / 10000.0, 2).as("total_vol"),
+          round($"nvu".cast("double") / $"tvu".cast("double"), 6)
+            .as("mkt_share"), $"n_items")
         .orderBy($"o_year")
     },
     Some("""WITH base AS (
            |  SELECT year(o_orderdate)::INT AS o_year, n_name,
-           |         l_extendedprice * (1 - l_discount) AS vol
+           |         round(l_extendedprice*100)::BIGINT
+           |           * (100 - round(l_discount*100)::BIGINT) AS vol_u
            |  FROM lineitem
            |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
            |  JOIN orders ON l_orderkey = o_orderkey
            |  JOIN supplier ON l_suppkey = s_suppkey
            |  JOIN nation ON s_nationkey = n_nationkey)
            |SELECT o_year,
-           |       round(sum(CASE WHEN n_name = 'NATION_3' THEN vol ELSE 0 END), 2)
-           |         AS nation_vol,
-           |       round(sum(vol), 2) AS total_vol,
-           |       round(sum(CASE WHEN n_name = 'NATION_3' THEN vol ELSE 0 END)
-           |             / sum(vol), 6) AS mkt_share,
+           |       round(sum(CASE WHEN n_name = 'NATION_3' THEN vol_u ELSE 0 END)
+           |             / 10000.0, 2) AS nation_vol,
+           |       round(sum(vol_u) / 10000.0, 2) AS total_vol,
+           |       round(sum(CASE WHEN n_name = 'NATION_3' THEN vol_u ELSE 0 END)::DOUBLE
+           |             / sum(vol_u)::DOUBLE, 6) AS mkt_share,
            |       count(*) AS n_items
            |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin))
 
