@@ -136,6 +136,24 @@ class LedgerRegistrySpec extends SparkSpec {
     assert(Readers.readEvolved(spark, v1, v2)
       .filter($"score" > 9.0).count() === 1)
   }
+
+  test("quality observer: metrics ride the write itself — no second scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-observe").toString
+    val df = Seq((1L, Option("a"), 2.0), (2L, None, 9.0), (3L, Option("c"), -1.0))
+      .toDF("id", "name", "score")
+    val (instrumented, obs) = graft.io.QualityObserver.observed(
+      df, Seq("name", "id"), Some("score"))
+    instrumented.write.mode("overwrite").parquet(s"$dir/t")
+    val m = obs.get
+    assert(m("n_rows") === 3L)
+    assert(m("name_nulls") === 1L)
+    assert(m("id_nulls") === 0L)
+    assert(m("score_min") === -1.0)
+    assert(m("score_max") === 9.0)
+    // the observed write really wrote the data
+    assert(spark.read.parquet(s"$dir/t").count() === 3)
+  }
 }
 
 class ConnectorSpec extends SparkSpec {
