@@ -64,6 +64,50 @@ class StreamBatchParitySpec extends SparkSpec {
       s"streaming emitted ${streamedRows.size} of ${batchRows.size} windows")
   }
 
+  test("incremental corpus intake: per-batch bloom-delta dedup == batch keepFirst") {
+    import graft.operators.DedupOps
+    // continuous intake of a duplicate-bearing corpus: each micro-batch
+    // dedups within itself (keep min id), bloom-delta filters against the
+    // accumulated history, and appends — the streaming form of global
+    // exact dedup. Replaying in id order must reproduce the batch
+    // keep-first set exactly.
+    val docs = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .select($"doc_id", md5($"text").as("fp"))
+    val expected = DedupOps.keepFirst(docs, Seq("fp"), "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-intake").toFile
+    val t0 = System.currentTimeMillis() - 600000
+    Seq($"doc_id" < 40L, $"doc_id" >= 40L && $"doc_id" < 80L,
+        $"doc_id" >= 80L).zipWithIndex.foreach { case (pred, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-intake-c$i")
+      docs.filter(pred).coalesce(1).write.parquet(tmp.resolve("p").toString)
+      val part = tmp.resolve("p").toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(stageDir, s"chunk-$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 10000L)
+    }
+
+    var history = docs.limit(0).localCheckpoint()
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val within = DedupOps.keepFirst(batch, Seq("fp"), "doc_id")
+        val fresh = DedupOps.bloomDeltaNew(within, history, "fp",
+          numBits = 1 << 12)
+        history = history.unionByName(fresh).localCheckpoint()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    assert(history.select($"doc_id").as[Long].collect().toSet === expected)
+  }
+
   test("scd2 history: incremental foreachBatch upserts == batch build") {
     import graft.operators.RelationalOps
     val log = graft.core.Tables(spark, graft.TestSpark.sfDir).events
