@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
+import graft.core.Lineage.LineageOps
 
 /** Event-stream analytics over `events` in batch form (SURVEY §2E
   * streaming ops + the gold "backtesting" layer of §7.6): tumbling and
@@ -502,7 +503,53 @@ object EventQueries {
            |SELECT id AS page, min(dist)::INT AS dist FROM reach
            |GROUP BY id ORDER BY page""".stripMargin))
 
+  /** DAU / trailing-7-day WAU per day. The WAU form matters at scale:
+    * `count(DISTINCT) OVER (RANGE 7 days)` doesn't exist, and a day×day
+    * self-join re-scans history per day. Instead each (user, active-day)
+    * pair EXPLODES into the 7 report days it contributes to — scan-local
+    * generate — and one distinct-count aggregate per report day finishes
+    * it: cost is 7× the (already user-day-deduped) activity table,
+    * independent of the window count. Report days clipped to the observed
+    * range so no partial-window phantom days appear. */
+  private val wau = Q(
+    "events_dau_wau",
+    (s, dir) => {
+      import s.implicits._
+      val userDays = ev(s, dir)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+        .cut(eager = false)
+      val bounds = userDays.agg(max($"day").as("max_day"))
+      val dau = userDays.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wauDf = userDays
+        .select($"user_id",
+          explode(sequence($"day", date_add($"day", 6))).as("day"))
+        .crossJoin(broadcast(bounds))
+        .filter($"day" <= $"max_day")
+        .groupBy($"day")
+        .agg(count_distinct($"user_id").as("wau"))
+      dau.join(wauDf, Seq("day"))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"wau")
+        .orderBy($"day")
+    },
+    Some("""WITH ud AS (
+           |  SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+           |mx AS (SELECT max(day) AS max_day FROM ud),
+           |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+           |contrib AS (
+           |  SELECT user_id,
+           |         unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE
+           |           AS day
+           |  FROM ud),
+           |wau AS (
+           |  SELECT c.day, count(DISTINCT c.user_id) AS wau
+           |  FROM contrib c CROSS JOIN mx WHERE c.day <= mx.max_day
+           |  GROUP BY c.day)
+           |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau
+           |FROM dau d JOIN wau w ON d.day = w.day
+           |ORDER BY day""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
-      intervalMerge, funnel, retention, pointInTime, pagerank, reachable)
+      intervalMerge, funnel, retention, pointInTime, pagerank, reachable,
+      wau)
 }
