@@ -46,4 +46,22 @@ object LayoutOps {
       .repartitionByRange(partitions, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
+
+  /** Write parquet with row-group BLOOM FILTERS on the given columns —
+    * the point-lookup complement to z-order's range pruning: min/max
+    * row-group stats can't skip for high-cardinality ids scattered per
+    * row group, but a footer bloom filter answers "id definitely not
+    * here" per row group, so a needle query opens only the groups that
+    * might match. Pure parquet-format feature (parquet-hadoop honors the
+    * `parquet.bloom.filter.enabled#col` write options); readers that
+    * ignore blooms still read the file normally. */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     expectedDistinct: Long = 100000L): Unit = {
+    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c",
+          expectedDistinct.toString)
+    }
+    w.parquet(path)
+  }
 }

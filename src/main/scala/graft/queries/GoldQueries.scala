@@ -514,7 +514,51 @@ object GoldQueries {
            |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
            |ORDER BY user_id, date""".stripMargin))
 
+  /** EWMA price smoothing over a 20-row frame (RiskMetrics-style
+    * exponential weighting, λ = 0.9): EWMA is a SEQUENTIAL recursion
+    * (acc·λ + x·(1−λ)), not a weighted sum a window aggregate can
+    * reorder — so it's computed as an explicit ordered fold over the
+    * frame's value list (`aggregate` seeded with the frame's first
+    * element ≡ DuckDB `list_reduce`), which both engines execute in the
+    * identical order → identical doubles. Frame-bounded, one shuffle on
+    * the key. */
+  private val ewma = Q(
+    "gold_ewma_smooth",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir).events
+        .select($"user_id", to_date($"ts").as("date"), $"ts", $"event_id",
+          $"value")
+        .groupBy($"user_id", $"date")
+        .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
+      val w = Window.partitionBy($"user_id").orderBy($"date")
+        .rowsBetween(-19, Window.currentRow)
+      daily
+        .withColumn("lst", collect_list($"close").over(w))
+        .withColumn("ewma", round(
+          aggregate(slice($"lst", lit(2), size($"lst") - 1),
+            element_at($"lst", 1),
+            (acc, x) => acc * 0.9 + x * 0.1), 6))
+        .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
+          round($"close", 2).as("close"), $"ewma")
+        .orderBy($"user_id", $"date")
+    },
+    Some("""WITH px AS (
+           |  SELECT user_id, date, value AS close
+           |  FROM (SELECT user_id, ts::DATE AS date, value,
+           |               row_number() OVER (PARTITION BY user_id, ts::DATE
+           |                 ORDER BY ts DESC, event_id DESC) AS rn
+           |        FROM events)
+           |  WHERE rn = 1)
+           |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+           |       round(close, 2) AS close,
+           |       round(list_reduce(list(close) OVER
+           |         (PARTITION BY user_id ORDER BY date
+           |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+           |         (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ewma
+           |FROM px ORDER BY user_id, date""".stripMargin))
+
   def all: Seq[Q] =
     Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,
-      gapFill, rollingMedian, rollingCorr, asofNearest, rolling7d)
+      gapFill, rollingMedian, rollingCorr, asofNearest, rolling7d, ewma)
 }

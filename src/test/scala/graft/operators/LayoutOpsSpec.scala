@@ -46,4 +46,34 @@ class LayoutOpsSpec extends SparkSpec {
     // and the layout is lossless
     assert(LayoutOps.zorderBy(grid, "x", "y", 16).count() === 64L * 64L)
   }
+
+  test("writeWithBloom: footer carries a bloom; misses prove absence") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomp").toString
+    val ids = spark.range(0, 10000).select(($"id" * 7919L).as("id"))
+    LayoutOps.writeWithBloom(ids.coalesce(1), s"$dir/t", Seq("id"), 10000L)
+    val file = new java.io.File(s"$dir/t").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val rg = reader.getRowGroups.get(0)
+      val colDesc = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "id").get
+      val bf = reader.getBloomFilterDataReader(rg).readBloomFilter(colDesc)
+      assert(bf != null, "footer must carry a bloom filter for id")
+      // no false negatives: every written id probes true
+      val present = (0L until 100L).forall(i => bf.findHash(bf.hash(i * 7919L)))
+      assert(present)
+      // misses prove absence: most non-multiples should probe false, and
+      // ANY miss lets the reader skip the row group for that needle
+      val misses = (0L until 100L).count(i => !bf.findHash(bf.hash(i * 7919L + 1L)))
+      assert(misses > 50, s"expected mostly misses on absent ids, got $misses/100")
+    } finally reader.close()
+    // the bloom write is still a plain parquet file for any reader
+    assert(spark.read.parquet(s"$dir/t").count() === 10000L)
+  }
 }
