@@ -558,7 +558,52 @@ object GoldQueries {
            |         (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ewma
            |FROM px ORDER BY user_id, date""".stripMargin))
 
+  /** Daily TWAP per user: each observation holds until the next one (or
+    * day end), so the average weights each value by its holding duration
+    * in micros — the correct mean for IRREGULARLY-spaced ticks, where a
+    * plain avg over-weights bursts. One lead() window + one hash
+    * aggregate; duration weights are exact integers (micros), so the only
+    * float op is the final weighted division. */
+  private val twap = Q(
+    "gold_twap_daily",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).events
+        .select($"user_id", to_date($"ts").as("date"), $"ts", $"event_id",
+          $"value")
+      val w = Window.partitionBy($"user_id", $"date")
+        .orderBy($"ts", $"event_id")
+      val withDur = e
+        .withColumn("next_ts", lead($"ts", 1).over(w))
+        .withColumn("dur_us",
+          coalesce(unix_micros($"next_ts"),
+            unix_micros(date_add($"date", 1).cast("timestamp")))
+            - unix_micros($"ts"))
+      withDur.groupBy($"user_id", $"date")
+        .agg(round(sum($"value" * $"dur_us") / sum($"dur_us"), 6).as("twap"),
+          count(lit(1)).as("n_ticks"))
+        .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
+          $"twap", $"n_ticks")
+        .orderBy($"user_id", $"date")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, ts::DATE AS date, ts, event_id, value,
+           |    lead(ts) OVER (PARTITION BY user_id, ts::DATE
+           |                   ORDER BY ts, event_id) AS next_ts
+           |  FROM events),
+           |d AS (
+           |  SELECT user_id, date, value,
+           |    coalesce(epoch_us(next_ts),
+           |             epoch_us((date + INTERVAL 1 DAY)::TIMESTAMP))
+           |      - epoch_us(ts) AS dur_us
+           |  FROM e)
+           |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+           |       round(sum(value * dur_us) / sum(dur_us), 6) AS twap,
+           |       count(*) AS n_ticks
+           |FROM d GROUP BY user_id, date ORDER BY user_id, date""".stripMargin))
+
   def all: Seq[Q] =
     Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,
-      gapFill, rollingMedian, rollingCorr, asofNearest, rolling7d, ewma)
+      gapFill, rollingMedian, rollingCorr, asofNearest, rolling7d, ewma,
+      twap)
 }

@@ -538,8 +538,59 @@ object StatsQueries {
            |FROM daily d LEFT JOIN fs ON d.date = fs.date
            |ORDER BY date""".stripMargin))
 
+  /** Welch's unequal-variance t-test between two event cohorts (the A/B
+    * significance test): means/variances/counts per group from one
+    * aggregate pass, then the t statistic and Welch–Satterthwaite degrees
+    * of freedom as scalar arithmetic on the (rounded) moments. Moments are
+    * 6dp-prerounded before the scalar formulas so both engines compute t
+    * and df from identical inputs. */
+  private val ttest = Q(
+    "stats_welch_ttest",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).events
+        .filter($"event_type".isin("purchase", "click"))
+      val m = e.groupBy($"event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          round(avg($"value"), 6).as("m"),
+          round(var_samp($"value"), 6).as("v"))
+      val a = m.filter($"event_type" === "purchase")
+        .select($"n".as("n1"), $"m".as("m1"), $"v".as("v1"))
+      val b = m.filter($"event_type" === "click")
+        .select($"n".as("n2"), $"m".as("m2"), $"v".as("v2"))
+      a.crossJoin(broadcast(b))
+        .withColumn("se1", $"v1" / $"n1")
+        .withColumn("se2", $"v2" / $"n2")
+        .select(
+          $"n1".cast("long").as("n_purchase"),
+          $"n2".cast("long").as("n_click"),
+          round(($"m1" - $"m2") / sqrt($"se1" + $"se2"), 6).as("t_stat"),
+          round(pow($"se1" + $"se2", 2) /
+            (pow($"se1", 2) / ($"n1" - 1) + pow($"se2", 2) / ($"n2" - 1)), 2)
+            .as("welch_df"),
+          (abs(round(($"m1" - $"m2") / sqrt($"se1" + $"se2"), 6)) > 1.96)
+            .as("significant_5pct"))
+    },
+    Some("""WITH m AS (
+           |  SELECT event_type, count(*)::DOUBLE AS n,
+           |         round(avg(value), 6) AS m, round(var_samp(value), 6) AS v
+           |  FROM events WHERE event_type IN ('purchase', 'click')
+           |  GROUP BY event_type),
+           |ab AS (
+           |  SELECT a.n AS n1, a.m AS m1, a.v / a.n AS se1,
+           |         b.n AS n2, b.m AS m2, b.v / b.n AS se2
+           |  FROM (SELECT * FROM m WHERE event_type = 'purchase') a
+           |  CROSS JOIN (SELECT * FROM m WHERE event_type = 'click') b)
+           |SELECT n1::BIGINT AS n_purchase, n2::BIGINT AS n_click,
+           |       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+           |       round((se1 + se2)**2 /
+           |             (se1**2 / (n1 - 1) + se2**2 / (n2 - 1)), 2) AS welch_df,
+           |       abs(round((m1 - m2) / sqrt(se1 + se2), 6)) > 1.96
+           |         AS significant_5pct
+           |FROM ab""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
-      aucQ, madQ, winsorize, hllCumulative)
+      aucQ, madQ, winsorize, hllCumulative, ttest)
 }
