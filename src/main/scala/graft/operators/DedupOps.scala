@@ -378,6 +378,25 @@ object DedupOps {
     labels
   }
 
+  /** Blocked fuzzy-match pairs (entity resolution): candidate pairs share
+    * a blocking key (caller-derived — a token, a phonetic code, a length
+    * bucket), and only candidates pay the edit-distance verify. Same
+    * candidate-generation discipline as every other dedup path here: the
+    * join is an equi-join on the block, cost Σ block², never N²;
+    * `levenshtein` is exact integer DP on both engines. */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+                 block: Column, maxDist: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      block.as("__b"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      block.as("__b"))
+    a.join(b, "__b")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .drop("__b")
+  }
+
   /** Delta dedup against a large history with a TWO-SIDED Bloom prefilter:
     * returns exactly the `batch` rows whose key does not appear in
     * `history` (≡ `batch LEFT ANTI JOIN history`), but shaped for the

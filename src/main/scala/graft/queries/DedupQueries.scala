@@ -312,7 +312,34 @@ object DedupQueries {
            |  WHERE h.ts < TIMESTAMP '2024-01-02' AND h.user_id = e.user_id)
            |ORDER BY event_id""".stripMargin))
 
+  /** Entity resolution: near-identical part names (edit distance ≤ 2)
+    * found via noun-blocked candidate pairs — the equi-join-then-verify
+    * discipline applied to fuzzy string matching. Runs on the DISTINCT
+    * name table (64 rows here, dictionary-sized at any SF), keyed by the
+    * min part key per name. */
+  private val fuzzy = Q(
+    "dedup_fuzzy_names",
+    (s, dir) => {
+      import s.implicits._
+      val names = Tables(s, dir).part
+        .groupBy($"p_name").agg(min($"p_partkey").as("pk"))
+      DedupOps.fuzzyPairs(names, "pk", "p_name",
+          element_at(split($"p_name", " "), 2), 2)
+        .select($"id_a", $"id_b", $"name_a", $"name_b", $"dist")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH p AS (
+           |  SELECT p_name, min(p_partkey) AS pk FROM part GROUP BY p_name)
+           |SELECT a.pk AS id_a, b.pk AS id_b,
+           |       a.p_name AS name_a, b.p_name AS name_b,
+           |       levenshtein(a.p_name, b.p_name)::INT AS dist
+           |FROM p a JOIN p b
+           |  ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+           | AND a.pk < b.pk
+           |WHERE levenshtein(a.p_name, b.p_name) <= 2
+           |ORDER BY id_a, id_b""".stripMargin))
+
   def all: Seq[Q] =
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
-      minhash, simhashQ, lines, bloomDelta)
+      minhash, simhashQ, lines, bloomDelta, fuzzy)
 }
