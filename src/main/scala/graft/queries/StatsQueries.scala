@@ -589,8 +589,62 @@ object StatsQueries {
            |         AS significant_5pct
            |FROM ab""".stripMargin))
 
+  /** Market-basket association: brand pairs co-purchased in the same
+    * order, with support / confidence / lift (the Apriori first step).
+    * Baskets are per-order distinct brand sets; the pair join is
+    * order-local (Σ basket², baskets are small), margins and the basket
+    * count are exact integers, so the three ratios are single float
+    * divisions of identical operands on both engines. */
+  private val basket = Q(
+    "stats_basket_lift",
+    (s, dir) => {
+      import s.implicits._
+      val tt = Tables(s, dir)
+      val items = tt.lineitem
+        .join(tt.part, $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey".as("o"), $"p_brand".as("b")).distinct()
+        .cut(eager = false)
+      val nBaskets = items.select($"o").distinct()
+        .agg(count(lit(1)).as("n"))
+      val c1 = items.groupBy($"b").agg(count(lit(1)).as("c1"))
+      val pairs = items.as("x").join(items.as("y"), Seq("o"))
+        .filter($"x.b" < $"y.b")
+        .groupBy($"x.b".as("ba"), $"y.b".as("bb"))
+        .agg(count(lit(1)).as("c12"))
+        .filter($"c12" >= 50)
+      pairs
+        .join(c1.select($"b".as("ba"), $"c1".as("c1a")), "ba")
+        .join(c1.select($"b".as("bb"), $"c1".as("c1b")), "bb")
+        .crossJoin(broadcast(nBaskets))
+        .select($"ba", $"bb", $"c12",
+          round($"c12".cast("double") / $"n", 6).as("support"),
+          round($"c12".cast("double") / $"c1a", 6).as("confidence"),
+          round($"c12".cast("double") * $"n" / ($"c1a" * $"c1b"), 6)
+            .as("lift"))
+        .orderBy($"lift".desc, $"ba", $"bb")
+        .limit(15)
+    },
+    Some("""WITH items AS (
+           |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+           |n AS (SELECT count(DISTINCT o) AS n FROM items),
+           |c1 AS (SELECT b, count(*) AS c1 FROM items GROUP BY b),
+           |prs AS (
+           |  SELECT x.b AS ba, y.b AS bb, count(*) AS c12
+           |  FROM items x JOIN items y ON x.o = y.o AND x.b < y.b
+           |  GROUP BY 1, 2 HAVING count(*) >= 50)
+           |SELECT ba, bb, c12,
+           |       round(c12::DOUBLE / n.n, 6) AS support,
+           |       round(c12::DOUBLE / ca.c1, 6) AS confidence,
+           |       round(c12::DOUBLE * n.n / (ca.c1 * cb.c1), 6) AS lift
+           |FROM prs
+           |JOIN c1 ca ON ca.b = prs.ba
+           |JOIN c1 cb ON cb.b = prs.bb
+           |CROSS JOIN n
+           |ORDER BY lift DESC, ba, bb LIMIT 15""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
-      aucQ, madQ, winsorize, hllCumulative, ttest)
+      aucQ, madQ, winsorize, hllCumulative, ttest, basket)
 }
