@@ -643,8 +643,48 @@ object StatsQueries {
            |CROSS JOIN n
            |ORDER BY lift DESC, ba, bb LIMIT 15""".stripMargin))
 
+  /** Gini concentration of revenue across customers (the
+    * whale-dependence metric): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over
+    * revenue sorted ascending. Revenue per customer is an exact
+    * micro-unit integer sum (q7/q8 discipline), ranks come from one
+    * window over the already-aggregated narrow table, and the two final
+    * aggregates feed one scalar expression — so the only float ops are
+    * the closing divisions, identical on both engines. */
+  private val gini = Q(
+    "stats_gini_revenue",
+    (s, dir) => {
+      import s.implicits._
+      val tt = Tables(s, dir)
+      val rev = tt.orders
+        .groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"rev_c", $"o_custkey")
+      val ranked = rev.withColumn("i", row_number().over(w).cast("long"))
+      ranked.agg(
+          count(lit(1)).as("n_customers"),
+          round(sum($"rev_c") / 100.0, 2).as("total_revenue"),
+          round(
+            sum($"i" * $"rev_c") * 2.0 /
+              (count(lit(1)) * sum($"rev_c")) -
+              (count(lit(1)) + 1.0) / count(lit(1)), 6).as("gini"))
+    },
+    Some("""WITH rev AS (
+           |  SELECT o_custkey,
+           |         sum(round(o_totalprice*100)::BIGINT) AS rev_c
+           |  FROM orders GROUP BY o_custkey),
+           |ranked AS (
+           |  SELECT rev_c,
+           |         row_number() OVER (ORDER BY rev_c, o_custkey) AS i
+           |  FROM rev)
+           |SELECT count(*)::BIGINT AS n_customers,
+           |       round(sum(rev_c) / 100.0, 2) AS total_revenue,
+           |       round(sum(i * rev_c) * 2.0 / (count(*) * sum(rev_c))
+           |             - (count(*) + 1.0) / count(*), 6) AS gini
+           |FROM ranked""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
-      aucQ, madQ, winsorize, hllCumulative, ttest, basket)
+      aucQ, madQ, winsorize, hllCumulative, ttest, basket, gini)
 }
