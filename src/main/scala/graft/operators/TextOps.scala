@@ -254,6 +254,31 @@ object TextOps {
     when(size(toks) < n, array().cast("array<string>")).otherwise(folded)
   }
 
+  /** URL canonicalization — the dedup key for web corpora (two crawls of
+    * the same page must collapse BEFORE content dedup ever runs): scheme
+    * and host lowercased, default ports dropped, fragment dropped,
+    * tracking params (utm_*, fbclid, gclid, ref) removed with their
+    * separators, a dangling `?`/`&` cleaned, and the trailing slash
+    * dropped (root included — both root forms name the same resource; the
+    * scheme's `//` survives via the char class). Pure regexp_replace
+    * chain — scan-local
+    * (no java.net.URI, no UDF), identical PCRE on the oracle side. */
+  def canonicalizeUrl(url: Column): Column = {
+    // lower the scheme+host prefix without touching path case: split the
+    // prefix out, lower it, and re-concat
+    val prefix = lower(regexp_extract(url, "^[A-Za-z]+://[^/?#]*", 0))
+    val rest = regexp_replace(url, "^[A-Za-z]+://[^/?#]*", "")
+    val recombined = concat(prefix, rest)
+    val noDefaultPort = regexp_replace(recombined, ":(80|443)(/|\\?|$)", "$2")
+    val noFragment = regexp_replace(noDefaultPort, "#.*$", "")
+    val noTracking = regexp_replace(noFragment,
+      "[?&](utm_[A-Za-z]+|fbclid|gclid|ref)=[^&#]*", "")
+    // a removed FIRST param leaves "...&x=1" — promote the & back to ?
+    val fixedSep = regexp_replace(noTracking, "^([^?]*)&", "$1?")
+    val noDanglingQ = regexp_replace(fixedSep, "\\?$", "")
+    regexp_replace(noDanglingQ, "([^/:])/$", "$1")
+  }
+
   /** Vocabulary construction + out-of-vocabulary rate: fit the top-`v`
     * tokens by corpus frequency (tie → token asc, so the vocabulary is
     * deterministic) and score each document's fraction of token

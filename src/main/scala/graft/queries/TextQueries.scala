@@ -535,8 +535,55 @@ object TextQueries {
            |         ' ') AS ids
            |FROM documents CROSS JOIN vm ORDER BY doc_id""".stripMargin))
 
+  /** URL canonicalization: two deterministic messy variants per doc (cased
+    * scheme/host, default port, tracking params, fragment, trailing slash
+    * vs the clean form) must collapse to ONE canonical URL — the dedup key
+    * a web corpus needs before content dedup. The hash gate proves every
+    * pair collapsed (n_variants = 2). */
+  private val urlCanon = Q(
+    "text_url_canonicalize",
+    (s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir).documents.select($"doc_id",
+        explode(array(
+          concat(lit("HTTPS://"), upper($"source"),
+            lit(".Example.COM:443/Docs/"), $"doc_id",
+            lit("/?utm_source=feed&ref=rss#frag")),
+          concat(lit("https://"), $"source", lit(".example.com/Docs/"),
+            $"doc_id"))).as("url"))
+      urls.groupBy($"doc_id",
+          TextOps.canonicalizeUrl($"url").as("canonical_url"))
+        .agg(count(lit(1)).as("n_variants"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH u AS (
+           |  SELECT doc_id, unnest([
+           |    'HTTPS://' || upper(source) || '.Example.COM:443/Docs/'
+           |      || doc_id || '/?utm_source=feed&ref=rss#frag',
+           |    'https://' || source || '.example.com/Docs/' || doc_id]) AS url
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(
+           |          regexp_replace(
+           |            regexp_replace(
+           |              regexp_replace(
+           |                lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]*'))
+           |                  || regexp_replace(url, '^[A-Za-z]+://[^/?#]*', ''),
+           |                ':(80|443)(/|\?|$)', '\2'),
+           |              '#.*$', ''),
+           |            '[?&](utm_[A-Za-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+           |          '^([^?]*)&', '\1?'),
+           |        '\?$', ''),
+           |      '([^/:])/$', '\1') AS canonical_url
+           |  FROM u)
+           |SELECT doc_id, canonical_url, count(*) AS n_variants
+           |FROM c GROUP BY doc_id, canonical_url ORDER BY doc_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, bm25Q,
       chunkQ, piiRedact, normalizeQ, perplexityQ, pmiQ, vocabOovQ, bpePairs,
-      chi2, encodeQ)
+      chi2, encodeQ, urlCanon)
 }

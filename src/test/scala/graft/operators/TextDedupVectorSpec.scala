@@ -113,6 +113,26 @@ class TextOpsSpec extends SparkSpec {
     assert((1 to 300).forall(i => estimate(s"tok$i") >= 1))
   }
 
+  test("canonicalizeUrl: case/port/fragment/tracking/slash normalization") {
+    val cases = Seq(
+      // tracking first param removed → next param promoted to ?
+      ("https://A.com/p?utm_source=x&q=1", "https://a.com/p?q=1"),
+      // non-tracking params survive; fragment dropped; path case kept
+      ("HTTP://Host.COM:80/Path/Sub?q=1&utm_medium=m#sec",
+        "http://host.com/Path/Sub?q=1"),
+      // trailing slash dropped everywhere incl. root (both root forms are
+      // the same resource; the scheme's // survives via the char class)
+      ("https://x.com/", "https://x.com"),
+      ("https://x.com/a/", "https://x.com/a"),
+      // all params tracking → dangling ? cleaned
+      ("https://x.com/a?fbclid=1&gclid=2", "https://x.com/a"),
+      // non-default port kept
+      ("https://x.com:8443/a", "https://x.com:8443/a"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl($"url")).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("vocabOov: deterministic tie-break, occurrence-weighted rate") {
     val docs = Seq(
       (1L, "a a b z"),   // with vocab {a, b}: 1 of 4 occurrences OOV
