@@ -683,8 +683,96 @@ object StatsQueries {
            |             - (count(*) + 1.0) / count(*), 6) AS gini
            |FROM ranked""".stripMargin))
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the purchase and
+    * click value distributions — the standard drift detector for data-
+    * quality monitoring. Same scale trick as stats_auc_quality: collapse
+    * to per-DISTINCT-VALUE group counts first, so the one ordered window
+    * runs over value cardinality, not rows; cumulative counts stay exact
+    * integers and the only floats are the per-step ECDF ratios. Emits D
+    * plus the in-plan α=0.05 decision against the asymptotic critical
+    * value 1.358·√((n1+n2)/(n1·n2)). */
+  private val ksTest = Q(
+    "stats_ks_drift",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).events
+        .filter($"event_type".isin("purchase", "click"))
+        .select(round($"value", 6).as("v"),
+          ($"event_type" === "purchase").as("is1"))
+      val byValue = e.groupBy($"v")
+        .agg(sum(when($"is1", 1L).otherwise(0L)).as("c1"),
+          sum(when(!$"is1", 1L).otherwise(0L)).as("c2"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val totals = byValue.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+      byValue
+        .withColumn("cum1", sum($"c1").over(w))
+        .withColumn("cum2", sum($"c2").over(w))
+        .crossJoin(broadcast(totals))
+        .withColumn("d", abs($"cum1".cast("double") / $"n1"
+          - $"cum2".cast("double") / $"n2"))
+        .agg(max($"n1").as("n_purchase"), max($"n2").as("n_click"),
+          round(max($"d"), 6).as("ks_d"),
+          (round(max($"d"), 6) > lit(1.358) *
+            sqrt((max($"n1") + max($"n2")).cast("double") /
+              (max($"n1") * max($"n2")))).as("drift_5pct"))
+    },
+    Some("""WITH e AS (
+           |  SELECT round(value, 6) AS v, event_type = 'purchase' AS is1
+           |  FROM events WHERE event_type IN ('purchase', 'click')),
+           |bv AS (
+           |  SELECT v, sum(CASE WHEN is1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+           |         sum(CASE WHEN is1 THEN 0 ELSE 1 END)::BIGINT AS c2
+           |  FROM e GROUP BY v),
+           |cum AS (
+           |  SELECT v, c1, c2,
+           |    (sum(c1) OVER w)::BIGINT AS cum1, (sum(c2) OVER w)::BIGINT AS cum2
+           |  FROM bv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+           |t AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM bv)
+           |SELECT t.n1 AS n_purchase, t.n2 AS n_click,
+           |       round(max(abs(cum1::DOUBLE / t.n1 - cum2::DOUBLE / t.n2)), 6)
+           |         AS ks_d,
+           |       round(max(abs(cum1::DOUBLE / t.n1 - cum2::DOUBLE / t.n2)), 6)
+           |         > 1.358 * sqrt((t.n1 + t.n2)::DOUBLE / (t.n1 * t.n2))
+           |         AS drift_5pct
+           |FROM cum CROSS JOIN t GROUP BY t.n1, t.n2""".stripMargin))
+
+  /** Zipf's-law fit of the corpus word-frequency curve: OLS regression of
+    * ln(freq) on ln(rank) via the REGR_* aggregate family (slope ≈ −1 on
+    * natural text) — the regression-aggregate surface (regr_slope /
+    * regr_intercept / regr_r2) exercised on a real corpus statistic.
+    * Ranks are exact integers (count desc, token tie-break). */
+  private val zipf = Q(
+    "stats_zipf_regression",
+    (s, dir) => {
+      import s.implicits._
+      val freq = Tables(s, dir).documents
+        .select(explode(graft.operators.TextOps.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"n".desc, $"token")
+      freq.withColumn("rank", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(regr_slope(log($"n"), log($"rank")), 6).as("zipf_slope"),
+          round(regr_intercept(log($"n"), log($"rank")), 6).as("zipf_intercept"),
+          round(regr_r2(log($"n"), log($"rank")), 6).as("r2"))
+    },
+    Some("""WITH f AS (
+           |  SELECT token, count(*)::BIGINT AS n
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+           |        FROM documents)
+           |  GROUP BY token),
+           |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+           |      FROM f)
+           |SELECT count(*)::BIGINT AS n_tokens,
+           |       round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+           |       round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept,
+           |       round(regr_r2(ln(n), ln(rank)), 6) AS r2
+           |FROM r""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
-      aucQ, madQ, winsorize, hllCumulative, ttest, basket, gini)
+      aucQ, madQ, winsorize, hllCumulative, ttest, basket, gini, ksTest,
+      zipf)
 }
