@@ -770,9 +770,109 @@ object StatsQueries {
            |       round(regr_r2(ln(n), ln(rank)), 6) AS r2
            |FROM r""".stripMargin))
 
+  /** One-way ANOVA F-statistic across the event-type cohorts (the k-group
+    * generalization of the Welch query): between-group and within-group
+    * sums of squares from per-group moments, F = (SSB/(k−1)) /
+    * (SSW/(n−k)). Group moments are 6dp-prerounded so both engines
+    * compute the scalar formula from identical inputs; one aggregate pass
+    * + a k-row reduction. */
+  private val anova = Q(
+    "stats_anova_f",
+    (s, dir) => {
+      import s.implicits._
+      val g = Tables(s, dir).events
+        .groupBy($"event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          round(avg($"value"), 6).as("m"),
+          round(var_samp($"value"), 6).as("v"))
+      val k = g.agg(
+        count(lit(1)).cast("double").as("k"),
+        sum($"n").as("n_total"),
+        (sum($"n" * $"m") / sum($"n")).as("grand_mean"))
+      g.crossJoin(broadcast(k))
+        .agg(
+          max($"k").cast("long").as("k_groups"),
+          max($"n_total").cast("long").as("n_total"),
+          round(
+            (sum($"n" * ($"m" - $"grand_mean") * ($"m" - $"grand_mean"))
+              / (max($"k") - 1)) /
+              (sum(($"n" - 1) * $"v") / (max($"n_total") - max($"k"))),
+            6).as("f_stat"))
+    },
+    Some("""WITH g AS (
+           |  SELECT event_type, count(*)::DOUBLE AS n,
+           |         round(avg(value), 6) AS m, round(var_samp(value), 6) AS v
+           |  FROM events GROUP BY event_type),
+           |k AS (SELECT count(*)::DOUBLE AS k, sum(n) AS n_total,
+           |             sum(n * m) / sum(n) AS grand_mean
+           |      FROM g)
+           |SELECT max(k.k)::BIGINT AS k_groups, max(k.n_total)::BIGINT AS n_total,
+           |       round((sum(n * (m - grand_mean) * (m - grand_mean))
+           |              / (max(k.k) - 1)) /
+           |             (sum((n - 1) * v) / (max(k.n_total) - max(k.k))), 6)
+           |         AS f_stat
+           |FROM g CROSS JOIN k""".stripMargin))
+
+  /** Population Stability Index between the first and second half of the
+    * event stream (the production ML drift monitor): reference deciles
+    * from exact percentiles (6dp-prerounded bin edges shared by both
+    * engines), per-bin shares as exact-integer counts over totals,
+    * PSI = Σ (p−q)·ln(p/q). Two scan+agg passes with the 9 bin edges
+    * broadcast — the same shape as winsorize/MAD. */
+  private val psi = Q(
+    "stats_psi_drift",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).events
+        .select($"value", ($"ts" < lit("2024-01-16").cast("timestamp"))
+          .as("is_ref"))
+      val edges = e.filter($"is_ref").agg(
+        expr("""transform(
+                  percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),
+                  x -> round(x, 6))""").as("edges"))
+      val binned = e.crossJoin(broadcast(edges))
+        // bin = #edges strictly below the value → 0..9, engine-stable
+        // because the edges are prerounded and the comparison is on the
+        // raw value (no midpoint rounding on the data side)
+        .withColumn("bin",
+          aggregate($"edges", lit(0),
+            (acc, edge) => acc + when($"value" > edge, 1).otherwise(0)))
+      val counts = binned.groupBy($"bin")
+        .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("c_ref"),
+          sum(when(!$"is_ref", 1L).otherwise(0L)).as("c_cur"))
+      val totals = counts.agg(sum($"c_ref").as("n_ref"), sum($"c_cur").as("n_cur"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("p", $"c_ref".cast("double") / $"n_ref")
+        .withColumn("q", $"c_cur".cast("double") / $"n_cur")
+        .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+          round(sum(($"p" - $"q") * log($"p" / $"q")), 6).as("psi"))
+    },
+    Some("""WITH e AS (
+           |  SELECT value, ts < TIMESTAMP '2024-01-16' AS is_ref FROM events),
+           |ed AS (
+           |  SELECT list_transform(
+           |           quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           |           t -> round(t, 6)) AS edges
+           |  FROM e WHERE is_ref),
+           |b AS (
+           |  SELECT is_ref,
+           |         len(list_filter(ed.edges, t -> e.value > t)) AS bin
+           |  FROM e CROSS JOIN ed),
+           |c AS (
+           |  SELECT bin, sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS c_ref,
+           |         sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS c_cur
+           |  FROM b GROUP BY bin),
+           |t AS (SELECT sum(c_ref)::BIGINT AS n_ref, sum(c_cur)::BIGINT AS n_cur
+           |      FROM c)
+           |SELECT max(t.n_ref) AS n_ref, max(t.n_cur) AS n_cur,
+           |       round(sum((c_ref::DOUBLE / t.n_ref - c_cur::DOUBLE / t.n_cur)
+           |             * ln((c_ref::DOUBLE / t.n_ref)
+           |                  / (c_cur::DOUBLE / t.n_cur))), 6) AS psi
+           |FROM c CROSS JOIN t""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
       aucQ, madQ, winsorize, hllCumulative, ttest, basket, gini, ksTest,
-      zipf)
+      zipf, anova, psi)
 }
