@@ -424,9 +424,12 @@ object DedupOps {
     val hit = graft.functions.BloomAggregator
       .mightContain(col("__bloom"), key, numBits, numHashes)
     // run the scan once for both branches — the probe is the same pass.
-    // A NULL key probes NULL: anti-join semantics keep null-key batch rows
-    // (NULL never equals a history key), so NULL-hit rows are
-    // definitely-new, not dropped — coalesce makes that explicit.
+    // NULL keys: Spark's hash(NULL) is the seed (never NULL), so a
+    // NULL-key row probes a real bit and may spuriously "hit" — it then
+    // flows to the exact anti-join, where NULL never equals a history key,
+    // so it survives. Either branch keeps it: the result is exact for NULL
+    // keys by anti-join semantics, not by the probe. The coalesce is a
+    // belt-and-braces default for a NULL bloom (empty-history aggregate).
     val probedOnce = probed
       .withColumn("__hit", coalesce(hit, lit(false))).drop("__bloom")
       .cut(eager = false)

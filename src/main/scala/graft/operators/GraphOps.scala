@@ -30,11 +30,18 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iterations: Int,
                damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("double").as("w"))
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
+    // node membership from ALL edges, transitions from positive ones only:
+    // a node whose edge weights sum to 0 would yield NaN/Infinity
+    // transition probabilities that propagate into every downstream rank.
+    // Non-positive edges carry no mass — dropped from the transition
+    // table; their endpoints remain as nodes (sources become dangling, so
+    // their rank mass redistributes uniformly).
+    val nodes = e0.select(col("src").as("id"))
+      .unionByName(e0.select(col("dst").as("id")))
       .distinct().cut(eager = false)
+    val e = e0.filter(col("w") > 0)
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val trans = e.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))

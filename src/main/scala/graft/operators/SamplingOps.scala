@@ -82,9 +82,20 @@ object SamplingOps {
     * domain instead of the domain's full row count — a hot domain with
     * 100M rows shuffles ≤ 32k pairs, not 100M rows. Winners then rejoin
     * the input on the key (AQE picks broadcast when domains × k is small).
-    * Contract: keys are non-null (a null key cannot win the rejoin). */
+    * Contract: keys are non-null (a null key cannot win the rejoin) and
+    * INTEGRAL — the bounded heap carries the key in a long slot, and a
+    * non-numeric key would cast to NULL and silently drop its whole
+    * stratum, so the type is asserted here. String keys must be mapped to
+    * a unique id first (hashing is not enough: a collision in the long
+    * slot would rejoin foreign rows). */
   def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
                     k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val kt = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(kt),
+      s"capPerStratum key '$keyCol' must be integral (got $kt): " +
+        "non-numeric keys cast to NULL in the long heap slot and the " +
+        "stratum would be silently dropped")
     val topk = udaf(new graft.functions.TopKAggregator(k))
     // k smallest hashes == k largest negated hashes; hash tie → smaller key
     val winners = df

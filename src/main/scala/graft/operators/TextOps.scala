@@ -293,25 +293,30 @@ object TextOps {
   /** Encode documents to token-id sequences under a fitted top-`v`
     * vocabulary (ids = frequency-rank order, OOV → −1) — the text→ids
     * step that feeds a trainer. The fitted vocab is bounded (`v` rows) and
-    * becomes a LITERAL map compiled into the scan (`typedLit` +
-    * `element_at` inside `transform`): encoding is a pure scan-local
-    * column expression, zero joins and zero shuffles on the corpus —
-    * exactly how a broadcast tokenizer table behaves at 100 TB. The one
-    * driver materialization is the v-row vocab itself (same bounded-state
-    * contract as IVF centroids). */
+    * ships to executors as a BROADCAST VARIABLE probed per row: encoding
+    * stays scan-local (zero joins, zero shuffles on the corpus), and the
+    * serialized plan stays O(1) in v — a `typedLit` literal map would
+    * compile all v entries into the plan, bloating it and risking codegen
+    * method limits at the documented V=50k–100k. The probe is the one
+    * deliberate UDF in the engine: a hash-map lookup over the token array
+    * has no Catalyst equivalent that avoids either the literal plan or a
+    * corpus-side join, and the per-row cost is the same map probe a native
+    * kernel would do. Driver materialization is the v-row vocab itself
+    * (same bounded-state contract as IVF centroids). */
   def encodeIds(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, v: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.typedLit
     val vocab: Map[String, Int] = docs
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("token")).limit(v)
       .collect().zipWithIndex
       .map { case (r, i) => r.getString(0) -> i }.toMap
-    val vmap = typedLit(vocab)
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    val encode = udf { (toks: Seq[String]) =>
+      toks.map(t => bc.value.getOrElse(t, -1))
+    }
     docs.select(col(idCol).as("id"),
-      transform(tokens(col(textCol)),
-        t => coalesce(element_at(vmap, t), lit(-1))).as("ids"))
+      encode(tokens(col(textCol))).as("ids"))
   }
 
   def vocabOov(docs: org.apache.spark.sql.DataFrame, idCol: String,

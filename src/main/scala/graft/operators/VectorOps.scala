@@ -103,6 +103,53 @@ object VectorOps {
       .select(col(idCol), col("prediction").as("cluster"))
   }
 
+  /** K-means fit invariants, as in-plan booleans — the pattern that turns
+    * an iterative (no-SQL-oracle) fit into a driver-checkable query: one
+    * output row per cluster 0..k−1 with
+    *   n_pos            — the cluster is non-empty,
+    *   assign_is_argmin — every member's squared distance to its assigned
+    *                      centroid equals the minimum over ALL final
+    *                      centroids (1e-9 absolute tolerance absorbs the
+    *                      norms-trick float error in spark.ml's fast
+    *                      distance vs the direct Σ(a−b)² here),
+    *   n_total          — Σ cluster sizes = the corpus row count, exact
+    *                      and hash-comparable.
+    * The oracle twin emits literal `true`s plus its own count(*) — a hash
+    * match proves every invariant held. Centroids are bounded driver
+    * state (k rows, same contract as IVF); the argmin check is a
+    * scan-local expression over the k-element literal centroid array. */
+  def kmeansInvariants(vectors: DataFrame, idCol: String, vecCol: String,
+                       k: Int, seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+    val spark = vectors.sparkSession
+    val toVec = org.apache.spark.ml.functions.array_to_vector(
+      toDouble(col(vecCol)))
+    val featurized = vectors.select(col(idCol), toVec.as("features"),
+      toDouble(col(vecCol)).as("v"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(featurized)
+    val cents: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val scored = model.transform(featurized)
+      .withColumn("d2", transform(typedLit(cents), c =>
+        aggregate(zip_with(c, col("v"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)))
+      .select(col("prediction").cast("int").as("cluster"),
+        (element_at(col("d2"), col("prediction").cast("int") + 1) <=
+          array_min(col("d2")) + lit(1e-9)).as("ok"))
+    val perCluster = scored.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        min(when(col("ok"), 1).otherwise(0)).as("okmin"))
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    spark.range(k).select(col("id").cast("int").as("cluster"))
+      .join(perCluster, Seq("cluster"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cluster"),
+        (coalesce(col("n"), lit(0L)) >= 1L).as("n_pos"),
+        (coalesce(col("okmin"), lit(1)) === 1).as("assign_is_argmin"),
+        col("n_total"))
+      .orderBy(col("cluster"))
+  }
+
   /** SemDedup-style cluster-local near-dup pairs: assign every vector to
     * its nearest centroid (broadcast, one map pass), then compare pairs
     * only WITHIN a cluster — an equi-join on the cluster id, so candidate

@@ -510,8 +510,39 @@ object RelationalQueries {
 
   // --- Windows / top-k --------------------------------------------------
 
+  private val topkOracle =
+    """SELECT c_mktsegment, rk::INT AS rk, c_custkey, round(c_acctbal, 2) AS acctbal
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |      FROM customer)
+      |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** Deployed per-group top-k: bounded-heap [[graft.functions.TopKAggregator]]
+    * — each partition partial-aggregates to ≤k (acctbal, custkey) pairs per
+    * segment before the exchange, so the shuffle carries O(partitions × k)
+    * rows and parallelism is not capped at #groups. The `row_number` window
+    * form (which sort-shuffles every row onto #group keys) is kept as its
+    * own oracle twin, [[topkWindowForm]]. rank = position in the aggregated
+    * (score desc, id asc) heap, identical to the window's ordering. */
   private val topk = Q(
     "window_topk_per_group",
+    (s, dir) => {
+      import s.implicits._
+      val topkAgg = udaf(new graft.functions.TopKAggregator(3))
+      t(s, dir).customer
+        .groupBy($"c_mktsegment")
+        .agg(topkAgg($"c_acctbal", $"c_custkey").as("__top"))
+        .select($"c_mktsegment", posexplode($"__top"))
+        .select($"c_mktsegment", ($"pos" + 1).cast("int").as("rk"),
+          $"col._2".as("c_custkey"), round($"col._1", 2).as("acctbal"))
+        .orderBy($"c_mktsegment", $"rk")
+    },
+    Some(topkOracle))
+
+  /** The same top-k as a `row_number` window — the classic form, kept as a
+    * second oracle-checked query so both plans stay value-verified. */
+  private val topkWindowForm = Q(
+    "window_topk_window_form",
     (s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"c_mktsegment")
@@ -522,11 +553,7 @@ object RelationalQueries {
         .select($"c_mktsegment", $"rk", $"c_custkey", round($"c_acctbal", 2).as("acctbal"))
         .orderBy($"c_mktsegment", $"rk")
     },
-    Some("""SELECT c_mktsegment, rk::INT AS rk, c_custkey, round(c_acctbal, 2) AS acctbal
-           |FROM (SELECT *, row_number() OVER
-           |        (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
-           |      FROM customer)
-           |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin))
+    Some(topkOracle))
 
   /** Full outer join: per-nation customer vs supplier counts — nations
     * with only one side present keep NULL-coalesced zeros on the other.
@@ -785,7 +812,8 @@ object RelationalQueries {
     q1, q3, q5, s3Lookup, f5, semi, q17,
     f3, f6, f7, f18, f19,
     f1, f4, pivotQ, f11, f13, f14, f8,
-    setExcept, setIntersect, setUnion, topk, fullOuter, firstLast, q7, q8,
+    setExcept, setIntersect, setUnion, topk, topkWindowForm, fullOuter,
+    firstLast, q7, q8,
     reconDiff, notInNull)
 
   def all: Seq[Q] = all0

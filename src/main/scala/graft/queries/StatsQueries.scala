@@ -124,32 +124,37 @@ object StatsQueries {
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
   /** Approx percentiles — the 100 TB quantile path: `approx_percentile`
-    * is a MERGEABLE rank sketch (map-side partials combine), where exact
-    * `percentile` buffers every value per group. Approx values are
-    * engine-specific by design, so the query emits the INVARIANT as data:
-    * booleans asserting each estimate lies between the exact percentiles
-    * ±0.05 quantile away (accuracy=1000 bounds rank error at n/1000 per
-    * group — far inside the ±0.05n window), with the exact bounds
-    * computed by `percentile()` in the SAME Spark plan. The DuckDB twin
-    * emits literal `true` plus the (hash-checkable) group count — a hash
-    * match proves the rank bound held. */
+    * is a MERGEABLE rank sketch (map-side partials combine in bounded
+    * memory), where exact `percentile` buffers every value per group.
+    * Approx values are engine-specific by design, so the query emits the
+    * INVARIANT as data: the exact rank of each estimate, counted with a
+    * constant-memory conditional sum on a second scan, must lie within
+    * ±0.05 quantile of its target (accuracy=1000 bounds rank error at
+    * n/1000 per group — 50× inside the window). `rank(estimate) ∈
+    * [0.45n, 0.55n]` is exactly "estimate between the exact p45/p55
+    * values", proven with NO exact-percentile buffer anywhere in the plan.
+    * The DuckDB twin emits literal `true` plus the (hash-checkable) group
+    * count — a hash match proves the rank bound held. */
   private val approxPct = Q(
     "stats_approx_percentiles",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir).orders
-        .groupBy($"o_orderstatus")
-        .agg(
-          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50a"),
-          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90a"),
-          expr("percentile(o_totalprice, 0.45)").as("lo50"),
-          expr("percentile(o_totalprice, 0.55)").as("hi50"),
-          expr("percentile(o_totalprice, 0.85)").as("lo90"),
-          expr("percentile(o_totalprice, 0.95)").as("hi90"),
-          count(lit(1)).as("n"))
+      val o = Tables(s, dir).orders.select($"o_orderstatus", $"o_totalprice")
+      // both estimates from ONE sketch (array percentage), broadcast back
+      // into the rank-counting scan
+      val est = o.groupBy($"o_orderstatus")
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)")
+          .as("e"))
         .select($"o_orderstatus",
-          ($"p50a" >= $"lo50" && $"p50a" <= $"hi50").as("p50_in_bounds"),
-          ($"p90a" >= $"lo90" && $"p90a" <= $"hi90").as("p90_in_bounds"),
+          element_at($"e", 1).as("p50a"), element_at($"e", 2).as("p90a"))
+      o.join(broadcast(est), "o_orderstatus")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"o_totalprice" <= $"p50a", 1L).otherwise(0L)).as("r50"),
+          sum(when($"o_totalprice" <= $"p90a", 1L).otherwise(0L)).as("r90"))
+        .select($"o_orderstatus",
+          ($"r50" >= $"n" * 0.45 && $"r50" <= $"n" * 0.55).as("p50_in_bounds"),
+          ($"r90" >= $"n" * 0.85 && $"r90" <= $"n" * 0.95).as("p90_in_bounds"),
           $"n")
         .orderBy($"o_orderstatus")
     },
@@ -442,23 +447,67 @@ object StatsQueries {
            |       round(n_outliers::DOUBLE / n, 6) AS outlier_rate
            |FROM cut ORDER BY event_type""".stripMargin))
 
-  /** Winsorization: clip each group's values to its own [p05, p95] band
-    * and report the mean before/after — the standard outlier-robust
-    * preprocessing for heavy-tailed features. Same shape as
-    * stats_mad_outliers: two scan+agg passes; the per-group bounds are a
-    * tiny table broadcast back into the clipping scan. Bounds are
-    * 6dp-prerounded on both engines BEFORE clipping so the clip boundary
-    * is engine-stable. Exact `percentile` here because the oracle needs
-    * exact bounds; the 100 TB form swaps in the mergeable
-    * `percentile_approx` sketch (same plan shape, bounded memory —
-    * stats_approx_percentiles proves that path's error bound). */
+  /** Winsorization, deployed form — the 100 TB memory posture: per-group
+    * [p05, p95] clip bounds come from `approx_percentile` (a MERGEABLE
+    * rank sketch, map-side partials combine in bounded memory), never from
+    * exact `percentile` (a TypedImperativeAggregate that buffers every
+    * group value — the per-group buffer is the OOM at scale, not the
+    * shuffle). Approx bound VALUES are engine-specific, so the query emits
+    * the INVARIANT as data: the exact rank of each approx bound, counted
+    * with a constant-memory conditional sum on the clipping pass, must lie
+    * within ±0.01 quantile of its target (accuracy=1000 bounds rank error
+    * at n/1000 per group — 10× inside the window). `rank(approx) ∈
+    * [0.04n, 0.06n]` is exactly "approx between the exact p04/p06 bounds",
+    * proven WITHOUT any exact-percentile buffer in the plan. The DuckDB
+    * twin emits literal `true`s plus the hash-checked exact columns
+    * (n, mean_raw); a hash match proves the sketch's bound held. Exact
+    * value-level winsorization stays oracle-checked at oracle scale in
+    * [[winsorizeExact]]. Two scan+agg passes, bounds broadcast — same
+    * shape as stats_mad_outliers. */
   private val winsorize = Q(
     "stats_winsorize",
     (s, dir) => {
       import s.implicits._
       val li = Tables(s, dir).lineitem.select($"l_returnflag", $"l_extendedprice")
-      // both bounds from ONE percentile buffer (array percentage) — two
-      // separate percentile aggregates would each collect the group twice
+      // both bounds from ONE sketch (array percentage) — two separate
+      // aggregates would scan and sketch the group twice
+      val bounds = li.groupBy($"l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.05, 0.95), 1000)")
+          .as("b"))
+        .select($"l_returnflag", element_at($"b", 1).as("lo"),
+          element_at($"b", 2).as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"l_extendedprice"), 6).as("mean_raw"),
+          avg(greatest($"lo", least($"hi", $"l_extendedprice")))
+            .as("mean_winsorized"),
+          max($"lo").as("lo"), max($"hi").as("hi"),
+          sum(when($"l_extendedprice" <= $"lo", 1L).otherwise(0L)).as("r_lo"),
+          sum(when($"l_extendedprice" <= $"hi", 1L).otherwise(0L)).as("r_hi"))
+        .select($"l_returnflag", $"n", $"mean_raw",
+          ($"r_lo" >= $"n" * 0.04 && $"r_lo" <= $"n" * 0.06).as("lo_rank_ok"),
+          ($"r_hi" >= $"n" * 0.94 && $"r_hi" <= $"n" * 0.96).as("hi_rank_ok"),
+          ($"mean_winsorized" >= $"lo" && $"mean_winsorized" <= $"hi")
+            .as("mean_w_in_band"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*)::BIGINT AS n,
+           |       round(avg(l_extendedprice), 6) AS mean_raw,
+           |       true AS lo_rank_ok, true AS hi_rank_ok,
+           |       true AS mean_w_in_band
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Exact winsorization — the value-level twin of [[winsorize]], kept
+    * oracle-checked at oracle scale: exact `percentile` bounds (full-group
+    * buffer — fine at small SF, deliberately NOT the deployed path),
+    * 6dp-prerounded on both engines before clipping so the boundary is
+    * engine-stable. */
+  private val winsorizeExact = Q(
+    "stats_winsorize_exact",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem.select($"l_returnflag", $"l_extendedprice")
       val bounds = li.groupBy($"l_returnflag")
         .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("b"))
         .select($"l_returnflag", round(element_at($"b", 1), 6).as("lo"),
@@ -661,12 +710,17 @@ object StatsQueries {
       val w = org.apache.spark.sql.expressions.Window
         .orderBy($"rev_c", $"o_custkey")
       val ranked = rev.withColumn("i", row_number().over(w).cast("long"))
+      // Σ i·rev_c and n·Σrev_c overflow BIGINT around sf10 (rank ~ n
+      // customers × cents-scale revenue); accumulate in decimal(38,0) —
+      // exact like DuckDB's HUGEINT promotion, so both engines convert
+      // the same exact integer to double for the closing division
       ranked.agg(
           count(lit(1)).as("n_customers"),
           round(sum($"rev_c") / 100.0, 2).as("total_revenue"),
           round(
-            sum($"i" * $"rev_c") * 2.0 /
-              (count(lit(1)) * sum($"rev_c")) -
+            sum($"i".cast("decimal(19,0)") * $"rev_c".cast("decimal(19,0)")) * 2.0 /
+              (count(lit(1)).cast("decimal(38,0)") *
+                sum($"rev_c").cast("decimal(38,0)")).cast("double") -
               (count(lit(1)) + 1.0) / count(lit(1)), 6).as("gini"))
     },
     Some("""WITH rev AS (
@@ -841,9 +895,12 @@ object StatsQueries {
         .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("c_ref"),
           sum(when(!$"is_ref", 1L).otherwise(0L)).as("c_cur"))
       val totals = counts.agg(sum($"c_ref").as("n_ref"), sum($"c_cur").as("n_cur"))
+      // standard epsilon floor: a zero bin on either half would send
+      // (p−q)·ln(p/q) to ±Infinity exactly when drift is most extreme —
+      // floor counts at 0.5 (identical on both engines) before the ratio
       counts.crossJoin(broadcast(totals))
-        .withColumn("p", $"c_ref".cast("double") / $"n_ref")
-        .withColumn("q", $"c_cur".cast("double") / $"n_cur")
+        .withColumn("p", greatest($"c_ref".cast("double"), lit(0.5)) / $"n_ref")
+        .withColumn("q", greatest($"c_cur".cast("double"), lit(0.5)) / $"n_cur")
         .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
           round(sum(($"p" - $"q") * log($"p" / $"q")), 6).as("psi"))
     },
@@ -865,14 +922,16 @@ object StatsQueries {
            |t AS (SELECT sum(c_ref)::BIGINT AS n_ref, sum(c_cur)::BIGINT AS n_cur
            |      FROM c)
            |SELECT max(t.n_ref) AS n_ref, max(t.n_cur) AS n_cur,
-           |       round(sum((c_ref::DOUBLE / t.n_ref - c_cur::DOUBLE / t.n_cur)
-           |             * ln((c_ref::DOUBLE / t.n_ref)
-           |                  / (c_cur::DOUBLE / t.n_cur))), 6) AS psi
+           |       round(sum((greatest(c_ref::DOUBLE, 0.5) / t.n_ref
+           |                  - greatest(c_cur::DOUBLE, 0.5) / t.n_cur)
+           |             * ln((greatest(c_ref::DOUBLE, 0.5) / t.n_ref)
+           |                  / (greatest(c_cur::DOUBLE, 0.5) / t.n_cur))), 6) AS psi
            |FROM c CROSS JOIN t""".stripMargin))
 
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
-      aucQ, madQ, winsorize, hllCumulative, ttest, basket, gini, ksTest,
+      aucQ, madQ, winsorize, winsorizeExact, hllCumulative, ttest, basket,
+      gini, ksTest,
       zipf, anova, psi)
 }

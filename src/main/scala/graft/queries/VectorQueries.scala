@@ -174,17 +174,22 @@ object VectorQueries {
             |  FROM scored)
             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
 
-  /** Seeded k-means cluster sizes (rows-only: iterative training has no
-    * SQL oracle; determinism is spec-asserted). */
+  /** Seeded k-means, driver-green via in-plan invariant booleans (the
+    * sketch trick from stats_approx_percentiles): per-cluster non-empty,
+    * every member assigned to its true argmin centroid, and Σ cluster
+    * sizes = corpus count (exact, hash-compared against the oracle's own
+    * count). The iterative fit itself has no SQL twin; the INVARIANTS of
+    * a correct fit do. Cluster sizes/determinism stay spec-asserted via
+    * [[VectorOps.kmeansClusters]]. */
   private val kmeans = Q(
     "sim_kmeans_clusters",
     (s, dir) => {
       import s.implicits._
-      VectorOps.kmeansClusters(emb(s, dir), "vec_id", "embedding", 8)
-        .groupBy($"cluster").agg(count(lit(1)).as("n"))
-        .orderBy($"cluster")
+      VectorOps.kmeansInvariants(emb(s, dir), "vec_id", "embedding", 8)
     },
-    None)
+    Some("""SELECT i::INT AS cluster, true AS n_pos, true AS assign_is_argmin,
+           |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
+           |FROM generate_series(0, 7) t(i) ORDER BY cluster""".stripMargin))
 
   def all: Seq[Q] = Seq(topk, pairs, lsh, ivf, ivfTopk, kmeans)
 }

@@ -139,6 +139,19 @@ class PlanQualitySpec extends SparkSpec {
       s"expected partial+final ObjectHashAggregate pair:\n${plan.take(800)}")
   }
 
+  test("per-group top-k deploys as a bounded-heap partial aggregate, not a window") {
+    val q = SparkEntry.queries("window_topk_per_group")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // the TopKAggregator reduces each partition to ≤k pairs per segment
+    // BEFORE the exchange; the row_number form (kept as
+    // window_topk_window_form) shuffles every customer row onto #segment
+    // keys — parallelism capped at #groups, full sort per group
+    assert(!plan.contains("Window"),
+      s"deployed top-k must not be a window:\n${plan.take(800)}")
+    assert(plan.split("ObjectHashAggregate").length - 1 >= 2,
+      s"expected partial+final ObjectHashAggregate pair:\n${plan.take(800)}")
+  }
+
   test("bloom delta: scan-local getbit probe, single anti join on candidates") {
     val q = SparkEntry.queries("dedup_bloom_delta")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)
