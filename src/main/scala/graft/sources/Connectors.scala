@@ -81,6 +81,71 @@ final class KrEtfConnector(fixtureDir: String) extends Connector {
   }
 }
 
+/** S1 over real transport: the same pagination contract as
+  * [[KrEtfConnector]] but against an HTTP endpoint — a `pageNo` loop
+  * accumulating pages until `totalCount` rows have been fetched
+  * (tasks.py:30-75), each GET wrapped in C4 retries
+  * (brz_kr_etf_daily.py:36-38), with a politeness sleep between pages
+  * (extractors.py:55-57 semantics). Page payloads carry
+  * `{"totalCount": N, "items": [...]}`; only the loop-control fields
+  * (totalCount, per-page row count) are peeked driver-side with a regex —
+  * row parsing stays in the Spark plan via [[toBronze]].
+  *
+  * In tests the baseUrl is an in-process `com.sun.net.httpserver` stub;
+  * in production it is the real API — the connector code is identical. */
+final class HttpKrEtfConnector(baseUrl: String, numOfRows: Int,
+                               retries: Int = 3, retryDelayMs: Long = 0,
+                               rateLimitMs: Long = 0) extends Connector {
+  val name = "kr_etf_http"
+
+  private def get(url: String): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(5000)
+    // no keep-alive: a retried request must never reuse the socket of a
+    // failed response (a server that closed mid-error would poison the
+    // pooled connection and surface as EOF on the NEXT, healthy request)
+    conn.setRequestProperty("Connection", "close")
+    try {
+      val code = conn.getResponseCode
+      if (code != 200) throw new java.io.IOException(s"HTTP $code for $url")
+      new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+    } finally conn.disconnect()
+  }
+
+  def fetchRaw(logicalDate: String): Seq[String] = {
+    val pages = Seq.newBuilder[String]
+    var fetched = 0
+    var total = Int.MaxValue
+    var pageNo = 1
+    while (fetched < total) {
+      val body = Retry.withRetries(retries, retryDelayMs)(get(
+        s"$baseUrl?basDt=$logicalDate&pageNo=$pageNo&numOfRows=$numOfRows"))
+      total = """"totalCount"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+        .map(_.group(1).toInt).getOrElse(0)
+      val rows = """"basDt"""".r.findAllIn(body).length
+      pages += body
+      fetched += rows
+      pageNo += 1
+      // defensive: an empty page must terminate even if totalCount lies,
+      // or a server bug becomes an infinite polite loop
+      if (rows == 0) total = 0
+      else if (fetched < total && rateLimitMs > 0) Thread.sleep(rateLimitMs)
+    }
+    pages.result()
+  }
+
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
+    import spark.implicits._
+    // from_json ignores the extra loop-control fields (totalCount) — the
+    // row parse is byte-identical to the fixture-backed connector's
+    Parse.jsonObject(spark, raw, Schemas.krEtfPayload)
+      .select(explode($"items").as("r")).select("r.*")
+  }
+}
+
 /** S9: KRX industry codes — flattened records (extractors.py:43-56);
   * fixture = one JSON-array file per date. */
 final class KrxCodesConnector(fixtureDir: String) extends Connector {

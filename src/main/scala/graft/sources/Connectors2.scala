@@ -113,6 +113,84 @@ final class BondsMetaConnector(fixtureDir: String) extends Connector {
   }
 }
 
+/** S8 from the RAW scraped payload: the reference fetches each bond's
+  * HTML page and parses its single `<table>`'s two-`<td>` rows into a
+  * key→value map (brz_bonds_meta_monthly/extractors.py:38-51: header =
+  * td[0] stripped, spaces→underscores, lowered; content = td[1] stripped;
+  * empty content skipped; rows without exactly two tds skipped; FIRST
+  * occurrence of a key wins; `name` = the bond key from the url
+  * registry). Here the HTML→map parse is a SCAN-SIDE column-expression
+  * chain (`regexp_extract_all` over row tags + a first-wins map fold) —
+  * at crawl scale the parse runs distributed inside the scan, not in a
+  * driver loop. Output shape is identical to [[BondsMetaConnector]]'s
+  * pre-parsed-JSON bronze, spec-asserted equal on the same bonds.
+  *
+  * Envelope: fetchRaw emits one `bondKey \t html` string per page (the
+  * scraper knows the key independently of the page; HTML carries no
+  * tabs). */
+final class BondsMetaHtmlConnector(fixtureDir: String) extends Connector {
+  val name = "bonds_meta_html"
+
+  def fetchRaw(logicalDate: String): Seq[String] =
+    FixtureFiles.listDir(s"$fixtureDir/ymd=$logicalDate")
+      .filter(_.endsWith(".html"))
+      .map { p =>
+        val f = new java.io.File(p)
+        f.getName.stripSuffix(".html") + "\t" +
+          java.nio.file.Files.readString(f.toPath)
+      }
+
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // BeautifulSoup's .strip(): trim ALL whitespace (incl. newlines) —
+    // Spark's trim() only strips spaces
+    def strip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+    val tdPair = "(?s)<td>(.*?)</td>\\s*<td>(.*?)</td>"
+    spark.createDataset(raw)
+      .select(substring_index($"value", "\t", 1).as("name"),
+        expr("substring(value, instr(value, '\t') + 1)").as("html"))
+      .withColumn("entries", filter(
+        transform(
+          regexp_extract_all($"html", lit("(?s)<tr>(.*?)</tr>"), lit(1)),
+          r => struct(
+            lower(regexp_replace(strip(regexp_extract(r, tdPair, 1)),
+              " ", "_")).as("k"),
+            strip(regexp_extract(r, tdPair, 2)).as("v"),
+            size(regexp_extract_all(r, lit("<td>"), lit(0))).as("ntd"))),
+        e => e("ntd") === 2 && e("v") =!= ""))
+      // first-wins fold (reference: parsed.get(header, content)) — a
+      // plain map_from_entries would throw/last-win on duplicate keys
+      .select($"name", aggregate($"entries",
+        map().cast("map<string,string>"),
+        (acc, e) => when(map_contains_key(acc, e("k")), acc)
+          .otherwise(map_concat(acc, map(e("k"), e("v"))))).as("attrs"))
+  }
+}
+
+/** S12 from the RAW deprecated payload: the data.go.kr holiday API
+  * returns XML; the reference pulls every `<locdate>` text
+  * (brz_kr_etf_daily/tasks_deprecated.py:31-33) and treats membership —
+  * plus the December-31 last weekday (F18) — as market-closed. The
+  * extraction is scan-side (`regexp_extract_all` → explode → ISO date),
+  * and the output feeds [[graft.operators.CalendarOps.applyHolidays]]
+  * (F19) exactly like the JSON-backed [[MarketHolidayConnector]]. */
+final class HolidayXmlConnector(fixtureDir: String) extends Connector {
+  val name = "kr_market_holiday_xml"
+
+  def fetchRaw(year: String): Seq[String] =
+    FixtureFiles.readOne(s"$fixtureDir/year=$year/data.xml")
+
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(raw)
+      .select(explode(regexp_extract_all($"value",
+        lit("<locdate>\\s*(\\d{8})\\s*</locdate>"), lit(1))).as("yyyymmdd"))
+      .select(date_format(to_date($"yyyymmdd", "yyyyMMdd"), "yyyy-MM-dd")
+        .as("locdate"))
+  }
+}
+
 /** S10: GICS classification rows bucketed by code length into the four
   * category levels (extractors.py:85-97, F11). */
 final class GicsConnector(fixtureDir: String) extends Connector {

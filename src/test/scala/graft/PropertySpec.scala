@@ -71,6 +71,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("concurrent same-partition writers: last writer wins, never a mix (C3)") {
+    // SURVEY §7 risk 5: the reference catches up with max_active_runs=5,
+    // so two backfill runs CAN overwrite the same ymd concurrently; its
+    // safety comes from S3 last-put-wins on whole objects. The engine's
+    // dynamic partition overwrite gives the analogous guarantee — each
+    // job stages under its own UUID dir and swaps the partition at commit
+    // — so the surviving partition is ONE writer's complete payload,
+    // never an interleaved mix of both. Serialization guidance: runs of
+    // the SAME source should still be serialized (the ledger's
+    // isProcessed gate + one runner per source, as IngestJob does);
+    // this property is the floor that makes a lost race benign, not a
+    // license to race on purpose.
+    forAll(Gen.choose(1, 999), n = 5) { seed =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-race").toString
+      val payload = (w: String) =>
+        (1 to 10).map(i => (w, seed * 1000 + i)).toDF("writer", "v")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val runs = Seq("A", "B").map { w =>
+        scala.concurrent.Future {
+          graft.io.Writers.writeForDate(payload(w), dir + "/t", "2025-02-03",
+            "parquet")
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(runs),
+        scala.concurrent.duration.Duration(120, "s"))
+      pool.shutdown()
+      val out = spark.read.parquet(dir + "/t")
+      val writers = out.select($"writer").distinct().as[String].collect()
+      assert(writers.length === 1,
+        s"partition must hold exactly one writer's payload, got ${writers.toSeq}")
+      assert(out.count() === 10L, "the surviving payload must be complete")
+    }
+  }
+
   test("near-dup identity: PPJoin == dense kernel == inverted-index verify " +
       "on random corpora and thresholds") {
     // the exactness claim all three candidate generators share: identical

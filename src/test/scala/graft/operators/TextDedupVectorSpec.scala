@@ -149,6 +149,36 @@ class TextOpsSpec extends SparkSpec {
     assert(out4.map(_._3) === Seq(0.25, 0.0, 0.333333))
   }
 
+  test("encodeIds: OOV -> -1, ids are frequency-rank order") {
+    val docs = Seq((1L, "a a b z"), (2L, "b b")).toDF("doc_id", "text")
+    // counts: b=3 a=2 z=1 → v=2 picks {b→0, a→1}; z is OOV
+    val out = TextOps.encodeIds(docs, "doc_id", "text", 2)
+      .orderBy($"id").as[(Long, Seq[Int])].collect().toSeq
+    assert(out === Seq((1L, Seq(1, 1, 0, -1)), (2L, Seq(0, 0))))
+  }
+
+  test("encodeIds: a 100k-entry vocab stays OUT of the serialized plan") {
+    // 1000 docs × 100 unique tokens = a 100k-distinct-token corpus — the
+    // documented production vocab size. The fitted map must ship as a
+    // broadcast variable, not a typedLit literal: a literal map this size
+    // bloats the plan and can blow codegen method limits.
+    val docs = spark.range(1000).select($"id",
+      concat_ws(" ", (0 until 100).map(j =>
+        concat(lit("tok"), ($"id" * 100 + j).cast("string"))): _*).as("text"))
+    val enc = TextOps.encodeIds(docs, "id", "text", 100000)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("tok99"),
+      "vocab tokens must not be compiled into the plan")
+    assert(plan.length < 20000,
+      s"plan must stay O(1) in vocab size, got ${plan.length} chars")
+    // every token is unique → the ids seen are exactly the permutation
+    // 0..99999 with no OOV
+    val ids = enc.select(explode($"ids").as("i"))
+    assert(ids.distinct().count() === 100000L)
+    val mm = ids.agg(min($"i"), max($"i")).head()
+    assert(mm.getInt(0) === 0 && mm.getInt(1) === 99999)
+  }
+
   test("Bloom: column probe == JVM bits; no false negatives; delta == anti join") {
     import graft.functions.BloomAggregator
     val bits = 1 << 10

@@ -59,6 +59,45 @@ class Connectors2Spec extends SparkSpec {
     assert(!ust.getAs[Map[String, String]]("attrs").contains("issue_price"))
   }
 
+  test("S8 raw HTML: scan-side <table> parse == pre-parsed JSON bronze") {
+    val rawC = new BondsMetaHtmlConnector(fixture("bonds_meta_html"))
+    val raw = rawC.fetchRaw("2025-01-06")
+    assert(raw.length === 2)
+    val parsed = rawC.toBronze(spark, raw)
+    // duplicate 'Coupon' row: FIRST occurrence wins (9.999 dropped);
+    // empty-content 'Rating' row skipped; th-only header row skipped;
+    // whitespace/newlines stripped from both header and content
+    val ktb = parsed.filter($"name" === "KTB 10Y").head()
+      .getAs[Map[String, String]]("attrs")
+    assert(ktb("coupon") === "2.875")
+    assert(ktb("issuer") === "Korea Treasury")
+    assert(!ktb.contains("rating"))
+    // the raw-HTML path lands byte-identical bronze to the pre-parsed path
+    val viaJson = new BondsMetaConnector(fixture("bonds_meta"))
+    val expected = viaJson.toBronze(spark, viaJson.fetchRaw("2025-01-06"))
+      .as[(String, Map[String, String])].collect().toSet
+    assert(parsed.as[(String, Map[String, String])].collect().toSet === expected)
+  }
+
+  test("S12 raw XML: locdate extraction == JSON block1 holidays, feeds F19") {
+    val xmlC = new HolidayXmlConnector(fixture("kr_market_holiday_xml"))
+    val dates = xmlC.toBronze(spark, xmlC.fetchRaw("2025"))
+    // whitespace-padded <locdate> still parses; ISO-dash output
+    assert(dates.as[String].collect().toSet ===
+      Set("2025-01-01", "2025-01-28", "2025-01-29"))
+    // same holiday set the JSON-backed S12 connector lands
+    val jsonC = new MarketHolidayConnector(
+      getClass.getResource("/bronze/kr_market_holiday").getPath)
+    val viaJson = jsonC.toBronze(spark, jsonC.fetchRaw("2025"))
+      .select($"calnd_dd_dy").as[String].collect().toSet
+    assert(dates.as[String].collect().toSet === viaJson)
+    // and it plugs into the F19 upsert exactly like the JSON path
+    val cal = graft.operators.CalendarOps.calendarDim(spark, 2025, 2025)
+    val applied = graft.operators.CalendarOps.applyHolidays(cal, dates, "locdate")
+    assert(applied
+      .filter($"is_market_holiday" && $"date" === "2025-01-28").count() === 1)
+  }
+
   test("S10 GICS: bucketed by code length into four levels (F11)") {
     val c = new GicsConnector(fixture("gics_codes"))
     val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))

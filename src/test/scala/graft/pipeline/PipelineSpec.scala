@@ -212,6 +212,61 @@ class ConnectorSpec extends SparkSpec {
       Retry.withRetries(2)(sys.error("always"))
     }
   }
+
+  test("S1 over HTTP: pagination until totalCount, 500-retry, rate limit (C4)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // the two fixture pages, served with the reference's loop-control
+    // field injected: totalCount = 3 rows across page 1 (2 rows) + page 2
+    // (1 row), exactly the accumulate-until-totalCount contract
+    def page(n: Int): String = {
+      // path built from the fixture DIR: getResource would %-encode the
+      // '=' in the partition dir name and the read would miss
+      val p = java.nio.file.Paths.get(
+        fixture("kr_etf"), "ymd=2025-01-06", s"page_$n.json")
+      java.nio.file.Files.readString(p)
+        .replaceFirst("""\{\s*"items"""", """{"totalCount": 3, "items"""")
+    }
+    // read OUTSIDE the handler: an exception inside an HttpHandler kills
+    // the exchange silently and surfaces only as a client-side EOF
+    val pages = Map(1 -> page(1), 2 -> page(2))
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/etf", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        requests.incrementAndGet()
+        val q = Option(x.getRequestURI.getQuery).getOrElse("")
+        val pageNo = """pageNo=(\d+)""".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(1)
+        // injected transient failure: the FIRST hit on page 1 returns 500,
+        // so success requires the C4 retry path to actually run
+        if (pageNo == 1 && failedOnce.compareAndSet(false, true)) {
+          x.sendResponseHeaders(500, -1); x.close()
+        } else {
+          val body = pages(pageNo).getBytes("UTF-8")
+          x.sendResponseHeaders(200, body.length)
+          x.getResponseBody.write(body)
+          x.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/etf"
+      val c = new HttpKrEtfConnector(base, numOfRows = 2,
+        retries = 3, retryDelayMs = 10, rateLimitMs = 30)
+      val t0 = System.nanoTime()
+      val raw = c.fetchRaw("2025-01-06")
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(raw.length === 2, "two pages accumulated until totalCount")
+      assert(requests.get() === 3, "1 injected 500 + 2 successful pages")
+      assert(elapsedMs >= 30, "politeness sleep must run between pages")
+      // transport changes nothing downstream: bronze rows == fixture path
+      val viaHttp = c.toBronze(spark, raw)
+      val viaFiles = new KrEtfConnector(fixture("kr_etf"))
+      val expected = viaFiles.toBronze(spark, viaFiles.fetchRaw("2025-01-06"))
+      assert(viaHttp.collect().toSet === expected.collect().toSet)
+    } finally server.stop(0)
+  }
 }
 
 class JobsSpec extends SparkSpec {
