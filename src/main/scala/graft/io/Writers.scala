@@ -87,12 +87,21 @@ object Writers {
     * replace same-key rows, new keys append, everything else is kept —
     * and ONLY the partitions present in the delta are read or rewritten.
     *
-    * Scale shape: the touched-partition list is a driver collect of
-    * O(#touched partitions) (bounded — a daily upsert touches a handful);
-    * the existing-side read carries a partition `isin` filter, so 100 TB
-    * of untouched history is never scanned; the write is a dynamic
-    * partition overwrite, so untouched partitions' files are never
-    * replaced. The merged frame is lineage-cut (`Lineage.cut`) before the
+    * Scale shape: the existing-side read is pruned to the delta's
+    * partitions WITHOUT ever materializing the partition list on the
+    * driver — a 10-year backfill delta would inline thousands of literals
+    * through a collect+`isin`. Instead (a) a one-row min/max agg bounds
+    * the scan statically (two literals in the plan regardless of delta
+    * size — planning-time partition pruning), and (b) a broadcast LEFT
+    * SEMI join against the delta's distinct partition values prunes
+    * exactly, with the `between` predicate on the build side making it
+    * DPP-eligible (Catalyst's PartitionPruning requires a likely-selective
+    * predicate on the build side; a bare distinct does not qualify), so
+    * gap partitions inside the range are dropped by
+    * `dynamicpruningexpression` at the SCAN, not post-read. 100 TB of
+    * untouched history is never scanned; the write is a dynamic partition
+    * overwrite, so untouched partitions' files are never replaced. The
+    * merged frame is lineage-cut (`Lineage.cut`) before the
     * overwrite: the read and the write share `path`, and the cut both
     * materializes the merge result ahead of any file deletion and removes
     * the self-referencing file scan from the write plan. On a real
@@ -111,16 +120,32 @@ object Writers {
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
     val merged = if (!exists) delta else {
-      val touched = delta.select(col(partitionCol)).distinct()
-        .collect().map(_.get(0))
-      val current = spark.read.parquet(path)
-        .filter(col(partitionCol).isin(touched: _*))
       // keep-existing-unless-replaced: anti-join on the key, then union
-      current.join(delta.select(keyCols.map(col): _*).distinct(),
+      prunedCurrent(delta, path, partitionCol)
+        .join(delta.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
         .unionByName(delta)
     }
     graft.core.Lineage.cut(merged)
       .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+  }
+
+  /** The existing-table read for [[upsertByKey]], pruned to the delta's
+    * partitions without a driver-side partition list (see the upsert
+    * Scaladoc for why each piece exists). Visible so the plan shape —
+    * two range literals, no `isin` list, DPP-eligible semi join — is
+    * assertable in WritersSpec. */
+  private[graft] def prunedCurrent(delta: DataFrame, path: String,
+                                   partitionCol: String): DataFrame = {
+    val spark = delta.sparkSession
+    // one-row driver agg: static scan bounds, O(1) in delta partitions
+    val Seq(minP, maxP) = delta
+      .agg(min(col(partitionCol)), max(col(partitionCol)))
+      .head().toSeq
+    val touched = delta.select(col(partitionCol)).distinct()
+      .filter(col(partitionCol).between(lit(minP), lit(maxP)))
+    spark.read.parquet(path)
+      .filter(col(partitionCol).between(lit(minP), lit(maxP)))
+      .join(broadcast(touched), Seq(partitionCol), "left_semi")
   }
 }

@@ -400,15 +400,69 @@ object StatsQueries {
 
   /** Robust outlier detection — median / MAD (median absolute deviation),
     * the data-cleaning pass that survives the outliers it is hunting
-    * (mean/stddev z-scores get dragged by the very tail they flag). Three
-    * scan+hash-agg passes over a constant-bounded group key (event_type),
-    * group stats broadcast back into the scan each time — no row-level
-    * shuffle anywhere. Exact `percentile` buffers per group; the 100 TB
-    * swap-in is `approx_percentile` (see stats_approx_percentiles).
-    * Median/MAD are rounded to 6dp BEFORE the cut predicate so the
-    * boundary arithmetic is identical across engines. */
+    * (mean/stddev z-scores get dragged by the very tail they flag).
+    * DEPLOYED form = the 100 TB memory posture (same pattern as
+    * [[winsorize]]): median and MAD come from `approx_percentile` — a
+    * MERGEABLE rank sketch whose map-side partials combine in bounded
+    * memory — never from exact `percentile`, whose TypedImperativeAggregate
+    * buffers every group value (the per-group buffer is the OOM at scale).
+    * Sketch VALUES are engine-specific, so the query emits the INVARIANT
+    * as data: the exact min/max rank of each sketch output, counted with
+    * constant-memory conditional sums on the cut pass, must straddle the
+    * 0.5 quantile within ±0.01n (accuracy=1000 bounds sketch rank error
+    * at n/1000 — 10× inside the window; the `count(<) ≤ hi ∧ count(≤) ≥
+    * lo` straddle is duplicate-safe where a single inclusive count is
+    * not). `outliers_bounded` pins the cut logic itself: the 3·1.4826·mad
+    * threshold can never flag more rows than lie beyond the MAD, an exact
+    * subset identity independent of sketch error. The DuckDB twin emits
+    * literal `true`s plus hash-checked exact columns (n, mean_raw). Exact
+    * median/MAD values stay oracle-checked at oracle scale in [[madExact]].
+    * Three scan+hash-agg passes over a constant-bounded group key
+    * (event_type), group stats broadcast back into the scan each time —
+    * no row-level shuffle anywhere. */
   private val madQ = Q(
     "stats_mad_outliers",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir).events.select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy($"event_type")
+        .agg(max($"med").as("med"),
+          expr("approx_percentile(abs(value - med), 0.5, 1000)").as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .withColumn("dev", abs($"value" - $"med"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"value"), 6).as("mean_raw"),
+          sum(when($"value" < $"med", 1L).otherwise(0L)).as("med_lt"),
+          sum(when($"value" <= $"med", 1L).otherwise(0L)).as("med_le"),
+          sum(when($"dev" < $"mad", 1L).otherwise(0L)).as("mad_lt"),
+          sum(when($"dev" <= $"mad", 1L).otherwise(0L)).as("mad_le"),
+          sum(when($"dev" > lit(3.0) * lit(1.4826) * $"mad", 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select($"event_type", $"n", $"mean_raw",
+          ($"med_lt" <= $"n" * 0.51 && $"med_le" >= $"n" * 0.49)
+            .as("med_rank_ok"),
+          ($"mad_lt" <= $"n" * 0.51 && $"mad_le" >= $"n" * 0.49)
+            .as("mad_rank_ok"),
+          ($"n_outliers" <= $"n" - $"mad_le").as("outliers_bounded"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*)::BIGINT AS n,
+           |       round(avg(value), 6) AS mean_raw,
+           |       true AS med_rank_ok, true AS mad_rank_ok,
+           |       true AS outliers_bounded
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Exact median/MAD — the value-level twin of [[madQ]], kept
+    * oracle-checked at oracle scale: exact `percentile` buffers (full-group
+    * buffer — fine at small SF, deliberately NOT the deployed path).
+    * Median/MAD are rounded to 6dp BEFORE the cut predicate so the
+    * boundary arithmetic is identical across engines. */
+  private val madExact = Q(
+    "stats_mad_exact",
     (s, dir) => {
       import s.implicits._
       val ev = Tables(s, dir).events.select($"event_type", $"value")
@@ -483,11 +537,18 @@ object StatsQueries {
           avg(greatest($"lo", least($"hi", $"l_extendedprice")))
             .as("mean_winsorized"),
           max($"lo").as("lo"), max($"hi").as("hi"),
-          sum(when($"l_extendedprice" <= $"lo", 1L).otherwise(0L)).as("r_lo"),
-          sum(when($"l_extendedprice" <= $"hi", 1L).otherwise(0L)).as("r_hi"))
+          sum(when($"l_extendedprice" < $"lo", 1L).otherwise(0L)).as("r_lo_lt"),
+          sum(when($"l_extendedprice" <= $"lo", 1L).otherwise(0L)).as("r_lo_le"),
+          sum(when($"l_extendedprice" < $"hi", 1L).otherwise(0L)).as("r_hi_lt"),
+          sum(when($"l_extendedprice" <= $"hi", 1L).otherwise(0L)).as("r_hi_le"))
         .select($"l_returnflag", $"n", $"mean_raw",
-          ($"r_lo" >= $"n" * 0.04 && $"r_lo" <= $"n" * 0.06).as("lo_rank_ok"),
-          ($"r_hi" >= $"n" * 0.94 && $"r_hi" <= $"n" * 0.96).as("hi_rank_ok"),
+          // min-rank/max-rank STRADDLE, not a single inclusive count: a
+          // duplicated value sitting exactly at the sketch bound inflates
+          // count(<=) past the window even when the sketch met its rank
+          // guarantee; count(<) ≤ hi-target ∧ count(≤) ≥ lo-target is the
+          // duplicate-safe statement of "bound lies within ±0.01 quantile"
+          ($"r_lo_lt" <= $"n" * 0.06 && $"r_lo_le" >= $"n" * 0.04).as("lo_rank_ok"),
+          ($"r_hi_lt" <= $"n" * 0.96 && $"r_hi_le" >= $"n" * 0.94).as("hi_rank_ok"),
           ($"mean_winsorized" >= $"lo" && $"mean_winsorized" <= $"hi")
             .as("mean_w_in_band"))
         .orderBy($"l_returnflag")
@@ -931,7 +992,7 @@ object StatsQueries {
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
-      aucQ, madQ, winsorize, winsorizeExact, hllCumulative, ttest, basket,
+      aucQ, madQ, madExact, winsorize, winsorizeExact, hllCumulative, ttest, basket,
       gini, ksTest,
       zipf, anova, psi)
 }

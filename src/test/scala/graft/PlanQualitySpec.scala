@@ -349,6 +349,19 @@ class PlanQualitySpec extends SparkSpec {
       s"per-id max must partial-aggregate map-side:\n${plan.take(800)}")
   }
 
+  test("MAD outliers deployed path sketches — no exact-percentile group buffer") {
+    val q = SparkEntry.queries("stats_mad_outliers")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // exact `percentile` is a TypedImperativeAggregate buffering every
+    // group value — the OOM shape at 100 TB. The deployed plan must carry
+    // only the mergeable approx_percentile sketch (the exact form lives in
+    // stats_mad_exact, oracle-checked at oracle scale only)
+    assert(plan.contains("approx_percentile"),
+      s"median/MAD must come from the rank sketch:\n${plan.take(800)}")
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty,
+      s"no exact percentile buffer may plan on the deployed path:\n${plan.take(800)}")
+  }
+
   test("tokenizer encode is join-free (vocab compiled into the scan)") {
     val q = SparkEntry.queries("text_encode_ids")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)

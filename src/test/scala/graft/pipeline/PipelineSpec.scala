@@ -60,6 +60,37 @@ class WritersSpec extends SparkSpec {
       path, Seq("id"), "part")
     assert(spark.read.parquet(path).count() === 4)
   }
+
+  test("upsertByKey: 1k-partition delta — no literal partition list, DPP prunes the read") {
+    val path = Files.createTempDirectory("graft-io").toString + "/t"
+    // table with 1200 day partitions; the delta touches 1000 of them
+    def day(i: Int) = f"2020-${1 + i / 100}%02d-${1 + i % 28}%02d-$i%04d"
+    val seed = (0 until 1200).map(i => (i.toLong, "old", day(i)))
+      .toDF("id", "v", "ymd")
+    seed.write.mode("overwrite").partitionBy("ymd").parquet(path)
+    // file-backed delta, as in production: a LocalRelation delta would be
+    // constant-folded (filter evaluated at optimization time), which both
+    // bypasses the DPP-eligibility filter and makes the plan untestable
+    val deltaPath = Files.createTempDirectory("graft-io").toString + "/delta"
+    (100 until 1100).map(i => (i.toLong, "new", day(i)))
+      .toDF("id", "v", "ymd").write.mode("overwrite").parquet(deltaPath)
+    val delta = spark.read.parquet(deltaPath)
+    // the pruned read must carry exactly two range literals + a dynamic
+    // pruning expression — NOT a thousand-element isin list
+    val current = Writers.prunedCurrent(delta, path, "ymd")
+    current.collect() // finalize AQE so the inserted DPP subquery is visible
+    val plan = current.queryExecution.executedPlan.toString
+    assert(!plan.contains(" IN (") && !plan.contains("isin"),
+      s"partition pruning must not inline a literal list:\n${plan.take(1000)}")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected DPP on the partition scan:\n${plan.take(1000)}")
+    // end-to-end: the thousand-partition upsert is still exact
+    Writers.upsertByKey(delta, path, Seq("id"), "ymd")
+    val out = spark.read.parquet(path)
+    assert(out.count() === 1200)
+    assert(out.filter($"v" === "new").count() === 1000)
+    assert(out.filter($"v" === "old").count() === 200)
+  }
 }
 
 class CompactionSpec extends SparkSpec {
