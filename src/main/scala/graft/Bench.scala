@@ -65,9 +65,12 @@ object Bench {
     // driver output tails can truncate the per-query map on long registries;
     // also persist the full line as a tracked artifact so every round's
     // per-query regression check is auditable from the repo alone.
-    // Subset (dev) runs must not clobber the full-registry artifact.
+    // Subset (dev) runs must not clobber the full-registry artifact;
+    // SPARK_GRAFT_BENCH_OUT redirects it (e.g. the sf1 headroom run →
+    // bench_full_sf1.json) so runs at other SFs don't either.
     if (args.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
         (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }

@@ -14,15 +14,33 @@ import org.apache.spark.sql.functions._
   */
 object Writers {
 
+  /** Per-table write serialization. Spark's dynamic partition overwrite
+    * commit is NOT atomic across writers (delete-then-rename per
+    * partition): two concurrent jobs overwriting the same partition can
+    * interleave delete/rename and leave a mixed or nested directory —
+    * Spark explicitly does not support concurrent writes to one table.
+    * Within one driver JVM this lock makes "one writer's complete payload
+    * wins" true by construction (the reference gets the same guarantee
+    * from S3 whole-object last-put-wins). ACROSS drivers nothing here can
+    * help: same-source runs must be serialized by the ledger
+    * (`PartitionLedger.isProcessed` + one runner per source, as IngestJob
+    * does) — that is the documented contract, not a suggestion. */
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def serialized[T](path: String)(body: => T): T =
+    writeLocks.computeIfAbsent(path, _ => new Object).synchronized(body)
+
   /** K1: partitioned bronze write. `format` ∈ json/csv/parquet; bronze is
     * text (json/csv) in the reference, parquet from silver on. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
                        format: String = "json"): Unit =
-    df.write
-      .mode(SaveMode.Overwrite)
-      .partitionBy(partitionCol)
-      .format(format)
-      .save(path)
+    serialized(path) {
+      df.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol)
+        .format(format)
+        .save(path)
+    }
 
   /** K1 single-partition form: tag the partition value then dynamic-
     * overwrite — the common `runFor(date)` write. */
@@ -113,7 +131,7 @@ object Writers {
     * (dags/common/s3_utils.py:7-14) from whole-partition replacement to
     * keyed row-level upsert. */
   def upsertByKey(delta: DataFrame, path: String, keyCols: Seq[String],
-                  partitionCol: String): Unit = {
+                  partitionCol: String): Unit = serialized(path) {
     val spark = delta.sparkSession
     val exists = {
       val p = new org.apache.hadoop.fs.Path(path)

@@ -312,11 +312,19 @@ object TextOps {
       .collect().zipWithIndex
       .map { case (r, i) => r.getString(0) -> i }.toMap
     val bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    // null-safe: tokens() propagates a NULL text to a NULL array, and a
+    // Scala UDF receives that as a null Seq — guard it back to null ids
+    // (the same null propagation the previous Catalyst-expression form had)
     val encode = udf { (toks: Seq[String]) =>
-      toks.map(t => bc.value.getOrElse(t, -1))
+      if (toks == null) null else toks.map(t => bc.value.getOrElse(t, -1))
     }
     docs.select(col(idCol).as("id"),
       encode(tokens(col(textCol))).as("ids"))
+    // broadcast lifetime: bc is NOT unpersisted here — the returned plan
+    // is lazy and probes bc at execution, which may be long after this
+    // call returns. The v-row map is freed with the session (same
+    // lifetime contract as Spark's own broadcast joins); repeated re-fits
+    // in one session each ship one bounded v-row map.
   }
 
   def vocabOov(docs: org.apache.spark.sql.DataFrame, idCol: String,

@@ -115,17 +115,65 @@ final class HttpKrEtfConnector(baseUrl: String, numOfRows: Int,
     } finally conn.disconnect()
   }
 
+  /** Count the objects in the top-level `items` array by brace-depth
+    * scan (string-literal aware) — counting occurrences of a field-name
+    * substring would miscount on any other field or value containing it.
+    * Driver-side loop control only; row PARSING stays in the Spark plan. */
+  private[graft] def countItems(body: String): Int = {
+    val at = body.indexOf("\"items\"")
+    if (at < 0) return 0
+    val start = body.indexOf('[', at)
+    if (start < 0) return 0
+    var i = start; var depth = 0; var n = 0
+    var inStr = false; var esc = false
+    while (i < body.length && (depth > 0 || i == start)) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '[' | '{' =>
+          depth += 1
+          if (c == '{' && depth == 2) n += 1 // object directly in the array
+        case ']' | '}' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** Absent or zero totalCount is an ERROR, not quiet termination: the
+    * reference raises on both (tasks.py:58-62 — int(None) for absent, an
+    * explicit raise for 0) — silently keeping a partial fetch would land
+    * an incomplete bronze partition as if complete. */
+  private[graft] def checkTotal(body: String, basDt: String,
+                                pageNo: Int): Int = {
+    val total = """"totalCount"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"kr_etf page $pageNo: no totalCount in response"))
+    if (total == 0) throw new IllegalStateException(
+      s"kr_etf $basDt: totalCount is 0 — no data available")
+    total
+  }
+
   def fetchRaw(logicalDate: String): Seq[String] = {
+    // the real API takes basDt as yyyyMMdd (the reference converts the
+    // dashed logical date at the boundary, tasks.py:34-35) — normalize
+    // here so callers keep the engine-wide dashed convention
+    val basDt = logicalDate.replace("-", "")
     val pages = Seq.newBuilder[String]
     var fetched = 0
     var total = Int.MaxValue
     var pageNo = 1
     while (fetched < total) {
       val body = Retry.withRetries(retries, retryDelayMs)(get(
-        s"$baseUrl?basDt=$logicalDate&pageNo=$pageNo&numOfRows=$numOfRows"))
-      total = """"totalCount"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
-        .map(_.group(1).toInt).getOrElse(0)
-      val rows = """"basDt"""".r.findAllIn(body).length
+        s"$baseUrl?basDt=$basDt&pageNo=$pageNo&numOfRows=$numOfRows"))
+      total = checkTotal(body, basDt, pageNo)
+      val rows = countItems(body)
       pages += body
       fetched += rows
       pageNo += 1

@@ -146,18 +146,25 @@ final class BondsMetaHtmlConnector(fixtureDir: String) extends Connector {
     // BeautifulSoup's .strip(): trim ALL whitespace (incl. newlines) —
     // Spark's trim() only strips spaces
     def strip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
-    val tdPair = "(?s)<td>(.*?)</td>\\s*<td>(.*?)</td>"
+    // real crawled HTML carries attributes (<td class="x">), arbitrary
+    // tag casing (<TD>), and inline markup inside cells (<b>, <a href>) —
+    // match tags attribute-insensitively/case-insensitively and drop any
+    // tags nested in the captured cell content, approximating
+    // BeautifulSoup's get_text(). (Tables nested INSIDE a cell remain out
+    // of contract — the reference pages are single flat tables.)
+    def dropTags(c: Column): Column = regexp_replace(c, "<[^>]+>", "")
+    val tdPair = "(?is)<td[^>]*>(.*?)</td>\\s*<td[^>]*>(.*?)</td>"
     spark.createDataset(raw)
       .select(substring_index($"value", "\t", 1).as("name"),
         expr("substring(value, instr(value, '\t') + 1)").as("html"))
       .withColumn("entries", filter(
         transform(
-          regexp_extract_all($"html", lit("(?s)<tr>(.*?)</tr>"), lit(1)),
+          regexp_extract_all($"html", lit("(?is)<tr[^>]*>(.*?)</tr>"), lit(1)),
           r => struct(
-            lower(regexp_replace(strip(regexp_extract(r, tdPair, 1)),
+            lower(regexp_replace(strip(dropTags(regexp_extract(r, tdPair, 1))),
               " ", "_")).as("k"),
-            strip(regexp_extract(r, tdPair, 2)).as("v"),
-            size(regexp_extract_all(r, lit("<td>"), lit(0))).as("ntd"))),
+            strip(dropTags(regexp_extract(r, tdPair, 2))).as("v"),
+            size(regexp_extract_all(r, lit("(?i)<td[^>]*>"), lit(0))).as("ntd"))),
         e => e("ntd") === 2 && e("v") =!= ""))
       // first-wins fold (reference: parsed.get(header, content)) — a
       // plain map_from_entries would throw/last-win on duplicate keys

@@ -74,15 +74,16 @@ class PropertySpec extends SparkSpec {
   test("concurrent same-partition writers: last writer wins, never a mix (C3)") {
     // SURVEY §7 risk 5: the reference catches up with max_active_runs=5,
     // so two backfill runs CAN overwrite the same ymd concurrently; its
-    // safety comes from S3 last-put-wins on whole objects. The engine's
-    // dynamic partition overwrite gives the analogous guarantee — each
-    // job stages under its own UUID dir and swaps the partition at commit
-    // — so the surviving partition is ONE writer's complete payload,
-    // never an interleaved mix of both. Serialization guidance: runs of
-    // the SAME source should still be serialized (the ledger's
-    // isProcessed gate + one runner per source, as IngestJob does);
-    // this property is the floor that makes a lost race benign, not a
-    // license to race on purpose.
+    // safety comes from S3 last-put-wins on whole objects. Spark's
+    // dynamic-partition-overwrite commit alone does NOT give that
+    // guarantee — it is a non-atomic delete-then-rename per partition, and
+    // two uncoordinated jobs can interleave into a mixed/nested directory.
+    // Writers therefore SERIALIZES same-path writes behind a per-path lock
+    // (one driver JVM — exactly this test's shape), which makes "one
+    // writer's complete payload wins" true by construction here. Across
+    // drivers the lock cannot reach: same-source runs must be serialized
+    // by the ledger (isProcessed gate + one runner per source, as
+    // IngestJob does) — that contract is documented on Writers itself.
     forAll(Gen.choose(1, 999), n = 5) { seed =>
       val dir = java.nio.file.Files.createTempDirectory("graft-race").toString
       val payload = (w: String) =>

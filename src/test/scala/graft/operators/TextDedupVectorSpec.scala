@@ -157,6 +157,14 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Seq((1L, Seq(1, 1, 0, -1)), (2L, Seq(0, 0))))
   }
 
+  test("encodeIds: NULL text encodes to NULL ids, not an NPE") {
+    val docs = Seq((1L, Option("a a")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.encodeIds(docs, "doc_id", "text", 2)
+      .orderBy($"id").as[(Long, Option[Seq[Int]])].collect().toSeq
+    assert(out === Seq((1L, Some(Seq(0, 0))), (2L, None)))
+  }
+
   test("encodeIds: a 100k-entry vocab stays OUT of the serialized plan") {
     // 1000 docs × 100 unique tokens = a 100k-distinct-token corpus — the
     // documented production vocab size. The fitted map must ship as a

@@ -79,6 +79,23 @@ class Connectors2Spec extends SparkSpec {
     assert(parsed.as[(String, Map[String, String])].collect().toSet === expected)
   }
 
+  test("S8 raw HTML: attributes, tag casing, and inline markup still parse") {
+    val c = new BondsMetaHtmlConnector(fixture("bonds_meta_html"))
+    // crawled-in-the-wild shape: attributes on tr/td, upper-case tags,
+    // inline <b>/<a> markup inside cells — none present in the fixture
+    val html = """BOND X\t<table class="t">
+      |<TR class="odd"><TD class="h">Issue Price</TD>
+      |  <td style="x">  <b>99.5</b>  </td></TR>
+      |<tr><td><a href="/i">Coupon</a></td><td>3.125</td></tr>
+      |<tr><td>Empty</td><td>   </td></tr>
+      |<tr><td>OnlyOneCell</td></tr>
+      |</table>""".stripMargin.replace("\\t", "\t")
+    val out = c.toBronze(spark, Seq(html))
+    val attrs = out.head().getAs[Map[String, String]]("attrs")
+    assert(out.head().getAs[String]("name") === "BOND X")
+    assert(attrs === Map("issue_price" -> "99.5", "coupon" -> "3.125"))
+  }
+
   test("S12 raw XML: locdate extraction == JSON block1 holidays, feeds F19") {
     val xmlC = new HolidayXmlConnector(fixture("kr_market_holiday_xml"))
     val dates = xmlC.toBronze(spark, xmlC.fetchRaw("2025"))

@@ -244,6 +244,30 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("S1 HTTP loop control: structural item count; absent/zero totalCount raises") {
+    val c = new HttpKrEtfConnector("http://unused", numOfRows = 2)
+    // structural count is immune to the field name appearing in VALUES,
+    // in other fields, or inside nested objects — a substring count of
+    // "basDt" would report 5 here
+    val body = """{"totalCount": 2, "items": [
+      {"basDt": "20250106", "note": "basDt", "nested": {"basDt": "x"}},
+      {"basDt": "20250106", "quote": "a \"basDt\" [{ inside a string"}
+    ]}"""
+    assert(c.countItems(body) === 2)
+    assert(c.countItems("""{"items": []}""") === 0)
+    assert(c.countItems("""{"no_items_at_all": 1}""") === 0)
+    // reference raises on totalCount==0 and on a missing totalCount
+    // (tasks.py:58-62) — a silent partial fetch must be impossible
+    val zero = intercept[IllegalStateException] {
+      c.checkTotal("""{"totalCount": 0, "items": []}""", "20250106", 1)
+    }
+    assert(zero.getMessage.contains("totalCount is 0"))
+    val absent = intercept[IllegalStateException] {
+      c.checkTotal("""{"items": []}""", "20250106", 1)
+    }
+    assert(absent.getMessage.contains("no totalCount"))
+  }
+
   test("S1 over HTTP: pagination until totalCount, 500-retry, rate limit (C4)") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     // the two fixture pages, served with the reference's loop-control
