@@ -21,15 +21,24 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos (legacy flag) and convert to
-    * TimestampType by integer-dividing to micros — the same truncation
-    * DuckDB applies, so oracle comparisons agree to the microsecond. */
+  /** The driver testdata's `events.ts` is parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects; read it as raw nanos (legacy flag)
+    * and convert to TimestampType by integer-dividing to micros — the same
+    * truncation DuckDB applies, so oracle comparisons agree to the
+    * microsecond. Dispatch on the ACTUAL footer type rather than assuming:
+    * a standard TIMESTAMP(MICROS) events table (e.g. anything DuckDB or
+    * Spark itself wrote, like the sf1 headroom copy) reads through
+    * unchanged — the engine must not require the nanos quirk. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -30,16 +30,20 @@ object Writers {
   private def serialized[T](path: String)(body: => T): T =
     writeLocks.computeIfAbsent(path, _ => new Object).synchronized(body)
 
-  /** K1: partitioned bronze write. `format` ∈ json/csv/parquet; bronze is
-    * text (json/csv) in the reference, parquet from silver on. */
+  /** K1/K2: partitioned bronze write. `format` ∈ json/csv/parquet; bronze
+    * is text (json/csv) in the reference, parquet from silver on. CSV
+    * writes the header row: the reference lands `to_csv(index=False)`
+    * output (yfinance_operator.py:145-146) whose first line is the
+    * column names — Spark's headerless CSV default would re-read as
+    * `_c0…`, silently dropping the schema at the format boundary. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
                        format: String = "json"): Unit =
     serialized(path) {
-      df.write
+      val w = df.write
         .mode(SaveMode.Overwrite)
         .partitionBy(partitionCol)
         .format(format)
-        .save(path)
+      (if (format == "csv") w.option("header", "true") else w).save(path)
     }
 
   /** K1 single-partition form: tag the partition value then dynamic-

@@ -31,6 +31,21 @@ object Schemas {
   val krEtfPayload: StructType = StructType(Seq(
     StructField("items", ArrayType(krEtfItem))))
 
+  /** A1-old: the deprecated KRX web payload's `output` rows
+    * (tasks_deprecated.py:60-92, bld MDCSTAT04301). KRX web JSON carries
+    * display strings (comma thousands separators) — bronze keeps them
+    * verbatim, conformance casts downstream (F1). */
+  val krEtfOldItem: StructType = StructType(Seq(
+    StructField("ISU_SRT_CD", StringType),
+    StructField("ISU_ABBRV", StringType),
+    StructField("TDD_CLSPRC", StringType),
+    StructField("FLUC_RT", StringType),
+    StructField("ACC_TRDVOL", StringType)))
+
+  /** A1-old payload wrapper: `{"output": [...]}` (tasks_deprecated.py:82). */
+  val krEtfOldPayload: StructType = StructType(Seq(
+    StructField("output", ArrayType(krEtfOldItem))))
+
   /** A2: KRX industry codes (dags/brz_industry_code_daily/extractors.py:49-56)
     * + `issue_date` the silver SQL expects (industry_code_glue_job.py:44 —
     * documented reference inconsistency, SURVEY §7 risk 3). */

@@ -132,7 +132,12 @@ object DedupQueries {
   /** Cluster resolution: near-dup pairs (exact Jaccard ≥ 0.5) resolved to
     * connected components — every doc labeled with its cluster's min id
     * (singletons label themselves). Spark: iterative min-label
-    * propagation; oracle: recursive-CTE reachability. */
+    * propagation; oracle: recursive-CTE reachability. Pairs come from the
+    * PPJoin prefix-index generator — property-tested identical output to
+    * the dense kernel (PropertySpec near-dup identity), but Σ(prefix
+    * postings)² instead of Σ block² candidate cost: at the 10× headroom
+    * SF the dense generator alone was ~65× (quadratic), PPJoin stays
+    * near-linear. */
   private val components = Q(
     "dedup_components",
     (s, dir) => {
@@ -140,7 +145,7 @@ object DedupQueries {
       val d = docs(s, dir)
       val withShingles = d
         .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
-      val pairs = DedupOps.jaccardPairsDense(withShingles, "doc_id", "shingles", 0.5)
+      val pairs = DedupOps.jaccardPairs(withShingles, "doc_id", "shingles", 0.5)
       val comps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
       d.select($"doc_id")
         .join(comps, $"doc_id" === $"id", "left")

@@ -808,8 +808,81 @@ object RelationalQueries {
            |      WHERE c_acctbal > 9000))
            |    AS n_against_nullset""".stripMargin))
 
+  // --- Correlated subquery surface beyond q17/NOT-IN ---------------------
+  // Catalyst decorrelates each of these differently: EXISTS → left semi,
+  // NOT EXISTS → left anti, a correlated scalar COUNT in the SELECT list →
+  // left outer + aggregate with the empty-group-is-0 fix (the classic
+  // "COUNT bug" — a naive decorrelation returns NULL for match-less rows).
+  // Oracle twins pin all three against DuckDB's independent decorrelation.
+
+  /** Correlated EXISTS: suppliers with at least one high-quantity
+    * shipment, rolled up per nation — plans as a broadcast/shuffled LEFT
+    * SEMI on s_suppkey (probe side aggregated AFTER the semi join). */
+  private val existsQ = Q(
+    "subq_exists_correlated",
+    (s, dir) => {
+      t(s, dir).supplier.createOrReplaceTempView("supplier_sq")
+      t(s, dir).lineitem.createOrReplaceTempView("lineitem_sq")
+      s.sql("""SELECT s_nationkey, count(*) AS n_suppliers
+              |FROM supplier_sq s
+              |WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+              |              WHERE l.l_suppkey = s.s_suppkey
+              |                AND l.l_quantity > 45)
+              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    },
+    Some("""SELECT s_nationkey, count(*)::BIGINT AS n_suppliers
+           |FROM supplier s
+           |WHERE EXISTS (SELECT 1 FROM lineitem l
+           |              WHERE l.l_suppkey = s.s_suppkey
+           |                AND l.l_quantity > 45)
+           |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+
+  /** Correlated NOT EXISTS: customers with no 1995 order, per segment —
+    * the LEFT ANTI twin of [[existsQ]]. */
+  private val notExistsQ = Q(
+    "subq_not_exists_correlated",
+    (s, dir) => {
+      t(s, dir).customer.createOrReplaceTempView("customer_sq")
+      t(s, dir).orders.createOrReplaceTempView("orders_sq")
+      s.sql("""SELECT c_mktsegment, count(*) AS n_customers
+              |FROM customer_sq c
+              |WHERE NOT EXISTS (SELECT 1 FROM orders_sq o
+              |                  WHERE o.o_custkey = c.c_custkey
+              |                    AND year(o.o_orderdate) = 1995)
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+    Some("""SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+           |FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND year(o.o_orderdate) = 1995)
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** Correlated scalar COUNT subquery in the SELECT list: per-nation
+    * rich-supplier counts INCLUDING nations where the count is zero — the
+    * rows that catch the COUNT bug (decorrelated left outer join must
+    * coalesce the empty group to 0, not NULL; the acctbal cut guarantees
+    * 13+ such empty groups at sf0.01, so a NULL-leaking decorrelation
+    * hash-mismatches instead of passing vacuously). */
+  private val scalarSelectQ = Q(
+    "subq_scalar_select",
+    (s, dir) => {
+      t(s, dir).nation.createOrReplaceTempView("nation_sq")
+      t(s, dir).supplier.createOrReplaceTempView("supplier_sq2")
+      s.sql("""SELECT n_name,
+              |  (SELECT count(*) FROM supplier_sq2 s
+              |   WHERE s.s_nationkey = n.n_nationkey
+              |     AND s.s_acctbal > 8000) AS n_rich_suppliers
+              |FROM nation_sq n ORDER BY n_name""".stripMargin)
+    },
+    Some("""SELECT n_name,
+           |  (SELECT count(*) FROM supplier s
+           |   WHERE s.s_nationkey = n.n_nationkey
+           |     AND s.s_acctbal > 8000)::BIGINT AS n_rich_suppliers
+           |FROM nation n ORDER BY n_name""".stripMargin))
+
   private val all0: Seq[Q] = Seq(
-    q1, q3, q5, s3Lookup, f5, semi, q17,
+    q1, q3, q5, s3Lookup, f5, semi, q17, existsQ, notExistsQ, scalarSelectQ,
     f3, f6, f7, f18, f19,
     f1, f4, pivotQ, f11, f13, f14, f8,
     setExcept, setIntersect, setUnion, topk, topkWindowForm, fullOuter,

@@ -66,7 +66,19 @@ object VectorQueries {
 
   /** Sign-random-projection LSH: 16 deterministic pseudo-hyperplanes,
     * 4 bands × 4 bits; pairs sharing any band bucket are candidates,
-    * verified at cosine ≥ 0.4. The one shuffle is on (band, bucket). */
+    * verified at cosine ≥ 0.4. The one shuffle is on (band, bucket).
+    *
+    * Sizing contract: candidate cost is Σ_buckets n_b² with 2⁴ buckets
+    * per band FIXED — correct only while bucket occupancy N/16 stays
+    * modest. At 10× the bench SF this fixed parameterization measured
+    * ~61× (quadratic, as the math says it must). Deploying at larger N
+    * means growing the signature so occupancy stays bounded: bits ≈
+    * 4·⌈log₂(N/occupancy_target)/4⌉ with bands = bits/4 (rpSignature
+    * takes the bit count; the plan is otherwise unchanged). The fixture
+    * query keeps the 16/4 parameterization because its oracle twin pins
+    * the banding SEMANTICS, not a deployment size; the deployed
+    * embedding near-dup path at scale is pipeline_semdedup_embeddings
+    * (IVF-blocked, near-linear at the headroom SF). */
   private val lsh = Q(
     "sim_lsh_rp",
     (s, dir) => {

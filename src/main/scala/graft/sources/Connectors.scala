@@ -194,6 +194,46 @@ final class HttpKrEtfConnector(baseUrl: String, numOfRows: Int,
   }
 }
 
+/** S21: the DEPRECATED bounded ETF fetch — the pre-API KRX web endpoint
+  * (tasks_deprecated.py:60-92): one POST per trade date (bld
+  * `MDCSTAT04301`, `trdDd=yyyymmdd`, NO pagination — a distinct payload
+  * shape from [[KrEtfConnector]]'s paginated items), the whole
+  * `{"output": [...]}` object landed as one bronze file; a missing or
+  * empty `output` RAISES rather than landing a hollow object
+  * (tasks_deprecated.py:84-87). The reference DAG is hard-bounded at
+  * `end_date=2019-12-31` (brz_kr_etf_daily_deprecated.py:31) —
+  * [[KrEtfOldConnector.boundedRange]] clips any requested backfill to
+  * that bound BEFORE the ledger-resumable `runRange`. */
+final class KrEtfOldConnector(fixtureDir: String) extends Connector {
+  val name = "kr_etf_old"
+  def fetchRaw(logicalDate: String): Seq[String] = {
+    val f = new java.io.File(s"$fixtureDir/ymd=$logicalDate/data.json")
+    if (!f.exists) Seq.empty
+    else {
+      val body = java.nio.file.Files.readString(f.toPath)
+      // loop-control peek only (row parsing stays in toBronze's plan):
+      // an object must exist directly inside the output array
+      if (""""output"\s*:\s*\[\s*\{""".r.findFirstIn(body).isEmpty)
+        throw new IllegalStateException(
+          s"kr_etf_old $logicalDate: 'output' is missing or empty")
+      Seq(body)
+    }
+  }
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
+    import spark.implicits._
+    Parse.jsonObject(spark, raw, Schemas.krEtfOldPayload)
+      .select(explode($"output").as("r")).select("r.*")
+  }
+}
+
+object KrEtfOldConnector {
+  /** The deprecated DAG's schedule bound (brz_kr_etf_daily_deprecated
+    * .py:31): no logical date past this is ever fetched. */
+  val EndDate = "2019-12-31"
+  def boundedRange(dates: Seq[String]): Seq[String] =
+    dates.filter(_ <= EndDate)
+}
+
 /** S9: KRX industry codes — flattened records (extractors.py:43-56);
   * fixture = one JSON-array file per date. */
 final class KrxCodesConnector(fixtureDir: String) extends Connector {

@@ -20,6 +20,39 @@ class Connectors2Spec extends SparkSpec {
     assert(missing === Array("035720.KS"))
   }
 
+  test("K2 CSV sink: golden round-trip — header, quoting, schema survive the format") {
+    val c = new YFinanceConnector(fixture("kr_stock"), "kr_stock")
+    val bronze = c.toBronze(spark, c.fetchRaw("2025-01-06"))
+    val root = Files.createTempDirectory("graft-k2").toString + "/t"
+    graft.io.Writers.writeForDate(bronze, root, "2025-01-06", "csv")
+    // golden content check: every part file leads with the header row
+    // (to_csv(index=False) semantics, yfinance_operator.py:145-146), and
+    // the union of data lines is byte-identical to the committed golden —
+    // this is what catches quoting/header/null-encoding drift in the CSV
+    // sink that a schema-carrying parquet round-trip never would
+    val golden = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/yfinance_bronze_k2.csv"))
+      .getLines().toSeq
+    val partFiles = new java.io.File(s"$root/ymd=2025-01-06").listFiles()
+      .filter(_.getName.endsWith(".csv")).toSeq
+    assert(partFiles.nonEmpty)
+    val perFile = partFiles.map { f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq }
+    perFile.filter(_.nonEmpty).foreach(ls => assert(ls.head === golden.head,
+      "every CSV part must lead with the reference header row"))
+    assert(perFile.flatMap(_.drop(1)).sorted === golden.drop(1).sorted)
+    // schema round-trip: header + declared schema re-read reproduces the
+    // bronze frame exactly (names, types, values — including the
+    // all-null-Close ticker surviving as nulls, not empty strings)
+    val back = spark.read.schema(graft.model.Schemas.yfinanceLong)
+      .option("header", "true").csv(s"$root/ymd=2025-01-06")
+    assert(back.schema === bronze.schema)
+    assert(back.collect().toSet === bronze.collect().toSet)
+    // headers are real: a schema-less read still yields the column names
+    assert(spark.read.option("header", "true").csv(s"$root/ymd=2025-01-06")
+      .columns.toSeq === bronze.columns.toSeq)
+  }
+
   test("S4 BOK: row batches flatten one level (F10)") {
     val c = new BokStatConnector(fixture("economic_indicators"))
     val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))

@@ -349,6 +349,47 @@ class JobsSpec extends SparkSpec {
     assert(job.runFor("2025-01-07") === Skipped("no payload for 2025-01-07"))
   }
 
+  test("S21 kr_etf_old: distinct output payload parses; empty output raises") {
+    val c = new KrEtfOldConnector(fixture("kr_etf_old"))
+    // the deprecated payload shape: {"output": [...]} — not items/pages
+    val df = c.toBronze(spark, c.fetchRaw("2019-12-30"))
+    assert(df.count() === 2)
+    assert(df.schema === Schemas.krEtfOldItem)
+    // KRX web display strings land verbatim at bronze
+    assert(df.filter(col("ISU_SRT_CD") === "069500")
+      .select(col("TDD_CLSPRC")).head().getString(0) === "29,470")
+    // reference raises on missing/empty output (tasks_deprecated.py:84-87)
+    val e = intercept[IllegalStateException](c.fetchRaw("2019-12-26"))
+    assert(e.getMessage.contains("'output' is missing or empty"))
+    // absent fixture date = nothing landed, plain empty (no-payload skip)
+    assert(c.fetchRaw("2019-12-25").isEmpty)
+  }
+
+  test("S21: end_date-bounded backfill rides runRange, ledger-resumable") {
+    val layout = freshLayout()
+    val ledger = new PartitionLedger(layout.root + "/ledger.tsv")
+    val job = new IngestJob(spark, layout,
+      new KrEtfOldConnector(fixture("kr_etf_old")), ledger)
+    // a caller naively backfilling across the deprecation boundary: the
+    // bound clips every date past 2019-12-31 BEFORE any fetch
+    val asked = Seq("2019-12-27", "2019-12-30", "2019-12-31",
+      "2020-01-02", "2020-01-03")
+    val bounded = KrEtfOldConnector.boundedRange(asked)
+    assert(bounded === Seq("2019-12-27", "2019-12-30", "2019-12-31"))
+    val r1 = job.runRange(bounded)
+    assert(r1("2019-12-27") === Ran)
+    assert(r1("2019-12-30") === Ran)
+    assert(r1("2019-12-31") === Skipped("no payload for 2019-12-31"))
+    // resume: processed dates drop out of the frontier entirely
+    val r2 = job.runRange(bounded)
+    assert(!r2.contains("2019-12-27") && !r2.contains("2019-12-30"))
+    // landed bronze holds both days' rows under their ymd partitions
+    val bronze = spark.read.schema(Schemas.krEtfOldItem.add("ymd", "string"))
+      .json(layout.source("bronze", "kr_etf_old"))
+    assert(bronze.filter(col("ymd") === "2019-12-30").count() === 2)
+    assert(bronze.filter(col("ymd") === "2019-12-27").count() === 1)
+  }
+
   test("S21/C3: bounded-range backfill is ledger-resumable") {
     val layout = freshLayout()
     val ledger = new PartitionLedger(layout.root + "/ledger.tsv")
