@@ -27,12 +27,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A query that throws must surface in the artifact, not just stderr: a
+    // fast failure is indistinguishable from a fast plan in the timings map
+    // (an sf1 run once reported 0.06 s "wins" that were schema errors).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.next().take(200) }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop blocks pinned by lineage cuts (localCheckpoint) so storage
       // pressure from one query can't bleed into the next — without this,
@@ -60,7 +66,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errJson =
+      if (errors.isEmpty) ""
+      else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs$errJson,"sf":"$sfDir"}"""
     println(line)
     // driver output tails can truncate the per-query map on long registries;
     // also persist the full line as a tracked artifact so every round's

@@ -28,7 +28,12 @@ final case class Tables(spark: SparkSession, dir: String) {
     * microsecond. Dispatch on the ACTUAL footer type rather than assuming:
     * a standard TIMESTAMP(MICROS) events table (e.g. anything DuckDB or
     * Spark itself wrote, like the sf1 headroom copy) reads through
-    * unchanged — the engine must not require the nanos quirk. */
+    * unchanged — the engine must not require the nanos quirk. A tz-less
+    * writer (DuckDB TIMESTAMP is NTZ) surfaces TIMESTAMP_NTZ, which the
+    * timestamp functions downstream (`unix_micros`, range frames) reject;
+    * normalize to TimestampType — the session tz is pinned UTC at every
+    * entry point, so the NTZ→instant cast is exact, not wall-clock
+    * guesswork. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t("events")
@@ -37,6 +42,9 @@ final case class Tables(spark: SparkSession, dir: String) {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => df
     }
   }

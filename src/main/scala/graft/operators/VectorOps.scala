@@ -71,6 +71,18 @@ object VectorOps {
   def rpSignature(vec: Column, planes: Int): Column =
     graft.functions.RpSignature(vec, planes)
 
+  /** Self-sizing RP-LSH parameterization: (bandBits, bands) for corpus
+    * size `n` at a bucket-occupancy target. Band width r grows with
+    * log₂(n/occupancy) so Σ n_b² ≈ bands·n·occupancy stays LINEAR in n;
+    * bands fill the remaining signature budget (≤ 63 bits so the packed
+    * signature stays a positive long). */
+  def lshAutoParams(n: Long, occupancy: Int = 64): (Int, Int) = {
+    require(n > 0 && occupancy > 0)
+    val r = math.max(2, math.min(12,
+      math.ceil(math.log(n.toDouble / occupancy) / math.log(2.0)).toInt))
+    (r, math.min(8, 63 / r))
+  }
+
   /** Symmetric int8 quantization of an embedding: scale = 127/max|x|
     * per vector; returns struct(codes array<int> in [-127,127], scale).
     * 4× smaller at rest than float32 — the storage posture for 100 TB of

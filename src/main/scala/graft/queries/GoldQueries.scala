@@ -365,8 +365,17 @@ object GoldQueries {
   /** Rolling 20-day correlation of each user's daily close against the
     * equal-weight market average — the beta-screen shape. Market series is
     * a tiny per-date aggregate broadcast back in (6dp-prerounded so both
-    * engines correlate identical inputs); corr runs as a bounded
-    * ROWS-frame window aggregate, one shuffle on the key. */
+    * engines correlate identical inputs); the correlation runs as bounded
+    * ROWS-frame window aggregates, one shuffle on the key.
+    *
+    * Written as `try_divide(covar_samp, σx·σy)` rather than `corr`: under
+    * ANSI mode Spark's Corr THROWS DIVIDE_BY_ZERO the moment one frame has
+    * zero variance (a user whose close is flat for 20 days — absent at the
+    * oracle SFs, present at the sf1 headroom SF), while DuckDB's corr
+    * yields NULL for those frames AND for single-row frames. try_divide
+    * reproduces exactly that: covar_samp is 0 with a 0 divisor → NULL, and
+    * n=1 makes the sample stddevs NULL → NULL. The three aggregates share
+    * one frame, so WindowExec still evaluates them in a single pass. */
   private val rollingCorr = Q(
     "gold_rolling_corr",
     (s, dir) => {
@@ -381,7 +390,9 @@ object GoldQueries {
       val w = Window.partitionBy($"user_id").orderBy($"date")
         .rowsBetween(-19, Window.currentRow)
       daily.join(broadcast(market), "date")
-        .withColumn("corr20", corr($"close", $"mkt").over(w))
+        .withColumn("corr20", try_divide(
+          covar_samp($"close", $"mkt").over(w),
+          stddev_samp($"close").over(w) * stddev_samp($"mkt").over(w)))
         .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
           round($"close", 2).as("close"), round($"corr20", 6).as("corr20"))
         .orderBy($"user_id", $"date")

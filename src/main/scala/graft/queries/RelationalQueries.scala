@@ -881,8 +881,36 @@ object RelationalQueries {
            |     AND s.s_acctbal > 8000)::BIGINT AS n_rich_suppliers
            |FROM nation n ORDER BY n_name""".stripMargin))
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — top-2 suppliers
+    * per nation. A distinct decorrelation path from EXISTS/scalar: the
+    * correlated LIMIT cannot become a plain join predicate, so Catalyst
+    * plans a `LateralJoin` that it rewrites through
+    * `DecorrelateInnerQuery` into a window/rank form — the same plan a
+    * hand-written row_number() top-N would produce, arrived at from SQL a
+    * warehouse user actually writes. Nations with no suppliers drop out
+    * (inner lateral semantics), pinned by the oracle twin. */
+  private val lateralTopN = Q(
+    "subq_lateral_topn",
+    (s, dir) => {
+      t(s, dir).nation.createOrReplaceTempView("nation_sq")
+      t(s, dir).supplier.createOrReplaceTempView("supplier_sq2")
+      s.sql("""SELECT n.n_name, t.s_name, t.s_acctbal
+              |FROM nation_sq n,
+              |LATERAL (SELECT s_name, s_acctbal FROM supplier_sq2 s
+              |         WHERE s.s_nationkey = n.n_nationkey
+              |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+              |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+    },
+    Some("""SELECT n_name, s_name, s_acctbal
+           |FROM nation n,
+           |LATERAL (SELECT s_name, s_acctbal FROM supplier s
+           |         WHERE s.s_nationkey = n.n_nationkey
+           |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+           |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin))
+
   private val all0: Seq[Q] = Seq(
     q1, q3, q5, s3Lookup, f5, semi, q17, existsQ, notExistsQ, scalarSelectQ,
+    lateralTopN,
     f3, f6, f7, f18, f19,
     f1, f4, pivotQ, f11, f13, f14, f8,
     setExcept, setIntersect, setUnion, topk, topkWindowForm, fullOuter,

@@ -122,6 +122,72 @@ object VectorQueries {
             |WHERE round(${dcos("ea.v", "eb.v")}, 6) >= 0.4
             |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Self-sizing RP-LSH — the DEPLOYED form of the banding contract the
+    * fixed-width `sim_lsh_rp` documents. Band width grows with corpus
+    * size so bucket occupancy stays bounded:
+    *
+    *   r     = clamp(⌈log₂(N / 64)⌉, 2, 12)   // 64 = occupancy target
+    *   bands = min(8, 63 / r)                  // signature fits one long
+    *
+    * Candidate cost is Σ_bands Σ_buckets n_b² ≈ bands · N · occupancy —
+    * LINEAR in N for a fixed occupancy target, vs the fixture query's
+    * fixed 16 buckets/band whose Σ n_b² is quadratic (measured ×46 at
+    * the 10× headroom SF; this variant measures in the linear band).
+    * Wider bands trade recall for that bound — the standard LSH dial;
+    * the engine's highest-recall near-dup path at scale remains
+    * IVF-blocked semdedup (`pipeline_semdedup_embeddings`).
+    *
+    * The corpus count is ONE scalar aggregate collected to size the plan
+    * (bounded by construction, like the other documented driver scalars);
+    * hyperplanes are the same deterministic integer hash as `sim_lsh_rp`,
+    * so the DuckDB twin recomputes the identical parameterization from
+    * its own count(*) and the outputs match bit-for-bit. */
+  private val lshAuto = Q(
+    "sim_lsh_rp_auto",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).select($"vec_id",
+        VectorOps.toDouble($"embedding").as("v"))
+        .withColumn("nrm", VectorOps.norm($"v"))
+      val (r, bands) = VectorOps.lshAutoParams(e.count(), occupancy = 64)
+      val signed = e.withColumn("sig", VectorOps.rpSignature($"v", r * bands))
+      val banded = signed.select($"vec_id",
+        posexplode(array((0 until bands).map(b =>
+          pmod(shiftright($"sig", r * b), lit(1L << r))): _*)))
+        .select($"vec_id", $"pos".as("band"), $"col".as("bucket"))
+      banded.as("l").join(banded.as("r"),
+          $"l.band" === $"r.band" && $"l.bucket" === $"r.bucket" &&
+            $"l.vec_id" < $"r.vec_id")
+        .select($"l.vec_id".as("id_a"), $"r.vec_id".as("id_b"))
+        .distinct()
+        .join(e.select($"vec_id".as("id_a"), $"v".as("v_a"), $"nrm".as("n_a")), "id_a")
+        .join(e.select($"vec_id".as("id_b"), $"v".as("v_b"), $"nrm".as("n_b")), "id_b")
+        .select($"id_a", $"id_b", round(
+          VectorOps.cosinePrenormed($"v_a", $"v_b", $"n_a", $"n_b"), 6).as("cos"))
+        .filter($"cos" >= 0.4)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+            |p AS (SELECT GREATEST(2, LEAST(12, CEIL(LOG2(count(*) / 64.0))::INT)) r,
+            |             LEAST(8, 63 // GREATEST(2, LEAST(12, CEIL(LOG2(count(*) / 64.0))::INT))) bands
+            |      FROM e),
+            |sig AS (SELECT vec_id, v,
+            |  list_sum([CASE WHEN list_sum([v[j+1]*((((i*31 + j*17) % 13) - 6)::DOUBLE)
+            |                               FOR j IN generate_series(0, len(v)-1)]) > 0
+            |                 THEN (2**i)::BIGINT ELSE 0 END
+            |            FOR i IN generate_series(0, p.r*p.bands - 1)]) sig
+            |  FROM e, p),
+            |bx AS (SELECT vec_id, sig, unnest(range(0, p.bands)) band, p.r r FROM sig, p),
+            |banded AS (SELECT vec_id, band,
+            |             (sig // (2**(r*band))::BIGINT) % (2**r)::BIGINT bucket FROM bx),
+            |cand AS (SELECT DISTINCT l.vec_id a, r.vec_id b
+            |         FROM banded l JOIN banded r
+            |           ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+            |SELECT a id_a, b id_b, round(${dcos("ea.v", "eb.v")}, 6) cos
+            |FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+            |WHERE round(${dcos("ea.v", "eb.v")}, 6) >= 0.4
+            |ORDER BY id_a, id_b""".stripMargin))
+
   /** IVF-style partition assignment: first 8 vectors act as centroids;
     * every vector goes to its max-cosine centroid. */
   private val ivf = Q(
@@ -203,5 +269,5 @@ object VectorQueries {
            |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
            |FROM generate_series(0, 7) t(i) ORDER BY cluster""".stripMargin))
 
-  def all: Seq[Q] = Seq(topk, pairs, lsh, ivf, ivfTopk, kmeans)
+  def all: Seq[Q] = Seq(topk, pairs, lsh, lshAuto, ivf, ivfTopk, kmeans)
 }

@@ -425,6 +425,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall") // probe 3/8 lists
   }
 
+  test("lshAutoParams: occupancy-bounded widths, signature fits a long") {
+    // fixture corpora: the exact parameterizations the oracle twin derives
+    assert(VectorOps.lshAutoParams(500) === ((3, 8)))
+    assert(VectorOps.lshAutoParams(2000) === ((5, 8)))
+    assert(VectorOps.lshAutoParams(20000) === ((9, 7)))
+    // invariants across 9 orders of magnitude
+    for (n <- Seq(1L, 100L, 10000L, 1000000L, 100000000L, 1000000000L)) {
+      val (r, bands) = VectorOps.lshAutoParams(n)
+      assert(r >= 2 && r <= 12 && bands >= 1 && r * bands <= 63, s"n=$n")
+    }
+    // monotone: more corpus never narrows a band
+    val widths = Seq(100L, 1000L, 10000L, 100000L, 1000000L)
+      .map(VectorOps.lshAutoParams(_)._1)
+    assert(widths === widths.sorted)
+  }
+
+  test("sim_lsh_rp_auto output is a subset of the exact cosine pairs") {
+    // every emitted pair is candidate-generated then VERIFIED at the same
+    // threshold as the exact all-pairs baseline, so auto ⊆ exact always
+    // (recall varies with banding; precision is 1 by construction)
+    val dir = graft.TestSpark.sfDir
+    val auto = graft.queries.VectorQueries.all.find(_.name == "sim_lsh_rp_auto").get
+      .run(spark, dir).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = graft.queries.VectorQueries.all.find(_.name == "sim_cosine_pairs").get
+      .run(spark, dir).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.nonEmpty, "banding produced zero verified pairs at fixture SF")
+    assert(auto.subsetOf(exact))
+  }
+
   test("int8 quantization: 4x smaller codes, dequantized cosine within 1%") {
     val e = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
       .select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
