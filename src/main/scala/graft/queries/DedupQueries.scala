@@ -133,11 +133,12 @@ object DedupQueries {
     * connected components — every doc labeled with its cluster's min id
     * (singletons label themselves). Spark: iterative min-label
     * propagation; oracle: recursive-CTE reachability. Pairs come from the
-    * PPJoin prefix-index generator — property-tested identical output to
-    * the dense kernel (PropertySpec near-dup identity), but Σ(prefix
-    * postings)² instead of Σ block² candidate cost: at the 10× headroom
-    * SF the dense generator alone was ~65× (quadratic), PPJoin stays
-    * near-linear. */
+    * COST-BASED generator ([[DedupOps.jaccardPairsAuto]]): below the
+    * measured ~10k-doc crossover the dense merge kernel wins on
+    * constants; above it the PPJoin prefix index wins on candidate
+    * growth (at the 10× headroom SF the dense generator alone was ~65×,
+    * PPJoin near-linear). Both forms are property-tested identical, so
+    * the choice never changes the answer — only the plan. */
   private val components = Q(
     "dedup_components",
     (s, dir) => {
@@ -145,7 +146,7 @@ object DedupQueries {
       val d = docs(s, dir)
       val withShingles = d
         .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
-      val pairs = DedupOps.jaccardPairs(withShingles, "doc_id", "shingles", 0.5)
+      val pairs = DedupOps.jaccardPairsAuto(withShingles, "doc_id", "shingles", 0.5)
       val comps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
       d.select($"doc_id")
         .join(comps, $"doc_id" === $"id", "left")

@@ -136,6 +136,13 @@ class PropertySpec extends SparkSpec {
           .invertedIndexPairs(df, "doc_id", "sh")
           .as[(Long, Long)].collect().toSet
         assert(dense.forall { case (a, b, _) => inverted.contains((a, b)) })
+        // the cost-based picker is branch-invariant: forcing either side
+        // of the cutoff changes the plan, never the answer
+        val autoDense = pairs(graft.operators.DedupOps
+          .jaccardPairsAuto(df, "doc_id", "sh", t, denseCutoff = Long.MaxValue))
+        val autoPp = pairs(graft.operators.DedupOps
+          .jaccardPairsAuto(df, "doc_id", "sh", t, denseCutoff = 0L))
+        assert(autoDense === dense && autoPp === dense)
       }
     }
   }
