@@ -217,6 +217,95 @@ object DedupOps {
       jaccardPairsDense(docs, idCol, setCol, threshold)
     else jaccardPairs(docs, idCol, setCol, threshold)
 
+  /** Exact substring-level duplication profile (the suffix-array-style
+    * dedup signal of RefinedWeb/Lee et al. 2022, re-expressed relationally
+    * over rolling k-token windows): every doc emits its overlapping
+    * k-token windows at `stride`; a window occurring ≥2 times ANYWHERE in
+    * the corpus (cross-doc or a within-doc repeat) is a duplicated span.
+    * Returns per doc (id, n_windows, n_dup_windows, dup_frac) — the
+    * remove-or-keep policy (drop spans vs drop docs over a dup_frac cut)
+    * composes downstream. Docs shorter than k tokens have no windows and
+    * drop out, matching the oracle.
+    *
+    * Scale: one explode (N·L/stride rows), one hash-shuffle groupBy on the
+    * window, one equi-join back on the same key (AQE reuses the
+    * partitioning), one final groupBy id — never a pair join, so corpus
+    * growth is linear. At 100 TB you would group on xxhash64(win) instead
+    * of the window text to cut shuffle bytes ~10×; the text key is kept
+    * here so the DuckDB twin pins the window arithmetic exactly
+    * (collision-free by construction). */
+  def substringDupProfile(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, stride: Int = 1): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    // guard size>=k BEFORE sequence(): Spark's sequence(0, negative)
+    // infers step -1 and would fabricate windows for short docs
+    val wins = docs
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("id"), explode(transform(
+        sequence(lit(0),
+          floor((size(col("toks")) - k).cast("double") / stride).cast("int")),
+        i => array_join(slice(col("toks"), i * lit(stride) + 1, lit(k)), " ")))
+        .as("win"))
+    val occ = wins.groupBy(col("win")).agg(count(lit(1)).as("n_occ"))
+    wins.join(occ, "win")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_windows"),
+        sum(when(col("n_occ") >= 2, 1).otherwise(0)).cast("int")
+          .as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
+  /** Asymmetric containment join: C(A→B) = |A∩B| / |A| — finds docs
+    * largely CONTAINED in another (quotes, page-of-site supersets,
+    * boilerplate wrappers) that symmetric Jaccard misses: a 20-shingle doc
+    * fully quoted inside a 500-shingle doc has J ≈ 0.04 but C = 1.0.
+    * Emits each unordered pair once with both directions' containment,
+    * kept when either direction ≥ `threshold`.
+    *
+    * Exact, via a one-sided prefix filter: max(C(A→B), C(B→A)) ≥ t needs
+    * overlap ≥ ⌈t·min(|A|,|B|)⌉, and overlap ≥ ⌈t·|A|⌉ forces A to share a
+    * token within its `|A| − ⌈t·|A|⌉ + 1` RAREST tokens (same theorem as
+    * [[jaccardPairs]], applied to the contained side only — there is no
+    * length-compatibility window here, tiny-inside-huge is the point). So
+    * candidates are prefix(contained side) ⋈ full postings(container
+    * side): hot tokens still index the container side but pair only with
+    * rare-prefix rows, keeping candidates Σ df_prefix·df ≪ Σ df² — the
+    * scale form. Verification runs the codegen'd sorted-merge kernel on
+    * candidates only. */
+  def containmentPairs(docs: DataFrame, idCol: String, setCol: String,
+                       threshold: Double): DataFrame = {
+    val eps = 1e-9
+    val sets = encodedSets(docs, idCol, setCol)
+    val posting = sets.select(col("id"), col("sz"), explode(col("s")).as("h"))
+    val freq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixLen = col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefixes = posting.join(freq, "h")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen)
+      .select(col("id"), col("h"))
+    val candidates = prefixes.as("l").join(posting.as("r"),
+        col("l.h") === col("r.h") && col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("s").as("s_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("s").as("s_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("common", graft.functions.SortedLongOverlapCount(
+        col("s_a"), col("s_b")).cast("double"))
+      // filter on the UNROUNDED ratios (same convention as jaccardPairs)
+      .filter(greatest(col("common") / col("sz_a"),
+        col("common") / col("sz_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("common") / col("sz_a"), 6).as("containment_ab"),
+        round(col("common") / col("sz_b"), 6).as("containment_ba"))
+  }
+
   /** MinHash signature: k permutation-min values over the shingle set.
     * Permutation i is `(a_i·hash32(s) + b_i) mod p` with p prime > 2^32;
     * coefficients derive deterministically from i so the oracle can

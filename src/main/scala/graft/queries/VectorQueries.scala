@@ -188,6 +188,43 @@ object VectorQueries {
             |WHERE round(${dcos("ea.v", "eb.v")}, 6) >= 0.4
             |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Top-k search over int8-QUANTIZED embeddings — the 100 TB storage
+    * posture exercised end-to-end: symmetric per-vector quantization
+    * (`quantizeInt8`: scale = max|x|/127, codes in [-127,127] — 4×
+    * smaller at rest than float32), dequantize, then the same
+    * deterministic rank/tie-break cut as `sim_topk_bruteforce`. The twin
+    * re-derives the identical codes in SQL, so this pins the
+    * quantization arithmetic (round-half-away ties, zero-vector scale=1
+    * guard) — not just "ANN still mostly works": any code differing by
+    * ±1 anywhere shifts a 6dp cosine and hash-fails. Comparing against
+    * `sim_topk_bruteforce` shows the recall cost of int8 at rest. */
+  private val quantTopk = Q(
+    "sim_quantized_topk",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).select($"vec_id", VectorOps.dequantize(
+        VectorOps.quantizeInt8(VectorOps.toDouble($"embedding"))).as("dv"))
+      VectorOps.topKNeighbors(e.filter($"vec_id" < 5), e, "vec_id", "dv", 10)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+            |sc AS (SELECT vec_id, v,
+            |         CASE WHEN list_max([abs(x) FOR x IN v]) > 0
+            |              THEN list_max([abs(x) FOR x IN v])/127.0
+            |              ELSE 1.0 END AS scale
+            |       FROM e),
+            |dq AS (SELECT vec_id,
+            |         [round(x/scale)::INT * scale FOR x IN v] AS dv FROM sc),
+            |scored AS (
+            |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
+            |         round(${dcos("q.dv", "c.dv")}, 6) cos
+            |  FROM dq q JOIN dq c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+            |SELECT query_id, rank, neighbor_id, cos FROM (
+            |  SELECT *, (row_number() OVER
+            |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id))::INT rank
+            |  FROM scored)
+            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
   /** IVF-style partition assignment: first 8 vectors act as centroids;
     * every vector goes to its max-cosine centroid. */
   private val ivf = Q(
@@ -269,5 +306,5 @@ object VectorQueries {
            |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
            |FROM generate_series(0, 7) t(i) ORDER BY cluster""".stripMargin))
 
-  def all: Seq[Q] = Seq(topk, pairs, lsh, lshAuto, ivf, ivfTopk, kmeans)
+  def all: Seq[Q] = Seq(topk, pairs, lsh, lshAuto, quantTopk, ivf, ivfTopk, kmeans)
 }

@@ -120,6 +120,92 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** A candidate near-dup pair surfaced by [[lshCandidatesStream]]:
+    * (band, bucket) names the colliding LSH bucket, ids are ordered. */
+  case class StreamCandPair(band: Int, bucket: String, id_a: Long, id_b: Long)
+
+  /** Per-bucket LSH state: member ids + the max event time seen, which
+    * anchors the TTL (the watermark at update time lags the data — on the
+    * first batch it is epoch 0, so a watermark-anchored timeout would
+    * expire the moment the real watermark appears). */
+  case class BucketState(ids: Array[Long], lastMs: Long)
+
+  /** Streaming NEAR-dup candidate generation — the batch MinHash+LSH
+    * banding (`DedupOps.lshCandidatePairs`) as an incremental stream for
+    * a document feed. Per arriving doc: shingle → minhash signature →
+    * one (band, bucket) key per band (same comma-joined band-slice
+    * bucket encoding as the batch form, so a stream restart can warm its
+    * state from a batch backfill); per (band, bucket) group a
+    * `flatMapGroupsWithState` keeps the ids seen so far and emits one
+    * candidate row per (new doc × already-seen member). State per bucket
+    * is an id array BOUNDED by the event-time watermark: buckets idle
+    * past `stateTtlMs` time out and are reclaimed, which is the streaming
+    * analog of the batch job's corpus scope (a candidate pairs only with
+    * docs inside the TTL horizon — the dedup-against-recent-history
+    * contract).
+    *
+    * Semantics vs batch: the batch form ends in `.distinct()` across
+    * bands; a stream cannot retract, so pairs here surface AT LEAST once
+    * (once per colliding band) and downstream must treat candidates as a
+    * set — exactly what the verify step (exact Jaccard ≥ t on the full
+    * sets) or an idempotent foreachBatch merge already does. Within one
+    * invocation rows fold in id order, so output is deterministic for a
+    * given micro-batch partitioning. The skew-blocking of the batch form
+    * is unnecessary here: a hot bucket's work arrives spread over time
+    * instead of as one |bucket|² task. */
+  def lshCandidatesStream(docs: DataFrame, idCol: String, textCol: String,
+                          tsCol: String, shingleN: Int = 2, k: Int = 16,
+                          bands: Int = 4, rowsPerBand: Int = 4,
+                          watermark: String = "10 minutes",
+                          stateTtlMs: Long = 3600000L): Dataset[StreamCandPair] = {
+    import docs.sparkSession.implicits._
+    require(bands * rowsPerBand <= k, s"bands*rowsPerBand must be <= k=$k")
+    val sig = graft.operators.DedupOps.minhashSignature(
+      graft.operators.TextOps.shingles(col(textCol), shingleN), k)
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"), sig.as("sig"))
+      .select(col("id"), col("ts"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("id"), col("ts"), col("pos").cast("int").as("band"),
+        concat_ws(",", col("col").cast("array<string>")).as("bucket"))
+      .as[(Long, Timestamp, Int, String)]
+    banded
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[BucketState, StreamCandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), rows: Iterator[(Long, Timestamp, Int, String)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var lastMs = 0L
+            state.getOption.foreach { st => seen ++= st.ids; lastMs = st.lastMs }
+            val batch = rows.toSeq
+            lastMs = (lastMs +: batch.map(_._2.getTime)).max
+            val out = Seq.newBuilder[StreamCandPair]
+            // fold in id order so emission is deterministic per batch
+            for (id <- batch.map(_._1).distinct.sorted
+                 if !seen.contains(id)) {
+              for (other <- seen)
+                out += StreamCandPair(key._1, key._2,
+                  math.min(id, other), math.max(id, other))
+              seen += id
+            }
+            state.update(BucketState(seen.toArray, lastMs))
+            // reclaim the bucket TTL past its newest member's event time
+            // (anchoring to the watermark instead would use epoch 0 on the
+            // first batch and evict everything at the next watermark
+            // advance); the max() keeps the mandatory timeout > watermark
+            // invariant when the bucket's data is already older than TTL
+            state.setTimeoutTimestamp(math.max(lastMs + stateTtlMs,
+              state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: each left event joins right events of
     * the same key within `[left.ts − lookback, left.ts]`. Watermarks on
     * BOTH sides bound the join state (right rows older than the watermark

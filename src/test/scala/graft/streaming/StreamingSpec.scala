@@ -93,6 +93,68 @@ class StreamingSpec extends SparkSpec {
     assert(out === Array(1L, 3L))
   }
 
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+  test("streaming LSH candidates == batch banding on the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // fixture docs (non-trivial shingle sets), synthetic arrival times
+    val docs = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .filter(size(split($"text", "\\s+")) >= 5)
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(30)
+    val t0 = ts("2024-01-01 10:00:00").getTime
+    val rows = docs.zipWithIndex.map { case ((id, text), i) =>
+      Doc(id, text, new Timestamp(t0 + i * 1000L)) }
+    val input = MemoryStream[Doc]
+    val q = lshCandidatesStream(input.toDF(), "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("lsh_cand_out")
+      .outputMode(OutputMode.Append).start()
+    // three micro-batches — candidate pairs must not depend on batching
+    rows.grouped(10).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("lsh_cand_out")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val signed = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .join(rows.map(_.doc_id).toSeq.toDF("doc_id"), "doc_id")
+      .select($"doc_id".as("id"), graft.operators.DedupOps.minhashSignature(
+        graft.operators.TextOps.shingles($"text", 2), 16).as("sig"))
+    val batch = graft.operators.DedupOps
+      .lshCandidatePairs(signed, "id", "sig", 4, 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(streamed === batch,
+      s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
+  test("streaming LSH bucket state is reclaimed after the TTL horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = lshCandidatesStream(input.toDF(), "doc_id", "text", "ts",
+        watermark = "1 minute", stateTtlMs = 60 * 60 * 1000L)
+      .writeStream.format("memory").queryName("lsh_ttl_out")
+      .outputMode(OutputMode.Append).start()
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    // doc 1 seeds its buckets at 10:00
+    input.addData(Doc(1, text, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // identical doc 2 inside the TTL horizon pairs with doc 1
+    input.addData(Doc(2, text, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // advance the watermark far past TTL (unrelated bucket), let the
+    // timeout fire in its own batch, then probe with identical doc 4
+    input.addData(Doc(3, "zzz yyy xxx www vvv uuu", ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    input.addData(Doc(9, "qqq ppp ooo nnn mmm lll", ts("2024-01-01 14:01:00")))
+    q.processAllAvailable()
+    input.addData(Doc(4, text, ts("2024-01-01 14:02:00")))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("lsh_ttl_out")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "in-horizon duplicate must pair")
+    assert(!pairs.exists(_._2 == 4L),
+      s"doc 4 must NOT pair with evicted state, got $pairs")
+  }
+
   test("stream-stream interval join: purchase picks up views within lookback") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[Event]
