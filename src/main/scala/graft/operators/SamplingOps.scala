@@ -131,6 +131,36 @@ object SamplingOps {
       .drop("__wkey")
   }
 
+  /** Temperature-scaled domain mixing weights (the multilingual/domain
+    * rebalancing rule of mBERT/XLM-R and the Pile: sample domain i with
+    * probability ∝ p_i^α for α ∈ (0,1], α = 1/T). α < 1 flattens the
+    * mixture — rare domains are upsampled relative to their raw share —
+    * while preserving the head's ordering. Returns per domain
+    * (domain, n_docs, p_raw, w_temp): `p_raw` the raw corpus share,
+    * `w_temp = n_i^α / Σ_j n_j^α` the temperature-scaled target share
+    * (algebraically identical to p_i^α/Σp_j^α — the N^α cancels — but
+    * computed on integer counts so both engines see the same inputs).
+    *
+    * Plan: one map-side-combined hash aggregate over the corpus, then a
+    * broadcast cross-join of the one-row totals onto the (tiny) domain
+    * table — no driver collect, no second scan. The Σ n^α total is
+    * pre-rounded to 6dp before dividing (the repo's prerounded-moments
+    * convention) so partition-order ulp drift in the double sum can't
+    * flip the 6dp-rounded output. */
+  def temperatureWeights(df: DataFrame, domainCol: String,
+                         alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(
+      sum(col("n_docs")).cast("double").as("tot"),
+      round(sum(pow(col("n_docs").cast("double"), alpha)), 6).as("pa"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(domainCol), col("n_docs"),
+        round(col("n_docs") / col("tot"), 6).as("p_raw"),
+        round(pow(col("n_docs").cast("double"), alpha) / col("pa"), 6)
+          .as("w_temp"))
+  }
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): reduce each document to hashed unigram
     * buckets, fit add-one-smoothed bucket distributions over the TARGET

@@ -345,7 +345,57 @@ object DedupQueries {
            |WHERE levenshtein(a.p_name, b.p_name) <= 2
            |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Exact substring-duplication profile over rolling 8-token windows
+    * (suffix-array-style dedup signal): per doc, how many of its windows
+    * occur ≥2 times anywhere in the corpus. Plan is explode → hash agg on
+    * the window → join back → per-doc agg — linear, never a pair join. */
+  private val substring = Q(
+    "dedup_substring_spans",
+    (s, dir) => {
+      import s.implicits._
+      DedupOps.substringDupProfile(docs(s, dir), "doc_id", "text", 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+           |w AS (SELECT doc_id,
+           |        unnest([array_to_string(toks[i:i+7],' ')
+           |                FOR i IN generate_series(1, len(toks)-7)]) AS win
+           |      FROM d WHERE len(toks) >= 8),
+           |g AS (SELECT win, count(*) AS n_occ FROM w GROUP BY win),
+           |p AS (SELECT doc_id, count(*)::INT AS n_windows,
+           |        sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)::INT AS n_dup_windows
+           |      FROM w JOIN g USING (win) GROUP BY doc_id)
+           |SELECT doc_id, n_windows, n_dup_windows,
+           |       round(n_dup_windows / n_windows::DOUBLE, 6) AS dup_frac
+           |FROM p ORDER BY doc_id""".stripMargin))
+
+  /** Asymmetric containment at t=0.8 over 2-gram shingles: catches
+    * quote/superset pairs whose symmetric Jaccard is tiny. The oracle
+    * verifies ALL pairs brute-force; the Spark side must reproduce it
+    * exactly from its one-sided-prefix candidate set. */
+  private val containment = Q(
+    "dedup_containment",
+    (s, dir) => {
+      import s.implicits._
+      val withShingles = docs(s, dir)
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      DedupOps.containmentPairs(withShingles, "doc_id", "shingles", 0.8)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""$shingleCte,
+            |c AS (SELECT a.doc_id ia, b.doc_id ib,
+            |        len(list_intersect(a.s, b.s))::DOUBLE shared,
+            |        len(a.s)::DOUBLE sa, len(b.s)::DOUBLE sb
+            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |      WHERE len(a.s) > 0 AND len(b.s) > 0)
+            |SELECT ia AS id_a, ib AS id_b,
+            |       round(shared/sa, 6) AS containment_ab,
+            |       round(shared/sb, 6) AS containment_ba
+            |FROM c WHERE greatest(shared/sa, shared/sb) >= 0.8
+            |ORDER BY id_a, id_b""".stripMargin))
+
   def all: Seq[Q] =
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
-      minhash, simhashQ, lines, bloomDelta, fuzzy)
+      minhash, simhashQ, lines, bloomDelta, fuzzy, substring, containment)
 }

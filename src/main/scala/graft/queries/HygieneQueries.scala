@@ -540,8 +540,29 @@ object HygieneQueries {
          |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin
     })
 
+  /** Temperature-scaled domain mixing (α = 0.5, i.e. T = 2): the target
+    * sampling share of each source is n^α normalized — rare domains are
+    * upsampled relative to their raw share. One hash aggregate + a
+    * broadcast one-row totals join; Σn^α is pre-rounded to 6dp so both
+    * engines' partition-order double sums round identically. */
+  private val tempWeights = Q(
+    "mix_temperature_weights",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.SamplingOps.temperatureWeights(docs(s, dir),
+          "source", 0.5)
+        .orderBy($"source")
+    },
+    Some("""WITH s AS (SELECT source, count(*)::BIGINT AS n_docs
+           |          FROM documents GROUP BY source),
+           |t AS (SELECT sum(n_docs)::DOUBLE AS tot,
+           |             round(sum(pow(n_docs, 0.5)), 6) AS pa FROM s)
+           |SELECT source, n_docs, round(n_docs/tot, 6) AS p_raw,
+           |       round(pow(n_docs, 0.5)/pa, 6) AS w_temp
+           |FROM s, t ORDER BY source""".stripMargin))
+
   def all: Seq[Q] =
     Seq(decontam, gopher, semdedup, mix, pack, trainingCorpus, importance,
       domainCap, weighted, semdedupCorpus, semanticDecontam, pplBuckets,
-      tokenBudget)
+      tokenBudget, tempWeights)
 }

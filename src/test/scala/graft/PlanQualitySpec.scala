@@ -97,7 +97,8 @@ class PlanQualitySpec extends SparkSpec {
     // deliberate broadcast cross product over 8 centroids; the pair join
     // itself is the blocked equi-join, spec-asserted by block invariance)
     for (name <- Seq("dedup_ppjoin_jaccard", "dedup_inverted_index_pairs",
-        "dedup_minhash_lsh", "sim_lsh_rp_auto")) {
+        "dedup_minhash_lsh", "sim_lsh_rp_auto", "dedup_containment",
+        "dedup_substring_spans")) {
       val plan = physicalPlan(SparkEntry.queries(name)(spark, TestSpark.sfDir))
       assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$name must generate candidates via equi-join:\n${plan.take(800)}")

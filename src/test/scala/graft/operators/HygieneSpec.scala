@@ -144,4 +144,28 @@ class HygieneOpsSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(local === unblocked)
   }
+
+  test("temperatureWeights: alpha<1 flattens, alpha=1 is the raw mixture") {
+    import graft.operators.SamplingOps
+    // domains with counts 1 / 4 / 16
+    val df = (Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(16)("c"))
+      .toDF("source")
+    val half = SamplingOps.temperatureWeights(df, "source", 0.5)
+      .orderBy($"source").collect()
+    // sqrt weights 1,2,4 over 7
+    assert(half.map(_.getAs[Double]("w_temp")).toSeq ===
+      Seq(0.142857, 0.285714, 0.571429))
+    assert(half.map(_.getAs[Double]("p_raw")).toSeq ===
+      Seq(0.047619, 0.190476, 0.761905))
+    // flattening: every rare domain's target share >= its raw share,
+    // the head's share strictly shrinks
+    assert(half.forall(r => r.getAs[Double]("w_temp") >=
+      r.getAs[Double]("p_raw") || r.getAs[String]("source") == "c"))
+    assert(half.last.getAs[Double]("w_temp") < half.last.getAs[Double]("p_raw"))
+    // alpha = 1 recovers the raw mixture exactly
+    val one = SamplingOps.temperatureWeights(df, "source", 1.0)
+      .orderBy($"source").collect()
+    assert(one.forall(r =>
+      r.getAs[Double]("w_temp") === r.getAs[Double]("p_raw")))
+  }
 }

@@ -289,6 +289,47 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(1).getAs[Int]("n_chunks") === 2 && out(1).getAs[Int]("n_kept") === 1)
   }
 
+  test("substringDupProfile: shared 8-token window flags both docs, short docs drop") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // windows: a..h, b..i, c..j
+      (2L, "a b c d e f g h x y"),   // shares only "a b c d e f g h" with doc 1
+      (3L, "p q r s t u v w"),       // exactly one window, unique
+      (4L, "m n o")                  // < 8 tokens: no windows at all
+    ).toDF("doc_id", "text")
+    val out = DedupOps.substringDupProfile(docs, "doc_id", "text", 8)
+      .orderBy($"id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0).getAs[Int]("n_windows") === 3 &&
+      out(0).getAs[Int]("n_dup_windows") === 1)
+    assert(out(1).getAs[Int]("n_dup_windows") === 1)
+    assert(out(2).getAs[Int]("n_dup_windows") === 0)
+    assert(out(0).getAs[Double]("dup_frac") === 0.333333)
+  }
+
+  test("substringDupProfile counts a WITHIN-doc repeated window as duplicated") {
+    // the same 8-gram occurs twice inside one doc (positions 1 and 9)
+    val docs = Seq((1L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
+    val r = DedupOps.substringDupProfile(docs, "doc_id", "text", 8).head()
+    assert(r.getAs[Int]("n_windows") === 9)
+    // windows starting at 1 and 9 are both "a b c d e f g h" -> n_occ=2
+    assert(r.getAs[Int]("n_dup_windows") === 2)
+  }
+
+  test("containmentPairs finds tiny-inside-huge pairs symmetric Jaccard misses") {
+    val docs = Seq(
+      (1L, (1 to 2).map(i => s"s$i")),                  // fully inside doc 2
+      (2L, (1 to 10).map(i => s"s$i")),                 // the container
+      (3L, Seq("t1", "t2", "t3")),                      // disjoint
+      (4L, Seq("s1", "u2", "u3", "u4", "u5"))           // overlaps below t
+    ).toDF("id", "set")
+    val out = DedupOps.containmentPairs(docs, "id", "set", 0.8).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("id_a") === 1L && r.getAs[Long]("id_b") === 2L)
+    assert(r.getAs[Double]("containment_ab") === 1.0)   // |A∩B|/|A| = 2/2
+    assert(r.getAs[Double]("containment_ba") === 0.2)   // |A∩B|/|B| = 2/10
+  }
+
   test("exactDedupSummary groups identical texts (keep min id)") {
     val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "q")).toDF("doc_id", "text")
     val out = DedupOps.exactDedupSummary(docs, md5($"text"), "doc_id")
