@@ -202,8 +202,12 @@ object VectorQueries {
     "sim_quantized_topk",
     (s, dir) => {
       import s.implicits._
-      val e = emb(s, dir).select($"vec_id", VectorOps.dequantize(
-        VectorOps.quantizeInt8(VectorOps.toDouble($"embedding"))).as("dv"))
+      // fused codegen'd round trip (graft.functions.Int8RoundTrip): the
+      // HOF quantize∘dequantize chain is CodegenFallback and was the whole
+      // 2.4 s vs 0.5 s gap against the unquantized sibling at sf0.1;
+      // the kernel is spec-asserted bit-identical to the HOF form
+      val e = emb(s, dir).select($"vec_id",
+        graft.functions.Int8RoundTrip(VectorOps.toDouble($"embedding")).as("dv"))
       VectorOps.topKNeighbors(e.filter($"vec_id" < 5), e, "vec_id", "dv", 10)
         .orderBy($"query_id", $"rank")
     },

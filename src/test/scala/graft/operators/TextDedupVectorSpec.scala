@@ -511,6 +511,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(minCos > 0.99, s"minCos=$minCos")
   }
 
+  test("Int8RoundTrip kernel is bit-identical to the HOF quantize∘dequantize") {
+    import graft.functions.Int8RoundTrip
+    // corpus vectors + adversarial fixtures: negative ties, zero vector,
+    // empty vector, values that straddle the .5 rounding boundary
+    val corpus = graft.core.Tables(spark, graft.TestSpark.sfDir).embeddings
+      .select(VectorOps.toDouble($"embedding").as("v")).limit(100)
+    val tricky = Seq(
+      Seq(2.5, -2.5, 1.5, -1.5, 127.0),      // ties away from zero
+      Seq(0.0, 0.0, 0.0),                     // zero vector -> scale 1.0
+      Seq.empty[Double],                      // empty vector
+      Seq(0.49999999999999994, -63.5, 63.5)   // shortest-decimal near-tie
+    ).toDF("v").select($"v".cast("array<double>").as("v"))
+    for (df <- Seq(corpus, tricky)) {
+      val mismatches = df
+        .withColumn("hof", VectorOps.dequantize(VectorOps.quantizeInt8($"v")))
+        .withColumn("fused", Int8RoundTrip($"v"))
+        // bit-level comparison: any elementwise difference (incl. NaN/-0.0
+        // disagreements) breaks array equality on the double encoding
+        .filter(not($"hof" <=> $"fused"))
+        .count()
+      assert(mismatches === 0)
+    }
+  }
+
   test("tfIdf: rare terms outscore ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common common"),
