@@ -21,6 +21,37 @@ object RelationalOps {
     projected
   }
 
+  /** F1 extended with a QUARANTINE channel (the Delta-Live-Tables
+    * "expectations" shape a real bronze→silver conform needs): every row
+    * is kept, tagged `is_valid` plus a deterministic `reject_reasons`
+    * string — `cast_failed:<col>` when a non-null input fails its
+    * `try_cast`, `null:<col>` when a required column is null — so ONE scan
+    * feeds both the clean table (`is_valid`) and the quarantine sink
+    * (`!is_valid`, reasons attached for triage). Reasons concatenate in a
+    * fixed order (cast columns in `keep` order, then `required`), so the
+    * channel is exactly reproducible cross-engine. Conformed columns carry
+    * the try_cast result (null where failed); scan-local, codegen'd, no
+    * shuffle — the split itself costs nothing at 100 TB. */
+  def conformWithQuarantine(df: DataFrame, keep: Seq[String],
+                            casts: Map[String, String],
+                            required: Seq[String] = Seq.empty,
+                            renames: Map[String, String] = Map.empty)
+      : DataFrame = {
+    val reasonCols =
+      keep.filter(casts.contains).map { c =>
+        when(col(c).isNotNull &&
+            expr(s"try_cast($c AS ${casts(c)})").isNull,
+          lit(s"cast_failed:$c"))
+      } ++ required.map(c => when(col(c).isNull, lit(s"null:$c")))
+    val conformed = keep.map { c =>
+      casts.get(c).map(t => expr(s"try_cast($c AS $t)")).getOrElse(col(c))
+        .as(renames.getOrElse(c, c))
+    }
+    df.select(conformed :+
+        concat_ws(",", array_compact(array(reasonCols: _*))).as("reject_reasons"): _*)
+      .withColumn("is_valid", col("reject_reasons") === "")
+  }
+
   /** F4: unpivot wide -> long (yfinance_operator.py:110-113, pandas .stack).
     * Spark-native `unpivot` — stays in whole-stage codegen, no shuffle. */
   def unpivotWide(df: DataFrame, ids: Seq[String], values: Seq[String],

@@ -344,6 +344,66 @@ object RelationalQueries {
            |       l_returnflag AS return_flag
            |FROM lineitem ORDER BY order_key, line_number""".stripMargin))
 
+  /** F1 + quarantine channel: a deterministically-dirtied raw feed
+    * (orders re-serialized to strings; every 97th key gets an unparseable
+    * price, every 89th a missing date) conformed with try_cast + required
+    * checks. The query returns the QUARANTINE side — rows with their
+    * triage reasons — and the oracle re-derives the identical channel,
+    * including multi-reason rows (keys divisible by both 97 and 89). */
+  private val f1Quarantine = Q(
+    "f1_conform_quarantine",
+    (s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir).orders.select(
+        $"o_orderkey".cast("string").as("k_raw"),
+        when($"o_orderkey" % 97 === 0, lit("N/A"))
+          .otherwise($"o_totalprice".cast("decimal(15,2)").cast("string"))
+          .as("price_raw"),
+        when($"o_orderkey" % 89 === 0, lit(null).cast("string"))
+          .otherwise($"o_orderdate".cast("date").cast("string"))
+          .as("date_raw"))
+      RelationalOps.conformWithQuarantine(raw,
+          keep = Seq("k_raw", "price_raw", "date_raw"),
+          casts = Map("k_raw" -> "bigint", "price_raw" -> "decimal(15,2)",
+            "date_raw" -> "date"),
+          required = Seq("date_raw"),
+          renames = Map("k_raw" -> "order_key", "price_raw" -> "price",
+            "date_raw" -> "order_date"))
+        .filter(!$"is_valid")
+        .select($"order_key", $"price".cast("double").as("price"),
+          date_format($"order_date", "yyyy-MM-dd").as("order_date"),
+          $"reject_reasons")
+        .orderBy($"order_key")
+    },
+    Some("""WITH raw AS (
+           |  SELECT o_orderkey::VARCHAR AS k_raw,
+           |         CASE WHEN o_orderkey % 97 = 0 THEN 'N/A'
+           |              ELSE o_totalprice::DECIMAL(15,2)::VARCHAR END AS price_raw,
+           |         CASE WHEN o_orderkey % 89 = 0 THEN NULL
+           |              ELSE o_orderdate::DATE::VARCHAR END AS date_raw
+           |  FROM orders),
+           |c AS (
+           |  SELECT try_cast(k_raw AS BIGINT) AS order_key,
+           |         try_cast(price_raw AS DECIMAL(15,2)) AS price,
+           |         try_cast(date_raw AS DATE) AS od,
+           |         array_to_string([x FOR x IN [
+           |           CASE WHEN k_raw IS NOT NULL
+           |                 AND try_cast(k_raw AS BIGINT) IS NULL
+           |                THEN 'cast_failed:k_raw' END,
+           |           CASE WHEN price_raw IS NOT NULL
+           |                 AND try_cast(price_raw AS DECIMAL(15,2)) IS NULL
+           |                THEN 'cast_failed:price_raw' END,
+           |           CASE WHEN date_raw IS NOT NULL
+           |                 AND try_cast(date_raw AS DATE) IS NULL
+           |                THEN 'cast_failed:date_raw' END,
+           |           CASE WHEN date_raw IS NULL THEN 'null:date_raw' END
+           |         ] IF x IS NOT NULL], ',') AS reject_reasons
+           |  FROM raw)
+           |SELECT order_key, price::DOUBLE AS price,
+           |       strftime(od, '%Y-%m-%d') AS order_date,
+           |       reject_reasons
+           |FROM c WHERE reject_reasons <> '' ORDER BY order_key""".stripMargin))
+
   private val f4 = Q(
     "f4_unpivot_measures",
     (s, dir) => {
@@ -912,7 +972,7 @@ object RelationalQueries {
     q1, q3, q5, s3Lookup, f5, semi, q17, existsQ, notExistsQ, scalarSelectQ,
     lateralTopN,
     f3, f6, f7, f18, f19,
-    f1, f4, pivotQ, f11, f13, f14, f8,
+    f1, f1Quarantine, f4, pivotQ, f11, f13, f14, f8,
     setExcept, setIntersect, setUnion, topk, topkWindowForm, fullOuter,
     firstLast, q7, q8,
     reconDiff, notInNull)

@@ -140,4 +140,25 @@ class RelationalOpsSpec extends SparkSpec {
       (4L, "removed", None),
       (6L, "added", None)))
   }
+
+  test("conformWithQuarantine: clean, cast-fail, null-required, multi-reason") {
+    val raw = Seq(
+      ("1", "9.50", "2024-01-01"),          // clean
+      ("2", "N/A", "2024-01-02"),           // price cast fails
+      ("3", "7.25", null),                  // required date missing
+      ("4", "bad", null)                    // both reasons, fixed order
+    ).toDF("k", "price", "d")
+    val out = RelationalOps.conformWithQuarantine(raw,
+        keep = Seq("k", "price", "d"),
+        casts = Map("k" -> "bigint", "price" -> "double", "d" -> "date"),
+        required = Seq("d"))
+      .orderBy($"k")
+      .select($"k", $"is_valid", $"reject_reasons")
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, true, ""),
+      (2L, false, "cast_failed:price"),
+      (3L, false, "null:d"),
+      (4L, false, "cast_failed:price,null:d")))
+  }
 }
