@@ -78,6 +78,58 @@ object GraphOps {
     * round h's join cost is |frontier_h| × out-degree, and a node's first
     * discovery is by construction its shortest distance. Same narrow-state
     * + lineage-cut discipline as [[pageRank]] / connectedComponents. */
+  /** Exact per-node triangle counts via DEGREE-ORDERED orientation (the
+    * Cohen / Suri-Vassilvitskii MapReduce form): canonicalize to a simple
+    * undirected graph, then orient every edge from its lower-(degree, id)
+    * endpoint to the higher one. Every node's oriented out-degree is
+    * O(√m), so the wedge self-join costs Σ outdeg² = O(m^1.5) — the naive
+    * neighbor join is Σ deg², which a single celebrity hub turns
+    * quadratic. Each triangle is discovered exactly once (its minimum-
+    * order vertex generates the wedge; the closing edge is itself
+    * low→high oriented), then attributed to all three vertices. Returns
+    * (id, n_triangles) for EVERY node of the simple graph, zero-filled.
+    *
+    * All three joins are equi-joins on node keys (the orientation
+    * comparison rides a sortable (deg, id) struct); self-loops and
+    * parallel/reversed duplicates are dropped in canonicalization. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct().cut(eager = false)
+    val deg = und.select(col("u").as("id"))
+      .unionByName(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .cut(eager = false)
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // sortable orientation key: (deg, id) — field names unified so the
+    // struct equi-joins and orders across both branches
+    val ku = struct(col("du").as("d"), col("u").as("i"))
+    val kv = struct(col("dv").as("d"), col("v").as("i"))
+    val oriented = withDeg
+      .select(when(lowFirst, ku).otherwise(kv).as("ka"),
+        when(lowFirst, kv).otherwise(ku).as("kb"))
+      .cut(eager = false)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.ka") === col("y.ka") && col("x.kb") < col("y.kb"))
+      .select(col("x.ka").as("ka"), col("x.kb").as("kb"),
+        col("y.kb").as("kc"))
+    val tris = wedges.as("w").join(oriented.as("z"),
+      col("w.kb") === col("z.ka") && col("w.kc") === col("z.kb"))
+    val perNode = tris
+      .select(explode(array(col("w.ka.i"), col("w.kb.i"), col("w.kc.i"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("id"))
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
                    sources: DataFrame, idCol: String,
                    maxHops: Int): DataFrame = {

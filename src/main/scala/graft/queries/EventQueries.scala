@@ -466,6 +466,53 @@ object EventQueries {
          |SELECT id AS page, round(rank, 6) AS rank FROM r3 ORDER BY page""".stripMargin
     })
 
+  /** Per-node triangle counts over the (undirected, simplified)
+    * page-transition graph — the clustering-structure primitive. Deployed
+    * path is the degree-ordered orientation (every wedge generated at its
+    * minimum-(deg,id) vertex, O(m^1.5) regardless of hub skew); the
+    * oracle is the id-ordered brute-force join, which discovers the
+    * identical triangle set — orientation only changes WHERE a triangle
+    * is found, not whether. */
+  private val triangles = Q(
+    "graph_triangles",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val edges = ev(s, dir)
+        .withColumn("dst", get_json_object($"props", "$.k").cast("int"))
+        .withColumn("src", lag($"dst", 1).over(byUser))
+        .filter($"src".isNotNull)
+      graft.operators.GraphOps.triangleCounts(edges, "src", "dst")
+        .select($"id".as("node"), $"n_triangles")
+        .orderBy($"node")
+    },
+    Some("""WITH lagged AS (
+           |  SELECT (props->>'k')::INT AS dst,
+           |         lag((props->>'k')::INT) OVER
+           |           (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           |  FROM events),
+           |ed AS (
+           |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           |  FROM lagged WHERE src IS NOT NULL AND src <> dst),
+           |nodes AS (SELECT DISTINCT u AS id FROM ed
+           |          UNION SELECT DISTINCT v FROM ed),
+           |tri AS (
+           |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |  FROM ed e1
+           |  JOIN ed e2 ON e2.u = e1.v
+           |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+           |pern AS (
+           |  SELECT node, count(*)::BIGINT AS n_triangles FROM (
+           |    SELECT a AS node FROM tri
+           |    UNION ALL SELECT b FROM tri
+           |    UNION ALL SELECT c FROM tri)
+           |  GROUP BY node)
+           |SELECT nodes.id::INT AS node,
+           |       coalesce(pern.n_triangles, 0)::BIGINT AS n_triangles
+           |FROM nodes LEFT JOIN pern ON nodes.id = pern.node
+           |ORDER BY node""".stripMargin))
+
   /** Hop-bounded reachability over the page-transition graph: every page
     * reachable from page 0 within 3 clicks, with its shortest hop count —
     * BFS frontier iteration (GraphOps.shortestHops); the oracle is the
@@ -550,6 +597,6 @@ object EventQueries {
 
   def all: Seq[Q] =
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
-      intervalMerge, funnel, retention, pointInTime, pagerank, reachable,
-      wau)
+      intervalMerge, funnel, retention, pointInTime, pagerank, triangles,
+      reachable, wau)
 }

@@ -51,4 +51,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(r("X") - 0.2875) < 1e-12)
     assert(math.abs(r("Y") - 0.7125) < 1e-12)
   }
+
+  test("triangleCounts: shared-edge triangles, dirty edges, zero-fill") {
+    // triangles {1,2,3} and {2,3,4} share edge 2-3; node 5 hangs off 4;
+    // self-loop, reversed duplicate, and parallel duplicate must all drop
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 4L), (3L, 4L),
+      (3L, 2L),            // reversed duplicate of 2-3
+      (2L, 3L),            // parallel duplicate
+      (4L, 4L),            // self-loop
+      (4L, 5L)             // dangling spoke — in graph, zero triangles
+    ).toDF("src", "dst")
+    val out = GraphOps.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("triangleCounts on a star graph is all zeros (hub has no closed wedge)") {
+    val star = (1L to 20L).map(i => (0L, i)).toDF("src", "dst")
+    val out = GraphOps.triangleCounts(star, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(out.length === 21 && out.forall(_._2 === 0L))
+  }
 }
