@@ -327,6 +327,65 @@ object TextOps {
     // in one session each ship one bounded v-row map.
   }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016 §3.2), distributed:
+    * `merges` rounds of (count weighted adjacent symbol pairs → take the
+    * max-count pair, ties lexicographic → merge its occurrences
+    * leftmost-greedily in every word). Returns the learned merge table
+    * (step, lhs, rhs, merged, pair_count) — the tokenizer artifact.
+    *
+    * Scale shape: the corpus is touched ONCE (token hash-aggregate); all
+    * iteration happens on the distinct-WORD table, which is
+    * dictionary-sized at any corpus scale — the same bounded-state
+    * contract as [[encodeIds]]. Per round: one pair explode + hash agg
+    * over the word table, a 1-row argmax broadcast back, one scan-local
+    * string rewrite; lineage cut per round so plans don't snowball.
+    *
+    * Words are carried as DOUBLE-SPACE-joined symbol strings
+    * (`"␣␣a␣␣bc␣␣"`), and a merge of (a,b) is
+    * `replace(w, " a  b ", " ab ")`: the single boundary spaces in the
+    * pattern anchor whole symbols (a symbol-SUFFIX never matches), the
+    * double separator keeps consecutive merges independent, and both
+    * engines' `replace` scans left-to-right non-overlapping — exactly
+    * BPE's leftmost-greedy rule (`a a a → (aa) a`), so a fixed-k oracle
+    * can replay training verbatim in SQL. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               merges: Int): org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.LineageOps
+    require(merges >= 1, "need at least one merge round")
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(concat(lit("  "),
+        array_join(filter(split(col("word"), ""), c => c =!= ""), "  "),
+        lit("  ")).as("w"), col("wc"))
+      .cut(eager = false)
+    val steps = (1 to merges).map { step =>
+      val syms = filter(split(col("w"), "  "), s => s =!= "")
+      val best = words
+        .select(col("wc"), syms.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("a"),
+            element_at(col("s"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(1)
+        .withColumn("step", lit(step))
+        .cut(eager = false)
+      words = words.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .select(expr(
+          "replace(w, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))")
+          .as("w"), col("wc"))
+        .cut(eager = false)
+      best
+    }
+    steps.reduce(_ unionByName _)
+      .select(col("step"), col("a").as("lhs"), col("b").as("rhs"),
+        concat(col("a"), col("b")).as("merged"), col("pair_count"))
+  }
+
   def vocabOov(docs: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String, v: Int): org.apache.spark.sql.DataFrame = {
     import graft.core.Lineage.LineageOps

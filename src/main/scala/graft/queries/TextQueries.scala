@@ -448,6 +448,47 @@ object TextQueries {
            |SELECT pair, count(*)::BIGINT AS n FROM p
            |GROUP BY pair ORDER BY n DESC, pair LIMIT 15""".stripMargin))
 
+  /** BPE tokenizer TRAINING, 3 merge rounds end-to-end: the oracle
+    * replays the identical training loop as 3 unrolled CTE rounds (pair
+    * count → lexicographic-tie argmax → leftmost-greedy merge via the
+    * shared double-space `replace` encoding), so the learned merge table
+    * — the tokenizer artifact itself — is value-pinned cross-engine. */
+  private val bpeTrainQ = Q(
+    "text_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.bpeTrain(t(s, dir).documents, "text", 3)
+        .orderBy($"step")
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""p$i AS (
+           |  SELECT s[j] AS a, s[j+1] AS b, sum(wc) AS pair_count
+           |  FROM (SELECT [x FOR x IN string_split(w, '  ') IF x <> ''] AS s,
+           |               wc FROM w${i - 1}),
+           |       LATERAL unnest(generate_series(1, len(s) - 1)) AS t(j)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT a, b, pair_count, $i AS step FROM p$i
+           |        ORDER BY pair_count DESC, a, b LIMIT 1),
+           |w$i AS (SELECT replace(w, ' ' || a || '  ' || b || ' ',
+           |                          ' ' || a || b || ' ') AS w, wc
+           |        FROM w${i - 1}, m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w0 AS (
+         |  SELECT '  ' || array_to_string(string_split(word, ''), '  ')
+         |           || '  ' AS w,
+         |         count(*)::BIGINT AS wc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  GROUP BY 1),
+         |$rounds
+         |SELECT step::INT AS step, a AS lhs, b AS rhs, a || b AS merged,
+         |       pair_count::BIGINT AS pair_count
+         |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+         |      UNION ALL SELECT * FROM m3)
+         |ORDER BY step""".stripMargin
+    })
+
   /** χ² feature selection: the tokens most associated with English
     * documents by the 2×2 presence contingency (doc frequency, not
     * occurrences), χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with a df ≥ 5
@@ -585,5 +626,5 @@ object TextQueries {
   def all: Seq[Q] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, bm25Q,
       chunkQ, piiRedact, normalizeQ, perplexityQ, pmiQ, vocabOovQ, bpePairs,
-      chi2, encodeQ, urlCanon)
+      bpeTrainQ, chi2, encodeQ, urlCanon)
 }

@@ -535,6 +535,32 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain learns the textbook merges (low/lower) with lexicographic ties") {
+    // words: low x3, lower x1. pairs: (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1
+    // step1: tie (l,o)/(o,w) at 4 -> lexicographic -> (l,o)
+    // step2: (lo,w)=4 wins; step3: tie (e,r)/(low,e) at 1 -> (e,r)
+    val docs = Seq("low low low lower").toDF("text")
+    val out = TextOps.bpeTrain(docs, "text", 3)
+      .orderBy($"step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1, "l", "o", "lo", 4L),
+      (2, "lo", "w", "low", 4L),
+      (3, "e", "r", "er", 1L)))
+  }
+
+  test("bpeTrain merges leftmost-greedily: aaa -> (aa)a, not a(aa)") {
+    val docs = Seq("aaa").toDF("text")
+    val out = TextOps.bpeTrain(docs, "text", 2)
+      .orderBy($"step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // step1: (a,a) occurs twice in 'aaa'; the merge must consume the
+    // LEFT pair, leaving [aa, a] -> step2 sees exactly one (aa, a) pair
+    assert(out === Seq(
+      (1, "a", "a", "aa", 2L),
+      (2, "aa", "a", "aaa", 1L)))
+  }
+
   test("tfIdf: rare terms outscore ubiquitous ones") {
     val docs = Seq(
       (1L, "common rare1 common common"),
