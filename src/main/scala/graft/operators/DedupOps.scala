@@ -285,26 +285,68 @@ object DedupOps {
     val prefixes = posting.join(freq, "h")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= prefixLen)
-      .select(col("id"), col("h"))
+      .select(col("id"), col("sz"), col("rn"), col("h"))
+    // position filter (contained side): at A's first shared prefix token
+    // (rank rn under the rarity order) no earlier token of A is shared, so
+    // overlap ≤ 1 + (szA − rn); a qualifying direction needs overlap ≥
+    // ⌈t·szA⌉, and its first-match row always passes — OR-semantics over
+    // candidate rows stays exact (same argument as jaccardPairs).
+    val positionOk = lit(1) + col("l.sz") - col("l.rn") >=
+      ceil(lit(threshold) * col("l.sz") - eps)
     val candidates = prefixes.as("l").join(posting.as("r"),
-        col("l.h") === col("r.h") && col("l.id") =!= col("r.id"))
+        col("l.h") === col("r.h") && col("l.id") =!= col("r.id") && positionOk)
       .select(least(col("l.id"), col("r.id")).as("id_a"),
         greatest(col("l.id"), col("r.id")).as("id_b"))
       .distinct()
-    candidates
+    verifyContainment(candidates, sets, threshold)
+  }
+
+  /** Dense exact containment: all (a<b) pairs through the codegen'd
+    * sorted-merge kernel. No length prefilter is sound here (tiny-inside-
+    * huge is the point), so this is the FULL N² microkernel — tiny
+    * per-pair constants, no posting shuffles; wins below the same ~10k-doc
+    * crossover as the Jaccard twins (the hot shingle vocabulary that
+    * degenerates prefix selectivity is exactly where the dense form is
+    * cheapest). */
+  def containmentPairsDense(docs: DataFrame, idCol: String, setCol: String,
+                            threshold: Double): DataFrame = {
+    val sets = encodedSets(docs, idCol, setCol)
+    val pairs = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    verifyContainment(pairs, sets, threshold)
+  }
+
+  /** Shared exact verification: overlap kernel on full sets, keep pairs
+    * with max-direction containment ≥ t (unrounded cut, rounded output).
+    * The similarity predicate is OptimizerBarrier-fenced for the same
+    * reason as jaccardPairsDense: unfenced, Catalyst pushes it into the
+    * join condition where the kernel evaluates interpreted and twice. */
+  private def verifyContainment(pairs: DataFrame, sets: DataFrame,
+                                threshold: Double): DataFrame =
+    pairs
       .join(sets.select(col("id").as("id_a"), col("s").as("s_a"),
         col("sz").as("sz_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("s").as("s_b"),
         col("sz").as("sz_b")), "id_b")
       .withColumn("common", graft.functions.SortedLongOverlapCount(
         col("s_a"), col("s_b")).cast("double"))
-      // filter on the UNROUNDED ratios (same convention as jaccardPairs)
-      .filter(greatest(col("common") / col("sz_a"),
-        col("common") / col("sz_b")) >= threshold)
+      .filter(graft.functions.OptimizerBarrier(
+        greatest(col("common") / col("sz_a"),
+          col("common") / col("sz_b")) >= threshold))
       .select(col("id_a"), col("id_b"),
         round(col("common") / col("sz_a"), 6).as("containment_ab"),
         round(col("common") / col("sz_b"), 6).as("containment_ba"))
-  }
+
+  /** Cost-based containment generator — same decision shape as
+    * [[jaccardPairsAuto]] (one column-pruned count against the measured
+    * ~10k-doc dense/prefix crossover); both branches are exact and
+    * identical, property-tested. */
+  def containmentPairsAuto(docs: DataFrame, idCol: String, setCol: String,
+                           threshold: Double,
+                           denseCutoff: Long = 10000L): DataFrame =
+    if (docs.select(col(idCol)).count() < denseCutoff)
+      containmentPairsDense(docs, idCol, setCol, threshold)
+    else containmentPairs(docs, idCol, setCol, threshold)
 
   /** MinHash signature: k permutation-min values over the shingle set.
     * Permutation i is `(a_i·hash32(s) + b_i) mod p` with p prime > 2^32;

@@ -373,14 +373,17 @@ object DedupQueries {
   /** Asymmetric containment at t=0.8 over 2-gram shingles: catches
     * quote/superset pairs whose symmetric Jaccard is tiny. The oracle
     * verifies ALL pairs brute-force; the Spark side must reproduce it
-    * exactly from its one-sided-prefix candidate set. */
+    * exactly. Deployed as the COST-BASED generator (dense N² microkernel
+    * below the ~10k-doc crossover where the hot shingle vocabulary
+    * degenerates prefix selectivity — measured 1.6 s vs 7.6 s at sf0.1 —
+    * one-sided-prefix index above it; branches property-tested equal). */
   private val containment = Q(
     "dedup_containment",
     (s, dir) => {
       import s.implicits._
       val withShingles = docs(s, dir)
         .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
-      DedupOps.containmentPairs(withShingles, "doc_id", "shingles", 0.8)
+      DedupOps.containmentPairsAuto(withShingles, "doc_id", "shingles", 0.8)
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""$shingleCte,

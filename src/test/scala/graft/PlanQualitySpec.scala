@@ -97,12 +97,22 @@ class PlanQualitySpec extends SparkSpec {
     // deliberate broadcast cross product over 8 centroids; the pair join
     // itself is the blocked equi-join, spec-asserted by block invariance)
     for (name <- Seq("dedup_ppjoin_jaccard", "dedup_inverted_index_pairs",
-        "dedup_minhash_lsh", "sim_lsh_rp_auto", "dedup_containment",
-        "dedup_substring_spans")) {
+        "dedup_minhash_lsh", "sim_lsh_rp_auto", "dedup_substring_spans")) {
       val plan = physicalPlan(SparkEntry.queries(name)(spark, TestSpark.sfDir))
       assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$name must generate candidates via equi-join:\n${plan.take(800)}")
     }
+    // containment's SCALE branch (the deployed form above the dense
+    // crossover, where dedup_containment itself plans the dense kernel)
+    val docs = graft.core.Tables(spark, TestSpark.sfDir).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.TextOps.shingles(
+          org.apache.spark.sql.functions.col("text"), 2).as("sh"))
+    val prefixPlan = physicalPlan(
+      graft.operators.DedupOps.containmentPairs(docs, "doc_id", "sh", 0.8))
+    assert(!prefixPlan.contains("NestedLoopJoin") &&
+      !prefixPlan.contains("CartesianProduct"),
+      s"containment prefix path must be equi-join only:\n${prefixPlan.take(800)}")
   }
 
   test("IVF top-k search broadcasts the probe table, never the corpus") {

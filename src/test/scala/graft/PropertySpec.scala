@@ -147,6 +147,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment identity: one-sided prefix == dense kernel on random " +
+      "corpora and thresholds") {
+    // guards the contained-side prefix length + position filter math: the
+    // prefix-indexed form must find every pair the full N² kernel finds
+    val vocab = Gen.choose(0, 11).map(i => s"w$i")
+    val doc = Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, vocab)).map(_.mkString(" "))
+    val corpus = Gen.listOfN(12, doc)
+    forAll(corpus, n = 4) { docsList =>
+      val df = docsList.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
+      for (t <- Seq(0.5, 0.8, 1.0)) {
+        def pairs(d: org.apache.spark.sql.DataFrame) =
+          d.select($"id_a", $"id_b", $"containment_ab", $"containment_ba")
+            .as[(Long, Long, Double, Double)].collect().toSet
+        val dense = pairs(graft.operators.DedupOps
+          .containmentPairsDense(df, "doc_id", "sh", t))
+        val prefix = pairs(graft.operators.DedupOps
+          .containmentPairs(df, "doc_id", "sh", t))
+        assert(prefix === dense, s"prefix != dense at t=$t on $docsList")
+      }
+    }
+  }
+
   test("OHLC aggregate form equals the window first/last formulation") {
     import org.apache.spark.sql.expressions.Window
     val e = graft.core.Tables(spark, TestSpark.sfDir).events
