@@ -133,6 +133,26 @@ object RelationalOps {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  /** CDC apply: collapse a change log (insert/update/delete ops per key)
+    * to CURRENT TABLE STATE — the companion to [[scd2]] (full history)
+    * and the semantics of a warehouse MERGE fed by a CDC feed. Last
+    * writer wins per key under (orderCol, tieCol); a key whose latest op
+    * is `deleteOp` is a tombstone and drops out entirely (even if
+    * re-inserted EARLIER — only the latest op counts; a later re-insert
+    * resurrects it, which is exactly Debezium-snapshot semantics). One
+    * shuffle on the key, bounded per-key window state — MERGE-at-scale
+    * shape, no join against the target needed when the log is complete. */
+  def applyCdc(changes: DataFrame, keyCol: String, orderCol: String,
+               tieCol: String, opCol: String,
+               deleteOp: String = "D"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    changes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("_rn")
+  }
+
   /** SCD2 incremental upsert: fold one micro-batch of change rows into an
     * existing history built by `scd2`. History segments ARE the collapsed
     * change log (`orderCol` is each segment's effective-from), so the

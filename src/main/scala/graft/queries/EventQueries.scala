@@ -228,6 +228,39 @@ object EventQueries {
            |       (eff_to_us IS NULL) AS is_current
            |FROM hist ORDER BY user_id, eff_from_us""".stripMargin))
 
+  /** CDC apply — the change log collapsed to current state: events as a
+    * CDC feed (signup=insert, error=delete tombstone, anything else=
+    * update), last op per user wins, tombstoned users drop out. The
+    * current-state complement of events_scd2_history. */
+  private val cdcApply = Q(
+    "events_cdc_apply",
+    (s, dir) => {
+      import s.implicits._
+      val feed = ev(s, dir).select($"user_id", $"ts", $"event_id", $"value",
+        when($"event_type" === "signup", "I")
+          .when($"event_type" === "error", "D")
+          .otherwise("U").as("op"))
+      graft.operators.RelationalOps.applyCdc(
+          feed, "user_id", "ts", "event_id", "op")
+        .select($"user_id", $"op".as("last_op"),
+          unix_micros($"ts").as("as_of_us"),
+          round($"value", 2).as("value"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH feed AS (
+           |  SELECT user_id, ts, event_id, value,
+           |         CASE event_type WHEN 'signup' THEN 'I'
+           |              WHEN 'error' THEN 'D' ELSE 'U' END AS op
+           |  FROM events),
+           |latest AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER
+           |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |    FROM feed) WHERE rn = 1)
+           |SELECT user_id, op AS last_op, epoch_us(ts) AS as_of_us,
+           |       round(value, 2) AS value
+           |FROM latest WHERE op <> 'D' ORDER BY user_id""".stripMargin))
+
   /** Merge overlapping 5-minute activity intervals per user (gaps-and-
     * islands over INTERVALS: new island only when start passes the
     * running max of previous ends — running max, not lag(end), so nested
@@ -597,6 +630,6 @@ object EventQueries {
 
   def all: Seq[Q] =
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
-      intervalMerge, funnel, retention, pointInTime, pagerank, triangles,
-      reachable, wau)
+      intervalMerge, cdcApply, funnel, retention, pointInTime, pagerank,
+      triangles, reachable, wau)
 }

@@ -141,6 +141,18 @@ class RelationalOpsSpec extends SparkSpec {
       (6L, "added", None)))
   }
 
+  test("applyCdc: last writer wins, tombstones drop, later insert resurrects") {
+    val log = Seq(
+      (1L, 1L, 1L, "I", 10.0), (1L, 2L, 2L, "U", 11.0),   // live, v=11
+      (2L, 1L, 3L, "I", 20.0), (2L, 2L, 4L, "D", 0.0),    // tombstoned
+      (3L, 1L, 5L, "D", 0.0), (3L, 2L, 6L, "I", 30.0),    // resurrected
+      (4L, 5L, 7L, "U", 40.0), (4L, 5L, 8L, "U", 41.0)    // tie -> higher seq
+    ).toDF("k", "ts", "seq", "op", "v")
+    val out = RelationalOps.applyCdc(log, "k", "ts", "seq", "op")
+      .select($"k", $"v").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 11.0, 3L -> 30.0, 4L -> 41.0))
+  }
+
   test("conformWithQuarantine: clean, cast-fail, null-required, multi-reason") {
     val raw = Seq(
       ("1", "9.50", "2024-01-01"),          // clean
