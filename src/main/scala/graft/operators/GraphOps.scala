@@ -130,6 +130,46 @@ object GraphOps {
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Fixed-round k-core peeling: canonicalize to a simple undirected
+    * graph, then `rounds` times drop every node whose current degree is
+    * < `k` (with its edges) — the standard iterative peel whose fixpoint
+    * is the k-core (Matula–Beck). Rounds are fixed by contract, exactly
+    * like [[pageRank]]'s iteration count, so the oracle can unroll them;
+    * the fixpoint-equals-true-k-core property is spec-checked separately
+    * (GraphOpsSpec) since "converged" is data-dependent. Returns
+    * (id, deg): degree over the surviving edge set, one row per node that
+    * still has an edge.
+    *
+    * Scale posture: per round one hash aggregate (degrees) + two
+    * left-semi joins of the edge table against the (narrow) survivor set;
+    * the edge table shrinks monotonically, survivors are a single-column
+    * state, and each round's lineage is cut. No all-pairs shape anywhere;
+    * peel rounds needed to converge is bounded by the degeneracy ordering
+    * depth — for fixed `rounds` the cost is rounds × O(|E| surviving). */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("id"))
+        .unionByName(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct().cut(eager = false)
+    var round = 0
+    while (round < rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("id"))
+        .cut(eager = false)
+      e = e.join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .cut(eager = false)
+      round += 1
+    }
+    degrees(e)
+  }
+
   def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
                    sources: DataFrame, idCol: String,
                    maxHops: Int): DataFrame = {

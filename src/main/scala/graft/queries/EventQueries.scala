@@ -628,8 +628,100 @@ object EventQueries {
            |FROM dau d JOIN wau w ON d.day = w.day
            |ORDER BY day""".stripMargin))
 
+  /** Fixed-round k-core peeling (k=15, 3 rounds) over the page-transition
+    * graph — the community/"dense-subgraph" primitive used to strip
+    * low-engagement periphery before expensive graph analytics. Rounds
+    * are fixed by contract (like pagerank's iteration count) so the
+    * oracle unrolls the identical peel; the fixpoint-equals-true-k-core
+    * property is GraphOpsSpec's job, data-dependent convergence being
+    * unpinnable cross-engine. At sf0.001 this cascades 100→72→49→14
+    * nodes (the 15-core of that graph is empty — round 4 would clear
+    * it); at sf0.01 the graph is near-complete and nothing peels. Both
+    * non-trivial states are oracle-checked. */
+  private val kcore = Q(
+    "graph_kcore",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val edges = ev(s, dir)
+        .withColumn("dst", get_json_object($"props", "$.k").cast("int"))
+        .withColumn("src", lag($"dst", 1).over(byUser))
+        .filter($"src".isNotNull)
+      graft.operators.GraphOps.kCorePeel(edges, "src", "dst", 15, 3)
+        .select($"id".as("node"), $"deg")
+        .orderBy($"node")
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""deg$i AS (SELECT id, count(*) AS deg FROM (
+           |  SELECT u AS id FROM ed${i - 1}
+           |  UNION ALL SELECT v FROM ed${i - 1}) GROUP BY id),
+           |keep$i AS (SELECT id FROM deg$i WHERE deg >= 15),
+           |ed$i AS (SELECT u, v FROM ed${i - 1}
+           |         WHERE u IN (SELECT id FROM keep$i)
+           |           AND v IN (SELECT id FROM keep$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lagged AS (
+         |  SELECT (props->>'k')::INT AS dst,
+         |         lag((props->>'k')::INT) OVER
+         |           (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM events),
+         |ed0 AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM lagged WHERE src IS NOT NULL AND src <> dst),
+         |$rounds
+         |SELECT id::INT AS node, count(*)::BIGINT AS deg FROM (
+         |  SELECT u AS id FROM ed3 UNION ALL SELECT v FROM ed3)
+         |GROUP BY id ORDER BY node""".stripMargin
+    })
+
+  /** Last-touch attribution: each purchase's value is credited to the
+    * campaign (props.k) of the most recent PRECEDING click by the same
+    * user — the marketing-analytics sibling of the as-of join, expressed
+    * as one `last(campaign, ignoreNulls)` running window over the
+    * interleaved per-user event stream (clicks carry a campaign, every
+    * other event carries null, so "last non-null so far" IS the last
+    * touch). Purchases with no prior click land in campaign −1
+    * (unattributed). One hash-partition by user_id, one window pass, one
+    * small hash agg — no self-join of events against events, which is the
+    * naive O(clicks × purchases) formulation this replaces. */
+  private val lastTouch = Q(
+    "events_last_touch_attribution",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      ev(s, dir)
+        .withColumn("camp", when($"event_type" === "click",
+          get_json_object($"props", "$.k").cast("int")))
+        .withColumn("touch", last($"camp", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .groupBy(coalesce($"touch", lit(-1)).as("campaign"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum($"value"), 2).as("revenue"))
+        .orderBy($"campaign")
+    },
+    Some("""WITH tagged AS (
+           |  SELECT user_id, ts, event_id, event_type, value,
+           |         CASE WHEN event_type = 'click'
+           |              THEN (props->>'k')::INT END AS camp
+           |  FROM events),
+           |touched AS (
+           |  SELECT event_type, value,
+           |         last_value(camp IGNORE NULLS) OVER
+           |           (PARTITION BY user_id ORDER BY ts, event_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS touch
+           |  FROM tagged)
+           |SELECT coalesce(touch, -1) AS campaign,
+           |       count(*) AS n_purchases, round(sum(value), 2) AS revenue
+           |FROM touched WHERE event_type = 'purchase'
+           |GROUP BY campaign ORDER BY campaign""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
       intervalMerge, cdcApply, funnel, retention, pointInTime, pagerank,
-      triangles, reachable, wau)
+      triangles, reachable, kcore, lastTouch, wau)
 }

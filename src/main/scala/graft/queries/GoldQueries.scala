@@ -613,8 +613,52 @@ object GoldQueries {
            |       count(*) AS n_ticks
            |FROM d GROUP BY user_id, date ORDER BY user_id, date""".stripMargin))
 
+  /** Incremental gold-table maintenance via MERGEABLE partial aggregates:
+    * the history side is reduced to per-(key, day) partials (sum / count /
+    * min / max — each merge-decomposable), the late-arriving delta is
+    * reduced to the same shape, and the final table re-aggregates the
+    * UNION of partials. At 100 TB this is the difference between
+    * rescanning years of history on every daily load and touching only
+    * yesterday's partial rows: the history branch here stands in for a
+    * stored partials table (the write path is Writers.upsertByKey), and
+    * the oracle pins the algebraic identity — merged partials ==
+    * full recompute, including avg recomposed as Σsum/Σn rather than an
+    * avg-of-avgs. Plan: two hash aggregates narrowed to (key, day)
+    * cardinality, then one tiny re-agg; nothing wide shuffles twice. */
+  private val incrMerge = Q(
+    "gold_incremental_agg_merge",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select($"l_returnflag", to_date($"l_shipdate").as("day"),
+          $"l_quantity", $"l_extendedprice")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"l_returnflag", $"day")
+          .agg(sum($"l_quantity").as("s_qty"),
+            sum($"l_extendedprice").as("s_price"),
+            count(lit(1)).as("n"),
+            min($"l_extendedprice").as("mn"),
+            max($"l_extendedprice").as("mx"))
+      val hist = partials(li.filter($"day" < lit("1995-07-01").cast("date")))
+      val delta = partials(li.filter($"day" >= lit("1995-07-01").cast("date")))
+      hist.unionByName(delta)
+        .groupBy($"l_returnflag")
+        .agg(sum($"n").as("n"),
+          round(sum($"s_qty"), 2).as("sum_qty"),
+          round(sum($"s_price") / sum($"n"), 6).as("avg_price"),
+          round(min($"mn"), 2).as("min_price"),
+          round(max($"mx"), 2).as("max_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |       round(sum(l_quantity), 2) AS sum_qty,
+           |       round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+           |       round(min(l_extendedprice), 2) AS min_price,
+           |       round(max(l_extendedprice), 2) AS max_price
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   def all: Seq[Q] =
     Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,
       gapFill, rollingMedian, rollingCorr, asofNearest, rolling7d, ewma,
-      twap)
+      twap, incrMerge)
 }

@@ -968,6 +968,64 @@ object RelationalQueries {
            |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
            |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin))
 
+  // --- Explicit skew handling (SURVEY §2E scale plane) --------------------
+
+  /** Salted equi-join, oracle-pinned: the skewed fact side (lineitem by
+    * suppkey — at 100 TB a handful of hot suppliers can hold a
+    * disproportionate share of rows) carries a random salt in [0, 8); the
+    * supplier⋈nation dim is exploded 8× so every salted key still meets
+    * its match. Salt only routes rows — the join OUTPUT is provably
+    * salt-invariant, which is exactly what this oracle row states: the
+    * salted plan aggregates to the identical revenue-by-nation as the
+    * plain join the DuckDB twin runs. AQE's skew split handles the
+    * adaptive case; this is the explicit form for known extreme skew
+    * (SkewOps.saltedJoin). */
+  private val skewJoin = Q(
+    "join_skew_salted",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      val big = tt.lineitem.select($"l_suppkey".as("suppkey"),
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+      val dim = tt.supplier.join(tt.nation,
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey".as("suppkey"), $"n_name")
+      graft.operators.SkewOps.saltedJoin(big, dim, "suppkey", 8)
+        .groupBy($"n_name")
+        .agg(round(sum($"rev"), 2).as("revenue"), count(lit(1)).as("n"))
+        .orderBy($"n_name")
+    },
+    Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+           |         AS revenue,
+           |       count(*) AS n
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  /** Salted two-phase aggregation, oracle-pinned: groupBy(key + salt)
+    * partial then groupBy(key) final caps any single reducer's share of a
+    * hot key at 1/8 — the explicit fix when one group holds a large share
+    * of a 100 TB table and even map-side combine leaves one reducer with
+    * the whole final merge. Sum/count are merge-decomposable, so the
+    * two-phase result is bit-identical to the one-phase plain aggregate
+    * the twin computes (l_quantity is integral-valued in this schema, so
+    * no float-reassociation concern; the round(2) guards the general
+    * case). */
+  private val skewAgg = Q(
+    "agg_skew_salted",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.SkewOps
+        .saltedSum(t(s, dir).lineitem, Seq("l_returnflag"), "l_quantity", 8)
+        .select($"l_returnflag",
+          round($"sum_l_quantity", 2).as("sum_qty"), $"n")
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+           |       count(*) AS n
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   private val all0: Seq[Q] = Seq(
     q1, q3, q5, s3Lookup, f5, semi, q17, existsQ, notExistsQ, scalarSelectQ,
     lateralTopN,
@@ -975,7 +1033,7 @@ object RelationalQueries {
     f1, f1Quarantine, f4, pivotQ, f11, f13, f14, f8,
     setExcept, setIntersect, setUnion, topk, topkWindowForm, fullOuter,
     firstLast, q7, q8,
-    reconDiff, notInNull)
+    reconDiff, notInNull, skewJoin, skewAgg)
 
   def all: Seq[Q] = all0
 }

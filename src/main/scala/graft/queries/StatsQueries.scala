@@ -989,10 +989,80 @@ object StatsQueries {
            |                  / (greatest(c_cur::DOUBLE, 0.5) / t.n_cur))), 6) AS psi
            |FROM c CROSS JOIN t""".stripMargin))
 
+  /** Decile lift / calibration table for a classifier score — the model-
+    * eval companion to [[aucQ]] (same score, same label): rank documents
+    * by quality score, cut into 10 ECDF deciles, and report each decile's
+    * positive rate against the corpus base rate (lift). Same scale trick
+    * as the AUC/KS queries: collapse to per-DISTINCT-score counts FIRST,
+    * so the one ordered window runs over score cardinality (hundreds),
+    * never rows; the decile boundary is pure integer arithmetic
+    * (ceil(10·cum/n) as div-based floor division) so both engines cut
+    * identically — no float ECDF anywhere near a boundary. Ties share a
+    * score group and therefore a decile, so decile sizes are only
+    * approximately n/10 — that is the standard, deterministic convention
+    * for tied scores. */
+  private val liftQ = Q(
+    "stats_lift_deciles",
+    (s, dir) => {
+      import s.implicits._
+      val byScore = Tables(s, dir).documents
+        .select(($"lang" === "en").as("pos"),
+          TextOps.qualityScore($"text").as("score"))
+        .groupBy($"score")
+        .agg(sum(when($"pos", 1L).otherwise(0L)).as("np"),
+          count(lit(1)).as("nt"))
+      val w = Window.orderBy($"score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val totals = byScore.agg(sum($"nt").as("n"), sum($"np").as("n_pos"))
+      byScore
+        .withColumn("cum", sum($"nt").over(w))
+        .crossJoin(broadcast(totals))
+        // decile d = ceil(10·cum/n) via integer floor-div — exact in both
+        // engines; high scores land in decile 10
+        .withColumn("decile",
+          expr("div(10 * cum + n - 1, n)").cast("int"))
+        .groupBy($"decile")
+        .agg(sum($"nt").as("n_docs"), sum($"np").as("n_pos_d"),
+          max($"n_pos").as("n_pos"), max($"n").as("n"))
+        .select($"decile", $"n_docs",
+          round($"n_pos_d".cast("double") / $"n_docs", 6).as("pos_rate"),
+          round(($"n_pos_d".cast("double") / $"n_docs") /
+            ($"n_pos".cast("double") / $"n"), 6).as("lift"))
+        .orderBy($"decile")
+    },
+    Some("""WITH scored AS (
+           |  SELECT lang = 'en' AS pos,
+           |    round(least(length(text)::DOUBLE/500.0, 1.0)*0.5
+           |      + (1.0 - least(round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+           |                    / length(text), 6)*5.0, 1.0))*0.3
+           |      + least(round(len(list_filter(string_split(text,' '),
+           |                t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+           |              / len(string_split(text,' ')), 6)*4.0, 1.0)*0.2, 6) AS score
+           |  FROM documents),
+           |by_score AS (
+           |  SELECT score, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS np,
+           |         count(*)::BIGINT AS nt
+           |  FROM scored GROUP BY score),
+           |cum AS (
+           |  SELECT np, nt, (sum(nt) OVER (ORDER BY score
+           |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+           |  FROM by_score),
+           |t AS (SELECT sum(nt)::BIGINT AS n, sum(np)::BIGINT AS n_pos
+           |      FROM by_score),
+           |cut AS (
+           |  SELECT np, nt, ((10 * cum + t.n - 1) // t.n)::INT AS decile,
+           |         t.n, t.n_pos
+           |  FROM cum CROSS JOIN t)
+           |SELECT decile, sum(nt)::BIGINT AS n_docs,
+           |       round(sum(np)::DOUBLE / sum(nt), 6) AS pos_rate,
+           |       round((sum(np)::DOUBLE / sum(nt))
+           |             / (max(n_pos)::DOUBLE / max(n)), 6) AS lift
+           |FROM cut GROUP BY decile ORDER BY decile""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
-      aucQ, madQ, madExact, winsorize, winsorizeExact, hllCumulative, ttest, basket,
-      gini, ksTest,
+      aucQ, liftQ, madQ, madExact, winsorize, winsorizeExact, hllCumulative,
+      ttest, basket, gini, ksTest,
       zipf, anova, psi)
 }

@@ -74,4 +74,29 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(out.length === 21 && out.forall(_._2 === 0L))
   }
+
+  test("kCorePeel: fixpoint equals the true k-core; cascade peels the tail") {
+    // K4 on {1,2,3,4} (3-core) + a path 4-5-6 hanging off it. The true
+    // 3-core is exactly the K4: node 6 (deg 1) falls in round 1, node 5
+    // (deg 2, then 1) needs the CASCADE — a one-shot degree filter would
+    // wrongly keep 5 after 6 drops... no: one-shot drops 5 too (deg 2 < 3)
+    // — so make 5 depend on the cascade: give 5 degree 3 via extra spokes
+    // to 6 and 7, which both die in round 1, dropping 5's residual degree
+    // to 1 in round 2.
+    val edges = Seq(
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), // K4
+      (4, 5), (5, 6), (5, 7)                          // 5 has deg 3 initially
+    ).toDF("src", "dst")
+    // round 1 peels 6 and 7 (deg 1); round 2 peels 5 (now deg 1); K4 stable
+    val out = GraphOps.kCorePeel(edges, "src", "dst", 3, 3)
+      .as[(Int, Long)].collect().toMap
+    assert(out === Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+    // fewer rounds than the cascade needs → 5 still present with its
+    // residual edge to 4 (fixed-round semantics, what the oracle unrolls)
+    val partial = GraphOps.kCorePeel(edges, "src", "dst", 3, 1)
+      .as[(Int, Long)].collect().toMap
+    assert(partial.keySet === Set(1, 2, 3, 4, 5))
+    // k larger than any degree empties the graph
+    assert(GraphOps.kCorePeel(edges, "src", "dst", 10, 2).count() === 0L)
+  }
 }
