@@ -36,17 +36,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     * guesswork. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t("events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-      case _ => df
-    }
+    Tables.normalizeTs(t("events"))
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
@@ -57,4 +47,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** Register all tables as temp views for spark.sql(...) entry points. */
   def registerAll(): Unit =
     names.foreach(n => t(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  /** Normalize an events-shaped frame's `ts` to TimestampType regardless
+    * of how the writer encoded it (see the [[Tables.events]] Scaladoc):
+    * raw nanos longs (legacy nanosAsLong read of TIMESTAMP(NANOS)) are
+    * integer-divided to micros, TIMESTAMP_NTZ (tz-less writers, e.g.
+    * DuckDB) is cast under the pinned-UTC session tz, and TimestampType
+    * passes through. Shared by the batch reader and the streaming specs
+    * so both paths dispatch identically on the actual schema. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
 }

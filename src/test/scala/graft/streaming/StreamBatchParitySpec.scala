@@ -25,10 +25,9 @@ class StreamBatchParitySpec extends SparkSpec {
     val batchEvents = graft.core.Tables(spark, graft.TestSpark.sfDir).events
     val schema = spark.read.parquet(stageDir.toString).schema
 
-    val streamed = spark.readStream
-      .schema(schema)
-      .parquet(stageDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = graft.core.Tables.normalizeTs(spark.readStream
+        .schema(schema)
+        .parquet(stageDir.toString))
       .withWatermark("ts", "10 minutes")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
@@ -213,10 +212,9 @@ class StreamBatchParitySpec extends SparkSpec {
       stageDir.resolve("events.parquet"))
     val schema = spark.read.parquet(stageDir.toString).schema
 
-    val streamed = spark.readStream
-      .schema(schema)
-      .parquet(stageDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = graft.core.Tables.normalizeTs(spark.readStream
+        .schema(schema)
+        .parquet(stageDir.toString))
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[StreamingOps.Event]
     val q = StreamingOps
