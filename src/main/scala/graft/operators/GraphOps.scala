@@ -170,6 +170,84 @@ object GraphOps {
     degrees(e)
   }
 
+  /** Fixed-round synchronous label propagation (community detection):
+    * every node starts with its own id as label; each round EVERY node
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties broken to the smallest label — the deterministic variant of
+    * Raghavan et al.'s LPA (the async/random form is irreproducible
+    * cross-engine, so rounds and tie-break are fixed by contract exactly
+    * like [[pageRank]]'s iteration count and the oracle unrolls them).
+    *
+    * Scale posture: per round one equi-join of the (static, lineage-cut)
+    * bidirectional adjacency table against the narrow (id, label) state
+    * + one (node, label) hash aggregate + one argmax aggregate — the
+    * argmax rides a sortable (count, -label) struct, so `max` gives
+    * "most frequent, then smallest" with map-side partial aggregation
+    * and no window sort. State is never wider than two columns. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+      .cut(eager = false)
+    var labels = adj.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cut(eager = false)
+    var round = 0
+    while (round < rounds) {
+      val counts = adj
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = counts
+        .groupBy(col("a").as("id"))
+        .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("label"))
+        .cut(eager = false)
+      round += 1
+    }
+    labels
+  }
+
+  /** Fixed-round Bellman–Ford single-source shortest paths over a
+    * weighted directed edge table: `rounds` min-plus relaxations from the
+    * source set, so the result is the shortest distance among paths of at
+    * most `rounds` edges — the weighted sibling of [[shortestHops]].
+    * Integer weights keep every candidate path cost exact, so `min` is
+    * deterministic cross-engine and the oracle unrolls the identical
+    * recurrence.
+    *
+    * Scale posture: per round one equi-join of the current distance
+    * frontier (narrow (id, dist) state) against the edge table on src +
+    * one min hash-aggregate; lineage cut per round. Unlike the textbook
+    * formulation there is no |V|×rounds dense table — only reached nodes
+    * carry state. */
+  def ssspBellmanFord(edges: DataFrame, srcCol: String, dstCol: String,
+                      weightCol: String, sources: DataFrame, idCol: String,
+                      rounds: Int): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .cut(eager = false)
+    var dist = sources.select(col(idCol).as("id"), lit(0L).as("dist"))
+      .distinct()
+    var round = 0
+    while (round < rounds) {
+      val relaxed = dist.join(e, dist("id") === e("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .cut(eager = false)
+      round += 1
+    }
+    dist
+  }
+
   def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
                    sources: DataFrame, idCol: String,
                    maxHops: Int): DataFrame = {

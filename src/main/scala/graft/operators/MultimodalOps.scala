@@ -94,6 +94,55 @@ object MultimodalOps {
         f => f.isNotNull))
   }
 
+  /** Perceptual-hash STUB: 64 bits from the payload's md5 prefix. A real
+    * pipeline computes pHash/dHash from decoded pixels (DCT of the
+    * downscaled luma); the codec isn't in this environment, so the
+    * deterministic stand-in hashes the encoded bytes — which preserves
+    * the property the downstream plumbing exercises (identical payloads
+    * collide, others are ~random), and is itself the exact-duplicate
+    * image key real pipelines use before any decode. Returned as the hex
+    * string (the cross-engine-portable form; band extraction and
+    * hamming both slice it). */
+  def phash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(payload), 1, 16)
+
+  /** Banded near-dup candidate pairs over 64-bit perceptual hashes, the
+    * image-dedup sibling of DedupOps.simhash: 4 bands of 16 bits — any
+    * shared band makes a candidate (a pair within hamming distance 3
+    * shares at least one intact band by pigeonhole), then the exact
+    * 64-bit hamming distance verifies ≤ `maxHamming`.
+    *
+    * Scale posture: candidates come from a groupBy-shaped equi-join on
+    * (band index, band value) — Σ bucket², never corpus²; hamming is a
+    * scan-local expression over the two hex halves (conv → xor →
+    * bit_count). Payloads themselves never shuffle — only (id, 16-char
+    * hash) pairs do. */
+  def phashCandidatePairs(media: DataFrame, idCol: String,
+                          maxHamming: Int): DataFrame = {
+    val h = media.select(col(idCol).as("id"),
+      phash(col("media.payload")).as("h"))
+    val bands = h.select(col("id"), col("h"),
+        posexplode(array((0 to 3).map(i =>
+          substring(col("h"), 1 + 4 * i, 4)): _*)))
+      .select(col("id"), col("h"), col("pos").as("band_idx"),
+        col("col").as("band"))
+    def half(c: org.apache.spark.sql.Column, off: Int) =
+      conv(substring(c, off, 8), 16, 10).cast("long")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        (bit_count(half(col("ha"), 1).bitwiseXOR(half(col("hb"), 1))) +
+          bit_count(half(col("ha"), 9).bitwiseXOR(half(col("hb"), 9))))
+          .cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** A deterministic fake media table derived from `documents` — text
     * bytes play the payload role so fixtures need no binary files. */
   def fakeMediaFromDocuments(docs: DataFrame): DataFrame =

@@ -121,6 +121,61 @@ object TextOps {
       .select(col("id"), col("token"), col("tf"), col("df"), col("tf_idf"))
   }
 
+  /** Sparse TF-IDF cosine top-k retrieval through the inverted index —
+    * the classic ranked-retrieval shape: document similarity search
+    * WITHOUT embeddings, complementing the dense ANN family
+    * (VectorOps.ivfTopK / rpSignature). For each query document, score
+    * every candidate that shares at least one surviving token via a
+    * postings equi-join on the token, then keep the top `k` by cosine.
+    *
+    * Scale posture: the query side is bounded (broadcast into the
+    * postings join), so cost is |queries| × postings-touched, never
+    * corpus × corpus; `dfCapFrac` drops stop-tokens (df > frac·N) from
+    * the weight space — on a real corpus that caps per-token posting
+    * lists, which is THE sparse-retrieval scale lever (this fixture's
+    * 31-token vocabulary keeps everything at 0.9). Top-k runs as the
+    * bounded-heap TopKAggregator (map-side partial heaps, ≤k rows per
+    * partition shuffled), not a window sort over all candidates.
+    *
+    * Cross-engine exactness: weights are 6dp-rounded DECIMAL(18,6), so
+    * dot products and squared norms are exact decimal sums (order-
+    * independent); the one float step per pair (sqrt, divide, 6dp round)
+    * computes on identical inputs in both engines. */
+  def sparseCosineTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String,
+                       queryIds: org.apache.spark.sql.DataFrame, k: Int,
+                       dfCapFrac: Double = 0.9)
+      : org.apache.spark.sql.DataFrame = {
+    val n = broadcast(docs.agg(count(lit(1)).as("__n")))
+    val w = tfIdf(docs, idCol, textCol)
+      .crossJoin(n)
+      .filter(col("df") <= lit(dfCapFrac) * col("__n"))
+      .select(col("id"), col("token"),
+        round(col("tf_idf"), 6).cast("decimal(18,6)").as("w"))
+    val norms = w.groupBy(col("id"))
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val wn = w.join(norms, "id")
+    val q = wn.join(
+        queryIds.toDF("id").select(col("id")), Seq("id"), "left_semi")
+      .select(col("id").as("qid"), col("token"), col("w").as("qw"),
+        col("nrm").as("qn"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(k))
+    broadcast(q).join(wn, "token")
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid"), col("id"), col("qn"), col("nrm"))
+      .agg(sum(col("qw") * col("w")).as("dot"))
+      .select(col("qid"),
+        round(col("dot").cast("double") / (col("qn") * col("nrm")), 6)
+          .as("cos"),
+        col("id"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cos"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("col._2").as("neighbor_id"), col("col._1").as("cos"))
+  }
+
   /** BM25 relevance per (docId, token): Robertson idf
     * `ln(1 + (N − df + 0.5)/(df + 0.5))` with the standard
     * `tc·(k1+1) / (tc + k1·(1 − b + b·len/avgdl))` length normalization.

@@ -676,6 +676,95 @@ object EventQueries {
          |GROUP BY id ORDER BY node""".stripMargin
     })
 
+  /** Fixed-round (3) deterministic label propagation over the
+    * page-transition graph — the cheap community-detection primitive
+    * (no modularity optimization, just neighbor-majority vote with
+    * smallest-label ties). Sync rounds + deterministic tie-break make
+    * the result exactly reproducible, so the oracle unrolls the same
+    * three rounds with a row_number argmax. */
+  private val labelProp = Q(
+    "graph_label_propagation",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val edges = ev(s, dir)
+        .withColumn("dst", get_json_object($"props", "$.k").cast("int"))
+        .withColumn("src", lag($"dst", 1).over(byUser))
+        .filter($"src".isNotNull)
+      graft.operators.GraphOps.labelPropagation(edges, "src", "dst", 3)
+        .select($"id".as("node"), $"label")
+        .orderBy($"node")
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT adj.a, l.label, count(*) AS cnt
+           |        FROM adj JOIN l${i - 1} l ON adj.b = l.id
+           |        GROUP BY adj.a, l.label),
+           |l$i AS (SELECT a AS id, label FROM (
+           |  SELECT a, label, row_number() OVER
+           |    (PARTITION BY a ORDER BY cnt DESC, label) AS rn FROM c$i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lagged AS (
+         |  SELECT (props->>'k')::INT AS dst,
+         |         lag((props->>'k')::INT) OVER
+         |           (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM events),
+         |ed AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM lagged WHERE src IS NOT NULL AND src <> dst),
+         |adj AS (SELECT u AS a, v AS b FROM ed
+         |        UNION ALL SELECT v, u FROM ed),
+         |l0 AS (SELECT DISTINCT a AS id, a AS label FROM adj),
+         |$rounds
+         |SELECT id::INT AS node, label::INT AS label FROM l3
+         |ORDER BY node""".stripMargin
+    })
+
+  /** Fixed-round (3) Bellman–Ford from page 0 over the page-transition
+    * graph with integer edge costs (the transition count — "popular
+    * routes are expensive" is arbitrary but deterministic): min-plus
+    * relaxation, exact integer path costs, so min is unambiguous and the
+    * oracle unrolls the identical recurrence. The weighted sibling of
+    * graph_reachable_3hops. */
+  private val sssp = Q(
+    "graph_sssp_weighted",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val edges = ev(s, dir)
+        .withColumn("dst", get_json_object($"props", "$.k").cast("int"))
+        .withColumn("src", lag($"dst", 1).over(byUser))
+        .filter($"src".isNotNull)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      val sources = s.range(0, 1).select($"id".cast("int").as("id"))
+      graft.operators.GraphOps.ssspBellmanFord(edges, "src", "dst", "w",
+          sources, "id", 3)
+        .select($"id".as("page"), $"dist")
+        .orderBy($"page")
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""d$i AS (SELECT id, min(dist)::BIGINT AS dist FROM (
+           |  SELECT id, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst, d.dist + e.w FROM d${i - 1} d
+           |  JOIN e ON e.src = d.id) GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lagged AS (
+         |  SELECT (props->>'k')::INT AS dst,
+         |         lag((props->>'k')::INT) OVER
+         |           (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM events),
+         |e AS (SELECT src, dst, count(*)::BIGINT AS w FROM lagged
+         |      WHERE src IS NOT NULL GROUP BY src, dst),
+         |d0 AS (SELECT 0 AS id, 0::BIGINT AS dist),
+         |$rounds
+         |SELECT id::INT AS page, dist FROM d3 ORDER BY page""".stripMargin
+    })
+
   /** Last-touch attribution: each purchase's value is credited to the
     * campaign (props.k) of the most recent PRECEDING click by the same
     * user — the marketing-analytics sibling of the as-of join, expressed
@@ -723,5 +812,5 @@ object EventQueries {
   def all: Seq[Q] =
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
       intervalMerge, cdcApply, funnel, retention, pointInTime, pagerank,
-      triangles, reachable, kcore, lastTouch, wau)
+      triangles, reachable, kcore, labelProp, sssp, lastTouch, wau)
 }

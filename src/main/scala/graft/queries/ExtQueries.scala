@@ -95,5 +95,43 @@ object ExtQueries {
            |            IF i % 2 = 0]), 0)::INT AS frame_bytes
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  def all: Seq[Q] = Seq(topkAgg, multimodal, frames)
+  /** Banded pHash near-dup over the fake media table
+    * (MultimodalOps.phashCandidatePairs) — the image-dedup entry of the
+    * multimodal plane. With the md5-stub hash, survivors at hamming ≤ 3
+    * are exactly the identical-payload pairs; the PLUMBING (banding,
+    * bucket join, hamming verify) is what a real pHash would ride
+    * unchanged. The oracle rebuilds hash/bands/hamming from the text
+    * bytes (payload == utf-8 text, pure ASCII). */
+  private val phashDedup = Q(
+    "multimodal_phash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val media = MultimodalOps.fakeMediaFromDocuments(Tables(s, dir).documents)
+      MultimodalOps.phashCandidatePairs(media, "doc_id", 3)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"hamming")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id, substr(md5(text), 1, 16) AS h FROM documents),
+           |bands AS (
+           |  SELECT doc_id, h, i AS band_idx, substr(h, 1 + 4*i, 4) AS band
+           |  FROM h CROSS JOIN generate_series(0, 3) t(i)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         a.h AS ha, b.h AS hb
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band = b.band
+           |   AND a.doc_id < b.doc_id),
+           |ham AS (
+           |  SELECT doc_a, doc_b,
+           |         (bit_count(xor(('0x' || substr(ha, 1, 8))::BIGINT,
+           |                        ('0x' || substr(hb, 1, 8))::BIGINT)) +
+           |          bit_count(xor(('0x' || substr(ha, 9, 8))::BIGINT,
+           |                        ('0x' || substr(hb, 9, 8))::BIGINT)))::INT
+           |           AS hamming
+           |  FROM cand)
+           |SELECT doc_a, doc_b, hamming FROM ham
+           |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin))
+
+  def all: Seq[Q] = Seq(topkAgg, multimodal, frames, phashDedup)
 }

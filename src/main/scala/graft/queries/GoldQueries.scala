@@ -657,8 +657,56 @@ object GoldQueries {
            |       round(max(l_extendedprice), 2) AS max_price
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Rolling z-score anomaly screen: each user's daily close against its
+    * own trailing-20-day mean/σ, |z| > 2 flagged — the univariate
+    * anomaly-detection shape (statistical process control on a per-key
+    * series). Same daily-close spine and bounded ROWS-frame single
+    * window pass as gold_rolling_corr, and the same ANSI guard:
+    * `try_divide` reproduces DuckDB's NULL for zero-variance and
+    * single-row frames where Spark's `/` would throw DIVIDE_BY_ZERO
+    * under ANSI mode. The three frame aggregates (avg, stddev) share one
+    * frame so WindowExec evaluates them in a single pass; one shuffle on
+    * the key, cost O(rows), frame bounded at 20. */
+  private val rollingZscore = Q(
+    "gold_rolling_zscore",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir).events
+        .select($"user_id", to_date($"ts").as("date"), $"ts", $"event_id",
+          $"value")
+        .groupBy($"user_id", $"date")
+        .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
+      val w = Window.partitionBy($"user_id").orderBy($"date")
+        .rowsBetween(-19, Window.currentRow)
+      daily
+        .withColumn("z", try_divide($"close" - avg($"close").over(w),
+          stddev_samp($"close").over(w)))
+        .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
+          round($"close", 2).as("close"), round($"z", 6).as("z"),
+          coalesce(abs($"z") > 2.0, lit(false)).as("is_anomaly"))
+        .orderBy($"user_id", $"date")
+    },
+    Some("""WITH px AS (
+           |  SELECT user_id, date, value AS close
+           |  FROM (SELECT user_id, ts::DATE AS date, value,
+           |               row_number() OVER (PARTITION BY user_id, ts::DATE
+           |                 ORDER BY ts DESC, event_id DESC) AS rn
+           |        FROM events)
+           |  WHERE rn = 1),
+           |z AS (
+           |  SELECT user_id, date, close,
+           |         (close - avg(close) OVER w) / nullif(stddev_samp(close)
+           |            OVER w, 0) AS z
+           |  FROM px
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY date
+           |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+           |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
+           |       round(close, 2) AS close, round(z, 6) AS z,
+           |       coalesce(abs(z) > 2.0, false) AS is_anomaly
+           |FROM z ORDER BY user_id, date""".stripMargin))
+
   def all: Seq[Q] =
     Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,
       gapFill, rollingMedian, rollingCorr, asofNearest, rolling7d, ewma,
-      twap, incrMerge)
+      twap, incrMerge, rollingZscore)
 }

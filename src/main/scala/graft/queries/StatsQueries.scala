@@ -1059,10 +1059,138 @@ object StatsQueries {
            |             / (max(n_pos)::DOUBLE / max(n)), 6) AS lift
            |FROM cut GROUP BY decile ORDER BY decile""".stripMargin))
 
+  /** CUSUM change-point localization over the daily mean of events.value:
+    * S_d = Σ_{d'≤d} (x_{d'} − μ), the day where |S| peaks being the
+    * classic level-shift estimate. All accumulation is in integer
+    * micro-units (the 6dp-rounded daily mean ×1e6 snapped to BIGINT, μ
+    * likewise), so the running sum is exact and order-independent in
+    * both engines — the only floats are the initial per-day avg (same
+    * pattern as gold_rolling_corr's market series) and the final /1e6
+    * display division. The running sum is a single ordered window over
+    * one-row-per-day — series length is calendar-bounded, so the
+    * single-partition window is O(days), not O(events). */
+  private val cusum = Q(
+    "stats_cusum_changepoint",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir).events
+        .groupBy(to_date($"ts").as("day"))
+        .agg(round(avg($"value"), 6).as("x"))
+        .withColumn("xi", round($"x" * 1e6).cast("long"))
+      val mu = daily.agg(
+        round(sum($"xi").cast("double") / count(lit(1))).cast("long")
+          .as("mui"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val withS = daily.crossJoin(broadcast(mu))
+        .withColumn("si", sum($"xi" - $"mui").over(w))
+      val peak = withS.agg(max(abs($"si")).as("peak"))
+      withS.crossJoin(broadcast(peak))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"),
+          round($"x", 6).as("daily_mean"),
+          round($"si".cast("double") / 1e6, 6).as("cusum"),
+          (abs($"si") === $"peak").as("is_peak"))
+        .orderBy($"day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT ts::DATE AS day, round(avg(value), 6) AS x
+           |  FROM events GROUP BY 1),
+           |di AS (SELECT day, x, round(x * 1e6)::BIGINT AS xi FROM daily),
+           |mu AS (SELECT round(sum(xi) / count(*))::BIGINT AS mui FROM di),
+           |s AS (SELECT day, x,
+           |        sum(xi - mui) OVER (ORDER BY day
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |          AS si
+           |      FROM di CROSS JOIN mu),
+           |pk AS (SELECT max(abs(si)) AS peak FROM s)
+           |SELECT strftime(day, '%Y-%m-%d') AS day,
+           |       round(x, 6) AS daily_mean,
+           |       round(si::DOUBLE / 1e6, 6) AS cusum,
+           |       (abs(si) = peak) AS is_peak
+           |FROM s CROSS JOIN pk ORDER BY day""".stripMargin))
+
+  /** Benford first-digit conformance over lineitem.l_extendedprice — the
+    * data-quality / fraud-screen primitive: observed first-significant-
+    * digit shares vs the Benford expectation log10(1+1/d). Counts are
+    * exact integers (scan-local digit extraction + one 9-row hash agg);
+    * the only floats are the two share divisions and the log10, computed
+    * identically in both engines from identical integers. */
+  private val benford = Q(
+    "stats_benford_digits",
+    (s, dir) => {
+      import s.implicits._
+      val digits = Tables(s, dir).lineitem
+        .select(substring($"l_extendedprice".cast("bigint").cast("string"),
+          1, 1).cast("int").as("digit"))
+      val total = digits.agg(count(lit(1)).as("total"))
+      digits.groupBy($"digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select($"digit", $"n",
+          round($"n".cast("double") / $"total", 6).as("share"),
+          round(log10(lit(1.0) + lit(1.0) / $"digit"), 6)
+            .as("expected_share"),
+          round($"n".cast("double") / $"total" -
+            log10(lit(1.0) + lit(1.0) / $"digit"), 6).as("deviation"))
+        .orderBy($"digit")
+    },
+    Some("""WITH d AS (
+           |  -- trunc, not ::BIGINT: DuckDB's int cast rounds half-away
+           |  -- where Spark's cast truncates
+           |  SELECT substr(trunc(l_extendedprice)::BIGINT::VARCHAR, 1, 1)::INT
+           |           AS digit
+           |  FROM lineitem),
+           |tot AS (SELECT count(*)::DOUBLE AS total FROM d)
+           |SELECT digit, count(*)::BIGINT AS n,
+           |       round(count(*) / total, 6) AS share,
+           |       round(log10(1.0 + 1.0 / digit), 6) AS expected_share,
+           |       round(count(*) / total - log10(1.0 + 1.0 / digit), 6)
+           |         AS deviation
+           |FROM d CROSS JOIN tot
+           |GROUP BY digit, total ORDER BY digit""".stripMargin))
+
+  /** Shannon entropy of the event-type mix per day — the drift-monitor
+    * primitive for categorical columns (a collapsing mix shows up as
+    * falling entropy before any single share alarms). Counts are exact;
+    * each −p·log2(p) term is rounded to 7dp and summed as DECIMAL so the
+    * cross-engine result is order-independent (the PSI/PMI prerounding
+    * pattern); one narrow (day, type) hash agg + a per-day sum. */
+  private val entropyDaily = Q(
+    "stats_entropy_daily",
+    (s, dir) => {
+      import s.implicits._
+      val counts = Tables(s, dir).events
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy($"day").agg(sum($"n").as("total"))
+      counts.join(totals, "day")
+        .withColumn("p", $"n".cast("double") / $"total")
+        .withColumn("term",
+          round(-$"p" * log2($"p"), 7).cast("decimal(12,7)"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_types"),
+          round(sum($"term").cast("double"), 6).as("entropy_bits"))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"),
+          $"n_types", $"entropy_bits")
+        .orderBy($"day")
+    },
+    Some("""WITH c AS (
+           |  SELECT ts::DATE AS day, event_type, count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |t AS (SELECT day, sum(n) AS total FROM c GROUP BY day),
+           |terms AS (
+           |  SELECT c.day,
+           |         round(-(n::DOUBLE/total) * log2(n::DOUBLE/total), 7)
+           |           ::DECIMAL(12,7) AS term
+           |  FROM c JOIN t USING (day))
+           |SELECT strftime(day, '%Y-%m-%d') AS day,
+           |       count(*)::BIGINT AS n_types,
+           |       round(sum(term)::DOUBLE, 6) AS entropy_bits
+           |FROM terms GROUP BY day ORDER BY day""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
       aucQ, liftQ, madQ, madExact, winsorize, winsorizeExact, hllCumulative,
       ttest, basket, gini, ksTest,
-      zipf, anova, psi)
+      zipf, anova, psi, cusum, benford, entropyDaily)
 }

@@ -623,8 +623,54 @@ object TextQueries {
            |SELECT doc_id, canonical_url, count(*) AS n_variants
            |FROM c GROUP BY doc_id, canonical_url ORDER BY doc_id""".stripMargin))
 
+  /** Sparse TF-IDF cosine top-10 retrieval (TextOps.sparseCosineTopK):
+    * inverted-index document search, the embedding-free complement of
+    * sim_ivf_topk. Query side = docs 0–4, broadcast into the postings
+    * join; top-k via the bounded-heap aggregator. Weights are
+    * 6dp-rounded decimals so both engines rank identical exact dot
+    * products (ties broken by neighbor id in both). */
+  private val sparseTopk = Q(
+    "sim_sparse_tfidf_topk",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir).documents
+      val qids = docs.filter($"doc_id" < 5).select($"doc_id")
+      TextOps.sparseCosineTopK(docs, "doc_id", "text", qids, 10)
+        .select($"qid".as("query_id"), $"rank", $"neighbor_id", $"cos")
+        .orderBy($"query_id", $"rank")
+    },
+    Some("""WITH n AS (SELECT count(*)::DOUBLE AS nn FROM documents),
+           |toks AS (SELECT doc_id, len(string_split(text,' ')) AS doc_len,
+           |                unnest(string_split(text,' ')) AS token
+           |         FROM documents),
+           |tf AS (SELECT doc_id, token, doc_len, count(*) AS tc
+           |       FROM toks GROUP BY 1, 2, 3),
+           |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           |w AS (SELECT tf.doc_id, tf.token,
+           |        round((tc::DOUBLE/doc_len) * ln((nn+1)/(df+1)), 6)
+           |          ::DECIMAL(18,6) AS w
+           |      FROM tf JOIN dfq USING (token) CROSS JOIN n
+           |      WHERE df <= 0.9 * nn),
+           |nrm AS (SELECT doc_id, sqrt((sum(w*w))::DOUBLE) AS nrm
+           |        FROM w GROUP BY doc_id),
+           |dots AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+           |           sum(q.w * c.w) AS dot
+           |         FROM w q JOIN w c USING (token)
+           |         WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id
+           |         GROUP BY 1, 2),
+           |scored AS (SELECT query_id, neighbor_id,
+           |             round(dot::DOUBLE / (qn.nrm * cn.nrm), 6) AS cos
+           |           FROM dots JOIN nrm qn ON qn.doc_id = query_id
+           |                     JOIN nrm cn ON cn.doc_id = neighbor_id)
+           |SELECT query_id, rank, neighbor_id, cos FROM (
+           |  SELECT *, (row_number() OVER
+           |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id))::INT
+           |    AS rank
+           |  FROM scored) WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, bm25Q,
       chunkQ, piiRedact, normalizeQ, perplexityQ, pmiQ, vocabOovQ, bpePairs,
-      bpeTrainQ, chi2, encodeQ, urlCanon)
+      bpeTrainQ, chi2, encodeQ, urlCanon, sparseTopk)
 }

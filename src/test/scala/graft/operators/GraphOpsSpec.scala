@@ -99,4 +99,52 @@ class GraphOpsSpec extends SparkSpec {
     // k larger than any degree empties the graph
     assert(GraphOps.kCorePeel(edges, "src", "dst", 10, 2).count() === 0L)
   }
+
+  test("labelPropagation: cliques converge to min label, ties break low") {
+    // two triangles {1,2,3} and {10,11,12} joined by a bridge 3-10
+    val e = Seq((1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12),
+      (3, 10)).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(e, "src", "dst", 3)
+      .as[(Int, Int)].collect().toMap
+    // hand-simulated 3 sync rounds: clique one settles on its min id 1;
+    // clique two settles homogeneously on 3 (the bridge node's id leaks
+    // through 10 in round 1 and wins every later tie — min-tie-break LPA
+    // pulls LOW ids across bridges, which is exactly what the fixed
+    // rounds pin down)
+    assert(out.keySet === Set(1, 2, 3, 10, 11, 12))
+    assert(out(1) === 1 && out(2) === 1 && out(3) === 1)
+    assert(out(10) === 3 && out(11) === 3 && out(12) === 3)
+    // a single undirected edge: each adopts the other's label in round 1,
+    // swaps back in round 2, swaps again in round 3 (sync LPA oscillation
+    // on bipartite structure — the documented fixed-round contract)
+    val pair = GraphOps.labelPropagation(
+      Seq((100, 200)).toDF("src", "dst"), "src", "dst", 3)
+      .as[(Int, Int)].collect().toMap
+    assert(pair === Map(100 -> 200, 200 -> 100))
+  }
+
+  test("ssspBellmanFord: cheaper multi-hop beats direct edge, round-bounded") {
+    // 0→1 cost 10; 0→2 cost 1, 2→1 cost 1 (2-hop total 2 beats direct 10);
+    // 1→3 cost 1; 3→4 cost 1. At rounds=3 node 4 is only reachable via
+    // the EXPENSIVE prefix (10+1+1): the cheap 4-edge path needs a 4th
+    // relaxation — fixed-round min-plus gives "best cost over ≤ rounds
+    // edges", not the fixpoint, exactly what the oracle unrolls.
+    val e = Seq((0, 1, 10L), (0, 2, 1L), (2, 1, 1L), (1, 3, 1L),
+      (3, 4, 1L)).toDF("src", "dst", "w")
+    val out = GraphOps.ssspBellmanFord(e, "src", "dst", "w",
+        Seq(0).toDF("id"), "id", 3)
+      .as[(Int, Long)].collect().toMap
+    assert(out === Map(0 -> 0L, 1 -> 2L, 2 -> 1L, 3 -> 3L, 4 -> 12L))
+    // one more round lets the cheap route overtake: 4 settles to 3+1
+    val out4 = GraphOps.ssspBellmanFord(e, "src", "dst", "w",
+        Seq(0).toDF("id"), "id", 4)
+      .as[(Int, Long)].collect().toMap
+    assert(out4 === out.updated(4, 4L))
+    // parallel edges keep the min weight
+    val multi = GraphOps.ssspBellmanFord(
+      Seq((0, 1, 5L), (0, 1, 2L)).toDF("src", "dst", "w"), "src", "dst",
+      "w", Seq(0).toDF("id"), "id", 1)
+      .as[(Int, Long)].collect().toMap
+    assert(multi(1) === 2L)
+  }
 }

@@ -34,6 +34,34 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(row.mime.startsWith("application/x-fake-"))
   }
 
+  test("phash near-dup: identical payloads pair at hamming 0, others drop") {
+    val docs = Seq(
+      (1L, "the same exact payload bytes", "s_1", 28L),
+      (2L, "the same exact payload bytes", "s_1", 28L),
+      (3L, "a completely different document body", "s_2", 36L),
+      (4L, "the same exact payload bytes", "s_3", 28L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val m = MultimodalOps.fakeMediaFromDocuments(docs)
+    val pairs = MultimodalOps.phashCandidatePairs(m, "doc_id", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // all three identical-payload pairs, each at distance 0; doc 3's
+    // random-looking md5 shares no 16-bit band, so it never pairs
+    assert(pairs === Set((1L, 2L, 0), (1L, 4L, 0), (2L, 4L, 0)))
+    // widening the threshold cannot add pairs that share no band
+    val wide = MultimodalOps.phashCandidatePairs(m, "doc_id", 64)
+      .as[(Long, Long, Int)].collect()
+    assert(wide.forall(p => p._3 <= 64))
+    // the hamming column is the true 64-bit distance: recompute one pair
+    // driver-side from the md5 prefixes
+    val h = docs.select($"doc_id",
+        MultimodalOps.phash(to_binary($"text", lit("utf-8"))).as("h"))
+      .as[(Long, String)].collect().toMap
+    def bits(s: String) = java.lang.Long.parseUnsignedLong(s, 16)
+    wide.foreach { case (a, b, d) =>
+      assert(java.lang.Long.bitCount(bits(h(a)) ^ bits(h(b))) === d)
+    }
+  }
+
   test("frame sampling: stride-2 keeps every other 256-byte block") {
     val df = Seq(("x" * 1000)).toDF("t")
       .select(MultimodalOps.sampleFrames(to_binary($"t", lit("utf-8")), 2).as("frames"))

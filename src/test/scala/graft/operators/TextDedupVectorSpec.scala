@@ -227,6 +227,53 @@ class TextOpsSpec extends SparkSpec {
     assert(kept === Set(None, Some(9999L)))
   }
 
+  test("sparseCosineTopK: exact duplicate ranks first at cos 1, ranking matches brute force") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),          // exact dup of 0
+      (2L, "alpha beta epsilon zeta"),          // half-overlap
+      (3L, "eta theta iota kappa"),             // disjoint vocab
+      (4L, "alpha alpha alpha beta"))           // skewed tf
+      .toDF("doc_id", "text")
+    val out = TextOps.sparseCosineTopK(docs, "doc_id", "text",
+        Seq(0L).toDF("doc_id"), 10, dfCapFrac = 1.0)
+      .as[(Long, Int, Long, Double)].collect()
+      .sortBy(_._2)
+    // the exact duplicate is rank 1 with cosine exactly 1 (identical
+    // 6dp-rounded decimal weight vectors)
+    assert(out.head._3 === 1L && out.head._4 === 1.0)
+    // disjoint-vocab doc 3 shares no token -> never a candidate row
+    assert(!out.exists(_._3 === 3L))
+    // brute-force check of the full ranking: recompute tf-idf cosines
+    // driver-side with the same smoothing and 6dp weight rounding
+    val texts = docs.as[(Long, String)].collect().toMap
+    val n = texts.size.toDouble
+    val tokd = texts.map { case (id, t) => id -> t.split(" ").toSeq }
+    val df = tokd.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    def wvec(id: Long): Map[String, BigDecimal] = {
+      val toks = tokd(id)
+      toks.groupBy(identity).map { case (t, xs) =>
+        val tf = xs.size.toDouble / toks.size
+        val w = tf * math.log((n + 1) / (df(t) + 1))
+        t -> BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    val q = wvec(0L)
+    val qn = math.sqrt(q.values.map(x => (x * x).toDouble).sum)
+    val expected = tokd.keys.filter(_ != 0L).toSeq
+      .map { id =>
+        val v = wvec(id)
+        val dot = q.keys.toSeq.intersect(v.keys.toSeq)
+          .map(t => (q(t) * v(t)).toDouble).sum
+        val cn = math.sqrt(v.values.map(x => (x * x).toDouble).sum)
+        (id, BigDecimal(dot / (qn * cn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .filter(_._2 > 0.0).sortBy { case (id, c) => (-c, id) }
+    assert(out.map(r => (r._3, r._4)).toSeq === expected)
+  }
+
   test("importance weights: target-like docs outrank off-target docs") {
     // target slice speaks {x,y}; off-target speaks {p,q}; a fresh doc of
     // x/y must get a higher log-ratio weight than one of p/q
