@@ -153,6 +153,32 @@ object RelationalOps {
       .drop("_rn")
   }
 
+  /** CDC incremental upsert: fold one micro-batch of a change log into
+    * the CURRENT STATE maintained by [[applyCdc]] — the streaming MERGE.
+    * State rows are themselves the latest surviving ops (they keep
+    * orderCol/tieCol/opCol), so the merge re-collapses (touched state ∪
+    * batch) with the same last-writer-wins rule: a newer batch op
+    * replaces the state row, a delete tombstones it, and a key whose
+    * only ops are older than the state row is a no-op. Same in-order
+    * contract as [[scd2UpsertBatch]] (per key, batches arrive in
+    * nondecreasing (orderCol, tieCol) order).
+    *
+    * Scale posture: the micro-batch's key set is broadcast into a
+    * semi/anti join pair — the state table is never shuffled, and only
+    * touched keys pay the window re-collapse. */
+  def cdcUpsertBatch(state: DataFrame, batch: DataFrame, keyCol: String,
+                     orderCol: String, tieCol: String, opCol: String,
+                     deleteOp: String = "D"): DataFrame = {
+    val cols = state.columns.map(col)
+    val keys = batch.select(col(keyCol)).distinct()
+    val touched = state.join(broadcast(keys), Seq(keyCol), "left_semi")
+    val untouched = state.join(broadcast(keys), Seq(keyCol), "left_anti")
+    val merged = applyCdc(
+      touched.select(cols: _*).unionByName(batch.select(cols: _*)),
+      keyCol, orderCol, tieCol, opCol, deleteOp)
+    untouched.unionByName(merged)
+  }
+
   /** SCD2 incremental upsert: fold one micro-batch of change rows into an
     * existing history built by `scd2`. History segments ARE the collapsed
     * change log (`orderCol` is each segment's effective-from), so the

@@ -146,15 +146,21 @@ object TextOps {
                        queryIds: org.apache.spark.sql.DataFrame, k: Int,
                        dfCapFrac: Double = 0.9)
       : org.apache.spark.sql.DataFrame = {
+    import graft.core.Lineage.LineageOps
     val n = broadcast(docs.agg(count(lit(1)).as("__n")))
+    // the weight table feeds THREE consumers (norms agg, postings side,
+    // query side) — cut its lineage so the tokenize+tf+df chain runs
+    // once, not per consumer; likewise the normed postings table feeds
+    // both join sides
     val w = tfIdf(docs, idCol, textCol)
       .crossJoin(n)
       .filter(col("df") <= lit(dfCapFrac) * col("__n"))
       .select(col("id"), col("token"),
         round(col("tf_idf"), 6).cast("decimal(18,6)").as("w"))
+      .cut(eager = false)
     val norms = w.groupBy(col("id"))
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
-    val wn = w.join(norms, "id")
+    val wn = w.join(norms, "id").cut(eager = false)
     val q = wn.join(
         queryIds.toDF("id").select(col("id")), Seq("id"), "left_semi")
       .select(col("id").as("qid"), col("token"), col("w").as("qw"),

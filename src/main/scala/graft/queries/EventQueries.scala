@@ -676,6 +676,98 @@ object EventQueries {
          |GROUP BY id ORDER BY node""".stripMargin
     })
 
+  /** Laplace-smoothed Markov transition matrix over the page-transition
+    * stream, top-3 next pages per source — the user-journey model
+    * (where does page X send people?) that graph_pagerank consumes
+    * implicitly but never exposes. P(dst|src) = (c+1)/(row_total+V)
+    * with V = distinct destination pages, so unseen transitions get
+    * mass > 0 and rows sum to 1 over the full page set. Counts are
+    * exact integers; V and row totals are tiny broadcast aggregates;
+    * the top-3 cut ranks on 6dp-prerounded probability with dst
+    * tie-break, deterministic cross-engine. One (src,dst) hash agg +
+    * a window over src — no pair explosion. */
+  private val markov = Q(
+    "events_markov_transitions",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val trans = ev(s, dir)
+        .withColumn("dst", get_json_object($"props", "$.k").cast("int"))
+        .withColumn("src", lag($"dst", 1).over(byUser))
+        .filter($"src".isNotNull)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("c"))
+      val v = trans.agg(count_distinct($"dst").as("v"))
+      val rowTotals = trans.groupBy($"src").agg(sum($"c").as("row_total"))
+      val byProb = org.apache.spark.sql.expressions.Window
+        .partitionBy($"src").orderBy($"p".desc, $"dst")
+      trans.join(rowTotals, "src").crossJoin(broadcast(v))
+        .withColumn("p",
+          round(($"c" + 1).cast("double") / ($"row_total" + $"v"), 6))
+        .withColumn("rank", row_number().over(byProb))
+        .filter($"rank" <= 3)
+        .select($"src", $"rank", $"dst", $"c", $"p")
+        .orderBy($"src", $"rank")
+    },
+    Some("""WITH lagged AS (
+           |  SELECT (props->>'k')::INT AS dst,
+           |         lag((props->>'k')::INT) OVER
+           |           (PARTITION BY user_id ORDER BY ts, event_id) AS src
+           |  FROM events),
+           |trans AS (SELECT src, dst, count(*) AS c FROM lagged
+           |          WHERE src IS NOT NULL GROUP BY src, dst),
+           |v AS (SELECT count(DISTINCT dst) AS v FROM trans),
+           |rt AS (SELECT src, sum(c) AS row_total FROM trans GROUP BY src),
+           |p AS (SELECT src, dst, c,
+           |        round((c + 1)::DOUBLE / (row_total + v), 6) AS p
+           |      FROM trans JOIN rt USING (src) CROSS JOIN v)
+           |SELECT src, rank, dst, c, p FROM (
+           |  SELECT *, (row_number() OVER
+           |    (PARTITION BY src ORDER BY p DESC, dst))::INT AS rank
+           |  FROM p)
+           |WHERE rank <= 3 ORDER BY src, rank""".stripMargin))
+
+  /** Day-of-week seasonality screen: per event type, each day's count
+    * against that type's same-weekday baseline (mean daily count over
+    * the observed range), flagging days whose ratio leaves [0.5, 2] —
+    * the "is today's traffic normal FOR A TUESDAY" shape that a global
+    * mean gets wrong. Counts exact; baseline = one 7×types broadcast
+    * agg; ratio a single float division, 6dp both engines. */
+  private val dowSeason = Q(
+    "events_dow_seasonality",
+    (s, dir) => {
+      import s.implicits._
+      val daily = ev(s, dir)
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", dayofweek($"day"))
+      val base = daily.groupBy($"dow", $"event_type")
+        .agg(sum($"n").as("tot"), count(lit(1)).as("days"))
+      daily.join(broadcast(base), Seq("dow", "event_type"))
+        .withColumn("baseline",
+          round($"tot".cast("double") / $"days", 6))
+        .withColumn("ratio", round($"n" * $"days" / $"tot".cast("double"), 6))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"event_type",
+          $"dow", $"n", $"baseline", $"ratio",
+          ($"ratio" < 0.5 || $"ratio" > 2.0).as("is_unusual"))
+        .orderBy($"day", $"event_type")
+    },
+    Some("""WITH daily AS (
+           |  SELECT ts::DATE AS day, event_type, count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |d2 AS (SELECT *, dayofweek(day) + 1 AS dow FROM daily),
+           |base AS (SELECT dow, event_type, sum(n) AS tot,
+           |                count(*) AS days
+           |         FROM d2 GROUP BY dow, event_type)
+           |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.event_type,
+           |       d.dow::INT AS dow, d.n,
+           |       round(tot / days::DOUBLE, 6) AS baseline,
+           |       round(d.n * days / tot::DOUBLE, 6) AS ratio,
+           |       (round(d.n * days / tot::DOUBLE, 6) < 0.5 OR
+           |        round(d.n * days / tot::DOUBLE, 6) > 2.0) AS is_unusual
+           |FROM d2 d JOIN base USING (dow, event_type)
+           |ORDER BY day, event_type""".stripMargin))
+
   /** Fixed-round (3) deterministic label propagation over the
     * page-transition graph — the cheap community-detection primitive
     * (no modularity optimization, just neighbor-majority vote with
@@ -812,5 +904,6 @@ object EventQueries {
   def all: Seq[Q] =
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
       intervalMerge, cdcApply, funnel, retention, pointInTime, pagerank,
-      triangles, reachable, kcore, labelProp, sssp, lastTouch, wau)
+      triangles, reachable, kcore, labelProp, sssp, markov, dowSeason,
+      lastTouch, wau)
 }
