@@ -207,8 +207,11 @@ object GraphOps {
         .groupBy(col("a").as("id"))
         .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("id"), (-col("m.nl")).as("label"))
-        .cut(eager = false)
       round += 1
+      // cut BETWEEN rounds only: intermediate lineage must not snowball,
+      // but the final round's plan stays inspectable (plan-quality specs
+      // assert the argmax shape) and skips one needless checkpoint
+      if (round < rounds) labels = labels.cut(eager = false)
     }
     labels
   }

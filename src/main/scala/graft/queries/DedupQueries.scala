@@ -398,7 +398,61 @@ object DedupQueries {
             |FROM c WHERE greatest(shared/sa, shared/sb) >= 0.8
             |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Cluster-size audit over the near-dup components — the dedup QA
+    * report every corpus run ships with (how much mass sits in big
+    * duplicate families vs singletons, and what one keep-one-per-cluster
+    * pass would remove). Rides the identical CC build as
+    * dedup_components, then two tiny aggregates: label → size,
+    * size → (n_clusters, docs, docs_removed). Singletons (docs in no
+    * pair) count as size-1 clusters via the left-join coalesce. */
+  private val clusterSizes = Q(
+    "dedup_cluster_sizes",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val withShingles = d
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      val pairs = DedupOps.jaccardPairsAuto(withShingles, "doc_id", "shingles", 0.5)
+      val comps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      d.select($"doc_id")
+        .join(comps, $"doc_id" === $"id", "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("rep"))
+        .groupBy($"rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * $"cluster_size").as("docs"),
+          (count(lit(1)) * ($"cluster_size" - 1)).as("docs_removed"))
+        .orderBy($"cluster_size")
+    },
+    Some(s"""WITH RECURSIVE $shingleCteBody,
+            |post AS (SELECT doc_id, unnest(s) tok FROM sh),
+            |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+            |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id),
+            |prs AS (SELECT a, b
+            |        FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+            |        WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+            |              / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+            |edges AS (SELECT a AS src, b AS dst FROM prs
+            |          UNION SELECT b, a FROM prs),
+            |reach AS (
+            |  SELECT src AS id, src AS r FROM edges
+            |  UNION
+            |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+            |labeled AS (
+            |  SELECT d2.doc_id, coalesce(min(reach.r), d2.doc_id) AS rep
+            |  FROM documents d2 LEFT JOIN reach ON reach.id = d2.doc_id
+            |  GROUP BY d2.doc_id),
+            |sizes AS (SELECT rep, count(*) AS cluster_size
+            |          FROM labeled GROUP BY rep)
+            |SELECT cluster_size,
+            |       count(*)::BIGINT AS n_clusters,
+            |       (count(*) * cluster_size)::BIGINT AS docs,
+            |       (count(*) * (cluster_size - 1))::BIGINT AS docs_removed
+            |FROM sizes GROUP BY cluster_size
+            |ORDER BY cluster_size""".stripMargin))
+
   def all: Seq[Q] =
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
-      minhash, simhashQ, lines, bloomDelta, fuzzy, substring, containment)
+      minhash, simhashQ, lines, bloomDelta, fuzzy, substring, containment,
+      clusterSizes)
 }

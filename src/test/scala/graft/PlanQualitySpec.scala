@@ -97,7 +97,8 @@ class PlanQualitySpec extends SparkSpec {
     // deliberate broadcast cross product over 8 centroids; the pair join
     // itself is the blocked equi-join, spec-asserted by block invariance)
     for (name <- Seq("dedup_ppjoin_jaccard", "dedup_inverted_index_pairs",
-        "dedup_minhash_lsh", "sim_lsh_rp_auto", "dedup_substring_spans")) {
+        "dedup_minhash_lsh", "sim_lsh_rp_auto", "dedup_substring_spans",
+        "multimodal_phash_neardup")) {
       val plan = physicalPlan(SparkEntry.queries(name)(spark, TestSpark.sfDir))
       assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$name must generate candidates via equi-join:\n${plan.take(800)}")
@@ -413,6 +414,33 @@ class PlanQualitySpec extends SparkSpec {
       .groupBy($"c_mktsegment").count()
       .as[(String, Long)].collect().toMap
     assert(plain === salted)
+  }
+
+  test("sparse retrieval: query side broadcasts, top-k is a bounded heap, no pair scan") {
+    val q = SparkEntry.queries("sim_sparse_tfidf_topk")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // the bounded query side must broadcast into the postings join — the
+    // corpus postings table must never shuffle against itself
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query postings must broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"candidates must come from the token equi-join:\n${plan.take(800)}")
+    // final top-k is the bounded-heap aggregator, not a window sort over
+    // every scored candidate
+    assert(!plan.contains("Window"),
+      s"top-k must not be a window:\n${plan.take(800)}")
+    assert(plan.split("ObjectHashAggregate").length - 1 >= 2,
+      s"expected partial+final bounded-heap aggregate:\n${plan.take(800)}")
+  }
+
+  test("label propagation argmax partial-aggregates map-side (no per-round window)") {
+    val q = SparkEntry.queries("graph_label_propagation")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // the per-round most-frequent-label argmax rides a (count, -label)
+    // struct max — mergeable, map-side combined; a row_number window
+    // would sort-shuffle every (node, label) row every round
+    assert(plan.contains("partial_max"),
+      s"argmax must be a partial max aggregate:\n${plan.take(800)}")
   }
 
   test("SQL surface: native functions registered via SparkSessionExtensions") {
