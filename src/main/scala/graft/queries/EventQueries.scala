@@ -676,6 +676,138 @@ object EventQueries {
          |GROUP BY id ORDER BY node""".stripMargin
     })
 
+  /** Per-day table checksums — the anti-entropy primitive for verifying
+    * a replicated/migrated table without moving it: each row folds to a
+    * 32-bit portable hash (md5 prefix of a canonical field encoding,
+    * the engine's shared cross-engine hash) and each day reports
+    * (row count, Σ hash) — equal checksums ⇒ partitions almost surely
+    * identical, and a mismatch names the day to re-sync. Scan-local
+    * hash + one narrow agg; exact integer sums. */
+  private val checksums = Q(
+    "recon_partition_checksums",
+    (s, dir) => {
+      import s.implicits._
+      // value folds in as integer cents: float-to-string formatting is
+      // engine-specific, integer strings are not
+      val canon = concat_ws("|", $"event_id", $"user_id", $"event_type",
+        round($"value" * 100).cast("long"), unix_micros($"ts"))
+      ev(s, dir)
+        .select(to_date($"ts").as("day"),
+          conv(substring(md5(canon), 1, 8), 16, 10).cast("long").as("h"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n_rows",
+          $"checksum")
+        .orderBy($"day")
+    },
+    Some("""WITH h AS (
+           |  SELECT ts::DATE AS day,
+           |         ('0x' || substr(md5(
+           |            event_id::VARCHAR || '|' || user_id::VARCHAR || '|' ||
+           |            event_type || '|' || round(value * 100)::BIGINT::VARCHAR
+           |            || '|' || epoch_us(ts)::VARCHAR), 1, 8))::BIGINT AS h
+           |  FROM events)
+           |SELECT strftime(day, '%Y-%m-%d') AS day,
+           |       count(*)::BIGINT AS n_rows, sum(h)::BIGINT AS checksum
+           |FROM h GROUP BY day ORDER BY day""".stripMargin))
+
+  /** Key-skew profiler over events.user_id — the measurement that
+    * justifies (or vetoes) the salted plans in SkewOps: per-key group
+    * sizes reduced to distinct-size cumulatives (the stats_ks_drift
+    * trick — the window runs over DISTINCT sizes, never keys, so the
+    * report is O(distinct sizes) at any key cardinality), then exact
+    * p50/p99 group size, the max, and the top key's share of all rows.
+    * A max/p50 ratio near 1 says salting buys nothing; a hot key says
+    * shard it. */
+  private val keySkew = Q(
+    "profile_key_skew",
+    (s, dir) => {
+      import s.implicits._
+      val sizes = ev(s, dir).groupBy($"user_id")
+        .agg(count(lit(1)).as("sz"))
+      val bySize = sizes.groupBy($"sz").agg(count(lit(1)).as("keys"))
+      val w = Window.orderBy($"sz")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = bySize.withColumn("ckeys", sum($"keys").over(w))
+      val tot = sizes.agg(count(lit(1)).as("n_keys"),
+        sum($"sz").as("n_rows"), max($"sz").as("max_sz"))
+      val quant = cum.crossJoin(broadcast(tot))
+        .select($"sz", $"ckeys", $"n_keys",
+          ($"ckeys" * 2 >= $"n_keys").as("ge50"),
+          ($"ckeys" * 100 >= $"n_keys" * 99).as("ge99"))
+      val p50 = quant.filter($"ge50").agg(min($"sz").as("p50_sz"))
+      val p99 = quant.filter($"ge99").agg(min($"sz").as("p99_sz"))
+      tot.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+        .select($"n_keys", $"n_rows", $"p50_sz", $"p99_sz", $"max_sz",
+          round($"max_sz".cast("double") / $"p50_sz", 4).as("skew_ratio"),
+          round($"max_sz".cast("double") / $"n_rows", 6).as("top_key_share"))
+    },
+    Some("""WITH sizes AS (
+           |  SELECT user_id, count(*) AS sz FROM events GROUP BY user_id),
+           |bysize AS (SELECT sz, count(*) AS keys FROM sizes GROUP BY sz),
+           |cum AS (SELECT sz, sum(keys) OVER (ORDER BY sz
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |          AS ckeys
+           |        FROM bysize),
+           |tot AS (SELECT count(*) AS n_keys, sum(sz) AS n_rows,
+           |               max(sz) AS max_sz
+           |        FROM sizes),
+           |p50 AS (SELECT min(sz) AS p50_sz FROM cum CROSS JOIN tot
+           |        WHERE ckeys * 2 >= n_keys),
+           |p99 AS (SELECT min(sz) AS p99_sz FROM cum CROSS JOIN tot
+           |        WHERE ckeys * 100 >= n_keys * 99)
+           |SELECT n_keys::BIGINT AS n_keys, n_rows::BIGINT AS n_rows,
+           |       p50_sz, p99_sz, max_sz,
+           |       round(max_sz::DOUBLE / p50_sz, 4) AS skew_ratio,
+           |       round(max_sz::DOUBLE / n_rows, 6) AS top_key_share
+           |FROM tot CROSS JOIN p50 CROSS JOIN p99""".stripMargin))
+
+  /** Top-10 3-click path prefixes — "how do sessions start": each
+    * user's first three page visits (by time) concatenated into a path
+    * string, counted across users, ties broken by path. One shuffle on
+    * user_id for the ordered prefix, one path hash-agg, bounded top-k
+    * output. */
+  private val topPaths = Q(
+    "events_top_paths",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val first3 = ev(s, dir)
+        .withColumn("page", get_json_object($"props", "$.k").cast("int"))
+        .withColumn("rn", row_number().over(byUser))
+        .filter($"rn" <= 3)
+        .groupBy($"user_id")
+        .agg(array_sort(collect_list(struct($"rn", $"page"))).as("ps"),
+          count(lit(1)).as("plen"))
+        .filter($"plen" === 3)
+        .select(concat_ws(">",
+          transform($"ps".getField("page"), _.cast("string"))).as("path"))
+      val byCount = Window.orderBy($"n_users".desc, $"path")
+      first3.groupBy($"path").agg(count(lit(1)).as("n_users"))
+        .withColumn("rank", row_number().over(byCount))
+        .filter($"rank" <= 10)
+        .select($"rank", $"path", $"n_users")
+        .orderBy($"rank")
+    },
+    Some("""WITH ordered AS (
+           |  SELECT user_id, (props->>'k')::INT AS page,
+           |         row_number() OVER
+           |           (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events),
+           |paths AS (
+           |  SELECT user_id,
+           |         string_agg(page::VARCHAR, '>' ORDER BY rn) AS path,
+           |         count(*) AS plen
+           |  FROM ordered WHERE rn <= 3 GROUP BY user_id),
+           |counted AS (
+           |  SELECT path, count(*) AS n_users FROM paths
+           |  WHERE plen = 3 GROUP BY path)
+           |SELECT rank, path, n_users FROM (
+           |  SELECT *, (row_number() OVER
+           |    (ORDER BY n_users DESC, path))::INT AS rank
+           |  FROM counted)
+           |WHERE rank <= 10 ORDER BY rank""".stripMargin))
+
   /** Laplace-smoothed Markov transition matrix over the page-transition
     * stream, top-3 next pages per source — the user-journey model
     * (where does page X send people?) that graph_pagerank consumes
@@ -905,5 +1037,5 @@ object EventQueries {
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
       intervalMerge, cdcApply, funnel, retention, pointInTime, pagerank,
       triangles, reachable, kcore, labelProp, sssp, markov, dowSeason,
-      lastTouch, wau)
+      checksums, keySkew, topPaths, lastTouch, wau)
 }
