@@ -705,8 +705,51 @@ object GoldQueries {
            |       coalesce(abs(z) > 2.0, false) AS is_anomaly
            |FROM z ORDER BY user_id, date""".stripMargin))
 
+  /** Per-user market beta/alpha/R² — full-period OLS of each user's
+    * daily close against the equal-weight market series (the
+    * cross-sectional regression sibling of gold_rolling_corr's windowed
+    * correlation), via the SQL-standard regr_* aggregate family both
+    * engines implement. Market series 6dp-prerounded and broadcast, one
+    * shuffle on the user key, per-group co-moment aggregates — no
+    * window at all. Users with a single day regress to NULL in both
+    * engines (var(x)=0). */
+  private val betaPerUser = Q(
+    "gold_beta_per_user",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir).events
+        .select($"user_id", to_date($"ts").as("date"), $"ts", $"event_id",
+          $"value")
+        .groupBy($"user_id", $"date")
+        .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
+      val market = daily.groupBy($"date")
+        .agg(round(avg($"close"), 6).as("mkt"))
+      daily.join(broadcast(market), "date")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_days"),
+          round(regr_slope($"close", $"mkt"), 6).as("beta"),
+          round(regr_intercept($"close", $"mkt"), 6).as("alpha"),
+          round(regr_r2($"close", $"mkt"), 6).as("r2"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH px AS (
+           |  SELECT user_id, date, value AS close
+           |  FROM (SELECT user_id, ts::DATE AS date, value,
+           |               row_number() OVER (PARTITION BY user_id, ts::DATE
+           |                 ORDER BY ts DESC, event_id DESC) AS rn
+           |        FROM events)
+           |  WHERE rn = 1),
+           |mkt AS (SELECT date, round(avg(close), 6) AS mkt
+           |        FROM px GROUP BY date)
+           |SELECT user_id, count(*)::BIGINT AS n_days,
+           |       round(regr_slope(close, mkt), 6) AS beta,
+           |       round(regr_intercept(close, mkt), 6) AS alpha,
+           |       round(regr_r2(close, mkt), 6) AS r2
+           |FROM px JOIN mkt USING (date)
+           |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,
       gapFill, rollingMedian, rollingCorr, asofNearest, rolling7d, ewma,
-      twap, incrMerge, rollingZscore)
+      twap, incrMerge, rollingZscore, betaPerUser)
 }

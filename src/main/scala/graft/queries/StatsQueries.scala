@@ -1187,10 +1187,87 @@ object StatsQueries {
            |       round(sum(term)::DOUBLE, 6) AS entropy_bits
            |FROM terms GROUP BY day ORDER BY day""".stripMargin))
 
+  /** Deterministic half-sample bootstrap CI for the mean of
+    * events.value — the resampling-inference primitive without rand():
+    * 32 deterministic half-samples (row b-membership = bit b of ONE
+    * portable 32-bit row hash — 32 coin flips per md5), each mean
+    * snapped to integer
+    * micro-units, and the standard error computed from the exact
+    * centered-integer identity Var = Σ(B·m − Σm)² / (B²(B−1)) — every
+    * accumulation is an exact integer sum, so both engines produce
+    * bit-identical CIs with no float-order dependence. The ×2 variance
+    * correction maps half-sampling onto the bootstrap scale (a half
+    * sample's mean has twice the variance of the full-n bootstrap
+    * mean); 1.96 is the documented normal quantile. Cost: one 32×
+    * scan-local generate + two tiny aggregates — embarrassingly
+    * parallel at any scale. */
+  private val halfsampleCi = Q(
+    "stats_halfsample_ci",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir).events
+        .select($"event_id", round($"value" * 100).cast("long").as("xi"))
+      val grand = base.agg(count(lit(1)).as("n_rows"),
+        round(sum($"xi").cast("double") / count(lit(1)) / 100, 6)
+          .as("grand_mean"))
+      // ONE portable hash per row; resample b's membership is bit b of
+      // it (32 independent coin flips from one md5 — 32× cheaper than
+      // hashing per (row, b))
+      val perB = base
+        .withColumn("h", conv(substring(md5($"event_id".cast("string")),
+          1, 8), 16, 10).cast("long"))
+        .select($"xi", $"h", explode(sequence(lit(0), lit(31))).as("b"))
+        .filter(expr("shiftright(h, b)").bitwiseAND(1) === 0)
+        .groupBy($"b")
+        .agg(round(lit(1e4) * sum($"xi") / count(lit(1))).cast("long")
+          .as("mb"))
+      // centered deviations d = B·mb − Σmb keep every square bounded
+      // (Σmb² would overflow LongType on plausible value scales);
+      // Var(m) = Σd² / (B²(B−1)), all-integer until the final sqrt
+      val tot = perB.agg(count(lit(1)).as("bn"), sum($"mb").as("s1"))
+      val se = perB.crossJoin(broadcast(tot))
+        .select(($"bn" * $"mb" - $"s1").as("d"), $"bn")
+        .groupBy($"bn").agg(sum($"d" * $"d").as("sd2"))
+        .select(round(sqrt(
+          $"sd2".cast("double") / ($"bn" * $"bn" * ($"bn" - 1)) / 2.0)
+          / 1e6, 6).as("se"))
+      grand.crossJoin(broadcast(se))
+        .select($"n_rows", $"grand_mean", $"se",
+          round($"grand_mean" - lit(1.96) * $"se", 6).as("ci_lo"),
+          round($"grand_mean" + lit(1.96) * $"se", 6).as("ci_hi"))
+    },
+    Some("""WITH base AS (
+           |  SELECT event_id, round(value * 100)::BIGINT AS xi FROM events),
+           |grand AS (
+           |  SELECT count(*)::BIGINT AS n_rows,
+           |         round(sum(xi)::DOUBLE / count(*) / 100, 6) AS grand_mean
+           |  FROM base),
+           |hashed AS (
+           |  SELECT xi, ('0x' || substr(md5(event_id::VARCHAR), 1, 8))
+           |           ::BIGINT AS h
+           |  FROM base),
+           |perb AS (
+           |  SELECT b, round(1e4 * sum(xi) / count(*))::BIGINT AS mb
+           |  FROM hashed CROSS JOIN generate_series(0, 31) t(b)
+           |  WHERE (h >> b) & 1 = 0
+           |  GROUP BY b),
+           |tot AS (SELECT count(*) AS bn, sum(mb) AS s1 FROM perb),
+           |dev AS (SELECT bn, (bn * mb - s1) AS d
+           |        FROM perb CROSS JOIN tot),
+           |se AS (
+           |  SELECT round(sqrt(
+           |           sum(d * d)::DOUBLE / (bn * bn * (bn - 1)) / 2.0)
+           |         / 1e6, 6) AS se
+           |  FROM dev GROUP BY bn)
+           |SELECT n_rows, grand_mean, se,
+           |       round(grand_mean - 1.96 * se, 6) AS ci_lo,
+           |       round(grand_mean + 1.96 * se, 6) AS ci_hi
+           |FROM grand CROSS JOIN se""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
       aucQ, liftQ, madQ, madExact, winsorize, winsorizeExact, hllCumulative,
       ttest, basket, gini, ksTest,
-      zipf, anova, psi, cusum, benford, entropyDaily)
+      zipf, anova, psi, cusum, benford, entropyDaily, halfsampleCi)
 }
