@@ -676,6 +676,66 @@ object EventQueries {
          |GROUP BY id ORDER BY node""".stripMargin
     })
 
+  /** RFM (recency / frequency / monetary) customer segmentation over
+    * purchase events — the classic marketing-analytics cube: per-user
+    * metrics (days since last purchase, purchase count, integer-cent
+    * revenue — all exact), quintiled with ntile(5) over fully-ordered
+    * keys (metric, user_id — the tiebreak makes both engines' identical
+    * ntile bucketing deterministic), then one ≤125-row segment rollup.
+    * One shuffle to the user key, three ntile windows over the narrow
+    * per-user table (O(users), not events), exact integer money. */
+  private val rfm = Q(
+    "events_rfm_segments",
+    (s, dir) => {
+      import s.implicits._
+      val per = ev(s, dir).filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(max(to_date($"ts")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(round($"value" * 100).cast("long")).as("cents"))
+      val mx = per.agg(max($"last_day").as("ref_day"))
+      val base = per.crossJoin(broadcast(mx))
+        .select($"user_id", datediff($"ref_day", $"last_day").as("recency"),
+          $"freq", $"cents")
+      val rW = Window.orderBy($"recency", $"user_id")
+      val fW = Window.orderBy($"freq".desc, $"user_id")
+      val mW = Window.orderBy($"cents".desc, $"user_id")
+      base
+        .withColumn("r_q", ntile(5).over(rW))
+        .withColumn("f_q", ntile(5).over(fW))
+        .withColumn("m_q", ntile(5).over(mW))
+        .groupBy($"r_q", $"f_q", $"m_q")
+        // average money stays in integer CENTS: Σcents/n has exactly
+        // representable .5 ties (both engines round them away from zero
+        // identically), while /100 first would put the tie on a
+        // non-representable double and the engines' round() diverge
+        .agg(count(lit(1)).as("n_users"),
+          round(sum($"cents").cast("double") / count(lit(1))).cast("long")
+            .as("avg_monetary_cents"))
+        .orderBy($"r_q", $"f_q", $"m_q")
+    },
+    Some("""WITH per AS (
+           |  SELECT user_id, max(ts::DATE) AS last_day,
+           |         count(*) AS freq,
+           |         sum(round(value * 100)::BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase'
+           |  GROUP BY user_id),
+           |mx AS (SELECT max(last_day) AS ref_day FROM per),
+           |base AS (
+           |  SELECT user_id, date_diff('day', last_day, ref_day) AS recency,
+           |         freq, cents
+           |  FROM per CROSS JOIN mx),
+           |q AS (
+           |  SELECT (ntile(5) OVER (ORDER BY recency, user_id))::INT AS r_q,
+           |         (ntile(5) OVER (ORDER BY freq DESC, user_id))::INT AS f_q,
+           |         (ntile(5) OVER (ORDER BY cents DESC, user_id))::INT AS m_q,
+           |         cents
+           |  FROM base)
+           |SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_users,
+           |       round(sum(cents)::DOUBLE / count(*))::BIGINT
+           |         AS avg_monetary_cents
+           |FROM q GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin))
+
   /** Per-day table checksums — the anti-entropy primitive for verifying
     * a replicated/migrated table without moving it: each row folds to a
     * 32-bit portable hash (md5 prefix of a canonical field encoding,
@@ -1037,5 +1097,5 @@ object EventQueries {
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
       intervalMerge, cdcApply, funnel, retention, pointInTime, pagerank,
       triangles, reachable, kcore, labelProp, sssp, markov, dowSeason,
-      checksums, keySkew, topPaths, lastTouch, wau)
+      rfm, checksums, keySkew, topPaths, lastTouch, wau)
 }

@@ -748,8 +748,69 @@ object GoldQueries {
            |FROM px JOIN mkt USING (date)
            |GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Classical seasonal decomposition (STL-lite) of the daily mean
+    * series: trend = centered 7-day moving average (full windows only),
+    * seasonal = per-weekday mean of the detrended series, residual =
+    * the rest. Everything after the initial 6dp daily mean runs in
+    * integer micro-units — the centered-MA sum, the detrend subtraction
+    * and the weekday means are exact integer arithmetic, so the
+    * decomposition is bit-identical cross-engine (the float-window-sum
+    * ordering problem never arises). One O(days) series, broadcast
+    * weekday means, additivity x = trend+seasonal+residual holds
+    * exactly in micro-units by construction. */
+  private val seasonal = Q(
+    "gold_seasonal_decompose",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir).events
+        .groupBy(to_date($"ts").as("day"))
+        .agg(round(avg($"value"), 6).as("x"))
+        .withColumn("xi", round($"x" * 1e6).cast("long"))
+      val w = Window.orderBy($"day").rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("ti", when(count(lit(1)).over(w) === 7,
+          round(sum($"xi").over(w).cast("double") / 7).cast("long")))
+        .withColumn("di", $"xi" - $"ti")
+        .withColumn("dow", dayofweek($"day"))
+      val seas = trended.filter($"di".isNotNull)
+        .groupBy($"dow")
+        .agg(round(sum($"di").cast("double") / count(lit(1))).cast("long")
+          .as("si"))
+      trended.join(broadcast(seas), Seq("dow"), "left")
+        .select(date_format($"day", "yyyy-MM-dd").as("day"),
+          round($"x", 6).as("x"),
+          round($"ti".cast("double") / 1e6, 6).as("trend"),
+          round(when($"ti".isNotNull, $"si").cast("double") / 1e6, 6)
+            .as("seasonal"),
+          round(($"di" - $"si").cast("double") / 1e6, 6).as("residual"))
+        .orderBy($"day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT ts::DATE AS day, round(avg(value), 6) AS x
+           |  FROM events GROUP BY 1),
+           |di AS (SELECT day, x, round(x * 1e6)::BIGINT AS xi FROM daily),
+           |tr AS (
+           |  SELECT day, x, xi,
+           |         CASE WHEN count(*) OVER w = 7
+           |              THEN round((sum(xi) OVER w)::DOUBLE / 7)::BIGINT
+           |         END AS ti,
+           |         dayofweek(day) + 1 AS dow
+           |  FROM di
+           |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+           |               AND 3 FOLLOWING)),
+           |d2 AS (SELECT *, xi - ti AS di FROM tr),
+           |seas AS (
+           |  SELECT dow, round(sum(di)::DOUBLE / count(*))::BIGINT AS si
+           |  FROM d2 WHERE di IS NOT NULL GROUP BY dow)
+           |SELECT strftime(day, '%Y-%m-%d') AS day, round(x, 6) AS x,
+           |       round(ti::DOUBLE / 1e6, 6) AS trend,
+           |       round((CASE WHEN ti IS NOT NULL THEN si END)::DOUBLE
+           |             / 1e6, 6) AS seasonal,
+           |       round((di - si)::DOUBLE / 1e6, 6) AS residual
+           |FROM d2 LEFT JOIN seas USING (dow) ORDER BY day""".stripMargin))
+
   def all: Seq[Q] =
     Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,
       gapFill, rollingMedian, rollingCorr, asofNearest, rolling7d, ewma,
-      twap, incrMerge, rollingZscore, betaPerUser)
+      twap, incrMerge, rollingZscore, betaPerUser, seasonal)
 }
