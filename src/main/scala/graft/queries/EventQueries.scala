@@ -676,6 +676,74 @@ object EventQueries {
          |GROUP BY id ORDER BY node""".stripMargin
     })
 
+  /** Funnel conversion-time quantiles: p50/p90/p99 of the
+    * view→click→purchase completion time, in whole seconds — the
+    * product-analytics companion to events_funnel_steps (how LONG does
+    * the funnel take, not just who finishes). Durations bucket to
+    * integer seconds (bounding distinct-value cardinality — the
+    * documented practice for latency quantiles), the quantile is the
+    * smallest bucket whose cumulative count reaches ⌈q·n⌉, selected
+    * with pure integer comparisons (cum·100 ≥ n·q) — exact,
+    * deterministic, and the window runs over DISTINCT durations (the
+    * stats_ks_drift cardinality trick), never users. */
+  private val funnelDur = Q(
+    "events_funnel_duration_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val t1 = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val t2 = e.join(t1, "user_id")
+        .filter($"event_type" === "click" && $"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"), min($"t1").as("t1"))
+      val t3 = e.join(t2, "user_id")
+        .filter($"event_type" === "purchase" && $"ts" > $"t2")
+        .groupBy($"user_id")
+        .agg(floor((unix_micros(min($"ts")) - unix_micros(min($"t1")))
+          / 1000000L).cast("long").as("dur_s"))
+      val byDur = t3.groupBy($"dur_s").agg(count(lit(1)).as("k"))
+      val w = Window.orderBy($"dur_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = byDur.withColumn("cum", sum($"k").over(w))
+      val tot = t3.agg(count(lit(1)).as("n"))
+      val q = cum.crossJoin(broadcast(tot))
+      def pick(p: Int, name: String) =
+        q.filter($"cum" * 100 >= $"n" * p).agg(min($"dur_s").as(name))
+      tot.crossJoin(broadcast(pick(50, "p50_s")))
+        .crossJoin(broadcast(pick(90, "p90_s")))
+        .crossJoin(broadcast(pick(99, "p99_s")))
+        .select($"n".as("n_completed"), $"p50_s", $"p90_s", $"p99_s")
+    },
+    Some("""WITH t1 AS (
+           |  SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |t2 AS (
+           |  SELECT e.user_id, min(e.ts) AS t2, min(t1.t1) AS t1
+           |  FROM events e JOIN t1 USING (user_id)
+           |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+           |  GROUP BY e.user_id),
+           |t3 AS (
+           |  SELECT e.user_id,
+           |         (epoch_us(min(e.ts)) - epoch_us(min(t2.t1))) // 1000000
+           |           AS dur_s
+           |  FROM events e JOIN t2 USING (user_id)
+           |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+           |  GROUP BY e.user_id),
+           |bydur AS (SELECT dur_s, count(*) AS k FROM t3 GROUP BY dur_s),
+           |cum AS (SELECT dur_s, sum(k) OVER (ORDER BY dur_s
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |          AS cum
+           |        FROM bydur),
+           |tot AS (SELECT count(*) AS n FROM t3),
+           |p50 AS (SELECT min(dur_s) AS p50_s FROM cum CROSS JOIN tot
+           |        WHERE cum * 100 >= n * 50),
+           |p90 AS (SELECT min(dur_s) AS p90_s FROM cum CROSS JOIN tot
+           |        WHERE cum * 100 >= n * 90),
+           |p99 AS (SELECT min(dur_s) AS p99_s FROM cum CROSS JOIN tot
+           |        WHERE cum * 100 >= n * 99)
+           |SELECT n::BIGINT AS n_completed, p50_s, p90_s, p99_s
+           |FROM tot CROSS JOIN p50 CROSS JOIN p90 CROSS JOIN p99""".stripMargin))
+
   /** RFM (recency / frequency / monetary) customer segmentation over
     * purchase events — the classic marketing-analytics cube: per-user
     * metrics (days since last purchase, purchase count, integer-cent
@@ -1097,5 +1165,5 @@ object EventQueries {
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
       intervalMerge, cdcApply, funnel, retention, pointInTime, pagerank,
       triangles, reachable, kcore, labelProp, sssp, markov, dowSeason,
-      rfm, checksums, keySkew, topPaths, lastTouch, wau)
+      rfm, funnelDur, checksums, keySkew, topPaths, lastTouch, wau)
 }

@@ -1026,9 +1026,32 @@ object RelationalQueries {
            |       count(*) AS n
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** TPC-H Q6 driven entirely through the `spark.sql(...)` ENTRY POINT
+    * over a registered temp view — the one registry query that proves
+    * the SQL-string surface end-to-end (every other query declares its
+    * plan via the DataFrame API; Catalyst plans both identically, and
+    * the identical oracle text runs on DuckDB). The view registration is
+    * idempotent and session-scoped. */
+  private val q6Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      |  AND l_shipdate < TIMESTAMP '1995-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  private val q6 = Q(
+    "q6_forecast_revenue_sql",
+    (s, dir) => {
+      t(s, dir).lineitem.createOrReplaceTempView("lineitem")
+      s.sql(q6Sql)
+    },
+    Some(q6Sql))
+
   private val all0: Seq[Q] = Seq(
-    q1, q3, q5, s3Lookup, f5, semi, q17, existsQ, notExistsQ, scalarSelectQ,
-    lateralTopN,
+    q1, q3, q5, q6, s3Lookup, f5, semi, q17, existsQ, notExistsQ,
+    scalarSelectQ, lateralTopN,
     f3, f6, f7, f18, f19,
     f1, f1Quarantine, f4, pivotQ, f11, f13, f14, f8,
     setExcept, setIntersect, setUnion, topk, topkWindowForm, fullOuter,
