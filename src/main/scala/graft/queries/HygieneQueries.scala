@@ -561,8 +561,52 @@ object HygieneQueries {
            |       round(pow(n_docs, 0.5)/pa, 6) AS w_temp
            |FROM s, t ORDER BY source""".stripMargin))
 
+  /** Deterministic epoch shuffle — reproducible global permutation of
+    * the training corpus per epoch: order = portable hash of
+    * (epoch salt ‖ doc_id). Every engine, every rerun, every resume
+    * sees the identical epoch-2 ordering, and different epochs are
+    * independent permutations — the property data-loader shuffles need
+    * and rand() cannot give. At scale the same hash key feeds
+    * repartitionByRange (range-partitioned global order with no single
+    * reducer); the query pins the first 20 docs of epoch 2 plus a
+    * position checksum over the whole permutation (Σ pos·doc_id — any
+    * transposition changes it). */
+  private val epochShuffle = Q(
+    "mix_epoch_shuffle",
+    (s, dir) => {
+      import s.implicits._
+      val keyed = docs(s, dir).select($"doc_id")
+        .withColumn("k", conv(substring(
+          md5(concat(lit("epoch2:"), $"doc_id")), 1, 8), 16, 10)
+          .cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"k", $"doc_id")
+      val positioned = keyed
+        .withColumn("pos", row_number().over(w).cast("long"))
+      val checksum = positioned
+        .agg(sum($"pos" * $"doc_id").as("perm_checksum"))
+      positioned.filter($"pos" <= 20)
+        .crossJoin(broadcast(checksum))
+        .select($"pos", $"doc_id", $"perm_checksum")
+        .orderBy($"pos")
+    },
+    Some("""WITH keyed AS (
+           |  SELECT doc_id,
+           |         ('0x' || substr(md5('epoch2:' || doc_id::VARCHAR),
+           |                         1, 8))::BIGINT AS k
+           |  FROM documents),
+           |pos AS (
+           |  SELECT doc_id,
+           |         row_number() OVER (ORDER BY k, doc_id) AS pos
+           |  FROM keyed),
+           |ck AS (SELECT sum(pos * doc_id)::BIGINT AS perm_checksum
+           |       FROM pos)
+           |SELECT pos, doc_id, perm_checksum
+           |FROM pos CROSS JOIN ck
+           |WHERE pos <= 20 ORDER BY pos""".stripMargin))
+
   def all: Seq[Q] =
     Seq(decontam, gopher, semdedup, mix, pack, trainingCorpus, importance,
       domainCap, weighted, semdedupCorpus, semanticDecontam, pplBuckets,
-      tokenBudget, tempWeights)
+      tokenBudget, tempWeights, epochShuffle)
 }

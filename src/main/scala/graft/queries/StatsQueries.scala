@@ -1264,10 +1264,93 @@ object StatsQueries {
            |       round(grand_mean + 1.96 * se, 6) AS ci_hi
            |FROM grand CROSS JOIN se""".stripMargin))
 
+  /** Two-proportion z-test on conversion rates — the A/B-test primitive
+    * for RATES (stats_welch_ttest covers means): users split into two
+    * deterministic cohorts by the parity of their portable hash,
+    * conversion = "has a purchase event", z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂))
+    * with the pooled p̂. All counts exact integers; the z arithmetic is
+    * a handful of scalar float ops on identical inputs in both engines.
+    * One user-level aggregate + a 2-row reduction. On hash-split cohorts
+    * of the same population the test should NOT reject — the in-plan
+    * |z| < 1.96 boolean is the sanity oracle. */
+  private val propZtest = Q(
+    "stats_two_proportion_ztest",
+    (s, dir) => {
+      import s.implicits._
+      // "converted" = above-average purchase spend: every user here has
+      // every event type, so "has a purchase" is degenerate (p̂ = 1 and
+      // the pooled-variance z divides by zero under ANSI). The
+      // above-average cut is an exact integer comparison
+      // (cents·n_users > total_cents — no division) with real variation
+      // at every SF.
+      val spend = Tables(s, dir).events
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      val tot = spend.agg(count(lit(1)).as("n_users"),
+        sum($"cents").as("total_cents"))
+      val users = spend.crossJoin(broadcast(tot))
+        .select($"user_id",
+          ($"cents" * $"n_users" > $"total_cents").cast("int").as("converted"))
+        .withColumn("cohort",
+          conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2)
+      val c = users.groupBy($"cohort")
+        .agg(count(lit(1)).as("n"), sum($"converted").as("x"))
+      val wide = c.agg(
+        sum(when($"cohort" === 0, $"n")).as("n1"),
+        sum(when($"cohort" === 0, $"x")).as("x1"),
+        sum(when($"cohort" === 1, $"n")).as("n2"),
+        sum(when($"cohort" === 1, $"x")).as("x2"))
+      val zExpr = try_divide(
+        $"x1".cast("double") / $"n1" - $"x2".cast("double") / $"n2",
+        sqrt((($"x1" + $"x2").cast("double") / ($"n1" + $"n2")) *
+          (lit(1.0) - ($"x1" + $"x2").cast("double") / ($"n1" + $"n2")) *
+          (lit(1.0) / $"n1" + lit(1.0) / $"n2")))
+      wide.select(
+        $"n1", $"x1", $"n2", $"x2",
+        round($"x1".cast("double") / $"n1", 6).as("p1"),
+        round($"x2".cast("double") / $"n2", 6).as("p2"),
+        round(zExpr, 6).as("z"),
+        (abs(zExpr) < 1.96).as("same_rate_at_95"))
+    },
+    Some("""WITH spend AS (
+           |  SELECT user_id, sum(round(value * 100)::BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+           |tot AS (SELECT count(*) AS n_users, sum(cents) AS total_cents
+           |        FROM spend),
+           |users AS (
+           |  SELECT user_id,
+           |         (cents * n_users > total_cents)::INT AS converted,
+           |         ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+           |           AS cohort
+           |  FROM spend CROSS JOIN tot),
+           |c AS (SELECT cohort, count(*) AS n, sum(converted) AS x
+           |      FROM users GROUP BY cohort),
+           |wide AS (
+           |  SELECT sum(CASE WHEN cohort = 0 THEN n END)::BIGINT AS n1,
+           |         sum(CASE WHEN cohort = 0 THEN x END)::BIGINT AS x1,
+           |         sum(CASE WHEN cohort = 1 THEN n END)::BIGINT AS n2,
+           |         sum(CASE WHEN cohort = 1 THEN x END)::BIGINT AS x2
+           |  FROM c)
+           |SELECT n1, x1, n2, x2,
+           |       round(x1::DOUBLE / n1, 6) AS p1,
+           |       round(x2::DOUBLE / n2, 6) AS p2,
+           |       round((x1::DOUBLE / n1 - x2::DOUBLE / n2) /
+           |         nullif(sqrt(((x1 + x2)::DOUBLE / (n1 + n2)) *
+           |              (1.0 - (x1 + x2)::DOUBLE / (n1 + n2)) *
+           |              (1.0 / n1 + 1.0 / n2)), 0), 6) AS z,
+           |       (abs((x1::DOUBLE / n1 - x2::DOUBLE / n2) /
+           |         nullif(sqrt(((x1 + x2)::DOUBLE / (n1 + n2)) *
+           |              (1.0 - (x1 + x2)::DOUBLE / (n1 + n2)) *
+           |              (1.0 / n1 + 1.0 / n2)), 0)) < 1.96) AS same_rate_at_95
+           |FROM wide""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
       aucQ, liftQ, madQ, madExact, winsorize, winsorizeExact, hllCumulative,
       ttest, basket, gini, ksTest,
-      zipf, anova, psi, cusum, benford, entropyDaily, halfsampleCi)
+      zipf, anova, psi, cusum, benford, entropyDaily, halfsampleCi,
+      propZtest)
 }
