@@ -809,8 +809,53 @@ object GoldQueries {
            |       round((di - si)::DOUBLE / 1e6, 6) AS residual
            |FROM d2 LEFT JOIN seas USING (dow) ORDER BY day""".stripMargin))
 
+  /** Annualized Sharpe ratio per user over daily simple returns — the
+    * risk-adjusted-performance scalar every backtest reports. Returns
+    * 6dp-prerounded (both engines aggregate identical inputs), one
+    * lag window + one per-user aggregate; try_divide ≡ NULL for
+    * zero-vol/single-day users under ANSI (the rolling_corr lesson). */
+  private val sharpe = Q(
+    "gold_sharpe_ratio",
+    (s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir).events
+        .select($"user_id", to_date($"ts").as("date"), $"ts", $"event_id",
+          $"value")
+        .groupBy($"user_id", $"date")
+        .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
+      val w = Window.partitionBy($"user_id").orderBy($"date")
+      val rets = daily
+        .withColumn("r",
+          round(try_divide($"close", lag($"close", 1).over(w)) - 1, 6))
+        .filter($"r".isNotNull)
+      rets.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_days"),
+          round(avg($"r"), 6).as("mean_ret"),
+          round(try_divide(avg($"r"), stddev_samp($"r")) *
+            math.sqrt(252.0), 4).as("sharpe_ann"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH px AS (
+           |  SELECT user_id, date, value AS close
+           |  FROM (SELECT user_id, ts::DATE AS date, value,
+           |               row_number() OVER (PARTITION BY user_id, ts::DATE
+           |                 ORDER BY ts DESC, event_id DESC) AS rn
+           |        FROM events)
+           |  WHERE rn = 1),
+           |rets AS (
+           |  SELECT user_id,
+           |         round(close / nullif(lag(close) OVER
+           |           (PARTITION BY user_id ORDER BY date), 0) - 1, 6) AS r
+           |  FROM px)
+           |SELECT user_id, count(*)::BIGINT AS n_days,
+           |       round(avg(r), 6) AS mean_ret,
+           |       round(avg(r) / nullif(stddev_samp(r), 0) * sqrt(252.0), 4)
+           |         AS sharpe_ann
+           |FROM rets WHERE r IS NOT NULL
+           |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,
       gapFill, rollingMedian, rollingCorr, asofNearest, rolling7d, ewma,
-      twap, incrMerge, rollingZscore, betaPerUser, seasonal)
+      twap, incrMerge, rollingZscore, betaPerUser, seasonal, sharpe)
 }

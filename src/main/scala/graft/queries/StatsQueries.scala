@@ -1346,11 +1346,63 @@ object StatsQueries {
            |              (1.0 / n1 + 1.0 / n2)), 0)) < 1.96) AS same_rate_at_95
            |FROM wide""".stripMargin))
 
+  /** χ² test of independence on the (weekday × event type) contingency
+    * table — "does the event mix depend on the weekday", completing the
+    * engine's test family (Welch t, two-proportion z, KS, ANOVA F, and
+    * the feature-selection χ² which is per-token 2×2). Observed counts
+    * exact; expected = row·col/N on identical integers; each cell's
+    * (o−e)²/e is 6dp-prerounded DECIMAL then summed exactly — the
+    * PSI/PMI pattern. One scan-local agg + a 35-row reduction. */
+  private val chisqIndep = Q(
+    "stats_chisq_independence",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables(s, dir).events
+        .groupBy(dayofweek(to_date($"ts")).as("dow"), $"event_type")
+        .agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy($"dow").agg(sum($"o").as("rt"))
+      val colT = cells.groupBy($"event_type").agg(sum($"o").as("ct"))
+      val n = cells.agg(sum($"o").as("n"),
+        count_distinct($"dow").as("r"),
+        count_distinct($"event_type").as("c"))
+      cells.join(broadcast(rowT), "dow").join(broadcast(colT), "event_type")
+        .crossJoin(broadcast(n))
+        .withColumn("e", ($"rt" * $"ct").cast("double") / $"n")
+        .withColumn("term",
+          round(($"o" - $"e") * ($"o" - $"e") / $"e", 6)
+            .cast("decimal(18,6)"))
+        .agg(max($"n").as("n_events"),
+          ((max($"r") - 1) * (max($"c") - 1)).cast("int").as("df"),
+          round(sum($"term").cast("double"), 4).as("chi2"))
+    },
+    Some("""WITH cells AS (
+           |  SELECT dayofweek(ts::DATE) + 1 AS dow, event_type,
+           |         count(*) AS o
+           |  FROM events GROUP BY 1, 2),
+           |rt AS (SELECT dow, sum(o) AS rt FROM cells GROUP BY dow),
+           |ct AS (SELECT event_type, sum(o) AS ct FROM cells
+           |       GROUP BY event_type),
+           |n AS (SELECT sum(o) AS n, count(DISTINCT dow) AS r,
+           |             count(DISTINCT event_type) AS c
+           |      FROM cells),
+           |terms AS (
+           |  SELECT n.n, n.r, n.c,
+           |         round((o - (rt * ct)::DOUBLE / n.n) *
+           |               (o - (rt * ct)::DOUBLE / n.n) /
+           |               ((rt * ct)::DOUBLE / n.n), 6)::DECIMAL(18,6)
+           |           AS term
+           |  FROM cells JOIN rt USING (dow) JOIN ct USING (event_type)
+           |  CROSS JOIN n)
+           |SELECT max(n)::BIGINT AS n_events,
+           |       ((max(r) - 1) * (max(c) - 1))::INT AS df,
+           |       round(sum(term)::DOUBLE, 4) AS chi2
+           |FROM terms""".stripMargin))
+
   def all: Seq[Q] =
     Seq(rollupQ, dispersion, percentiles, approxPct, profileQ, sketch, cubeQ,
       groupingSets, ntileQ, rangeFrame, histogram, correlation, heavyHitters,
       aucQ, liftQ, madQ, madExact, winsorize, winsorizeExact, hllCumulative,
       ttest, basket, gini, ksTest,
       zipf, anova, psi, cusum, benford, entropyDaily, halfsampleCi,
-      propZtest)
+      propZtest, chisqIndep)
 }
