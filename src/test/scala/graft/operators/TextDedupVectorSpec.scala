@@ -274,6 +274,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(r => (r._3, r._4)).toSeq === expected)
   }
 
+  test("sparseCosineTopK: df-cap drops stop tokens from the similarity space") {
+    // 'the' appears in ALL four docs; with the cap at 0.75 it is a stop
+    // token and docs sharing ONLY 'the' must not become candidates
+    val docs = Seq(
+      (0L, "the alpha beta"),
+      (1L, "the alpha beta"),
+      (2L, "the gamma delta"),
+      (3L, "the epsilon zeta"))
+      .toDF("doc_id", "text")
+    val capped = TextOps.sparseCosineTopK(docs, "doc_id", "text",
+        Seq(0L).toDF("doc_id"), 10, dfCapFrac = 0.75)
+      .as[(Long, Int, Long, Double)].collect()
+    // only the true duplicate survives: rank 1, cosine exactly 1 over
+    // the surviving {alpha, beta} space
+    assert(capped.map(_._3).toSet === Set(1L))
+    assert(capped.head._4 === 1.0)
+    // without the cap every doc pairs with doc 0 through 'the'
+    val uncapped = TextOps.sparseCosineTopK(docs, "doc_id", "text",
+        Seq(0L).toDF("doc_id"), 10, dfCapFrac = 1.0)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(uncapped.map(_._3).toSet === Set(1L, 2L, 3L))
+  }
+
   test("importance weights: target-like docs outrank off-target docs") {
     // target slice speaks {x,y}; off-target speaks {p,q}; a fresh doc of
     // x/y must get a higher log-ratio weight than one of p/q
