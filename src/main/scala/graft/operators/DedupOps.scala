@@ -348,6 +348,69 @@ object DedupOps {
       containmentPairsDense(docs, idCol, setCol, threshold)
     else containmentPairs(docs, idCol, setCol, threshold)
 
+  /** APPROXIMATE one-sided containment via bottom-k sketches — the 100 TB
+    * path for the containment semantic, playing the role `sim_lsh_rp_auto`
+    * plays for cosine and `dedup_ppjoin_jaccard` plays for Jaccard: the
+    * exact forms above stay as oracles, this is what deploys.
+    *
+    * Estimator (Broder-style bottom-k, one-sided): the k smallest
+    * portable-hash values of A's element set are a uniform
+    * without-replacement sample of A (hash order is independent of
+    * content), so Ĉ(A→B) = |bottomk(A) ∩ B| / min(k,|A|) estimates
+    * C(A→B) = |A∩B| / |A| with hypergeometric error ~1/√k per pair —
+    * and is EXACT whenever |A| ≤ k (the sketch is the whole set), which
+    * covers the tiny-quote-inside-huge-page direction that motivates the
+    * operator. Pairs whose estimated max-direction containment ≥
+    * `threshold` are emitted with both directions' estimates.
+    *
+    * Scale: candidate generation IS the sketch probe — a k-rows-per-doc
+    * probe side equi-joined against full postings on the portable hash,
+    * never a pair join. Probe volume is ≤ k·N rows regardless of document
+    * length; expected candidate volume is k·N·E[df] (linear in corpus
+    * size at fixed duplication density — the same band as MinHash LSH,
+    * because the bottom-k sample hits a token proportionally to k/|A|,
+    * uncorrelated with its df). Hashing is hash32 (md5 prefix), NOT the
+    * internal xxhash64 dictionary, so the DuckDB oracle replays the exact
+    * sketch; collisions merely merge two tokens identically on both
+    * engines. Estimates are ratios of integers (no float aggregation), so
+    * results are bit-stable under any partitioning. */
+  def containmentSketchPairs(docs: DataFrame, idCol: String, setCol: String,
+                             threshold: Double, k: Int): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("id"),
+        sort_array(array_distinct(
+          transform(array_distinct(col(setCol)), t => TextOps.hash32(t))))
+          .as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .filter(col("sz") > 0)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .cut(eager = false)
+    val posting = sets.select(col("id"), explode(col("hs")).as("h"))
+    val probe = sets.select(col("id"), col("sz"),
+      explode(slice(col("hs"), 1, k)).as("h"))
+    // m(a,b) = |bottomk(a) ∩ b|; sz rides in the grouping key (it is
+    // functionally dependent on a, so the key cardinality is unchanged)
+    val directed = probe.as("p")
+      .join(posting.as("q"),
+        col("p.h") === col("q.h") && col("p.id") =!= col("q.id"))
+      .groupBy(col("p.id").as("a"), col("q.id").as("b"), col("p.sz").as("sza"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("est",
+        col("m").cast("double") / least(lit(k), col("sza")))
+    directed
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"),
+        when(col("a") < col("b"), col("est")).as("eab"),
+        when(col("a") > col("b"), col("est")).as("eba"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(coalesce(max(col("eab")), lit(0.0)).as("rab"),
+        coalesce(max(col("eba")), lit(0.0)).as("rba"))
+      .filter(greatest(col("rab"), col("rba")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("rab"), 6).as("containment_ab_est"),
+        round(col("rba"), 6).as("containment_ba_est"))
+  }
+
   /** MinHash signature: k permutation-min values over the shingle set.
     * Permutation i is `(a_i·hash32(s) + b_i) mod p` with p prime > 2^32;
     * coefficients derive deterministically from i so the oracle can

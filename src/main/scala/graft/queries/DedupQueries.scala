@@ -398,6 +398,45 @@ object DedupQueries {
             |FROM c WHERE greatest(shared/sa, shared/sb) >= 0.8
             |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Bottom-k sketch containment at t=0.8, k=16 — the DEPLOYED 100 TB
+    * path for the containment semantic ([[DedupOps.containmentSketchPairs]]):
+    * candidate generation is the k-rows-per-doc sketch probe against full
+    * postings (≤ k·N probe rows, never a pair join), where the exact
+    * `dedup_containment` twin above must compare sets pairwise. The oracle
+    * replays the identical md5-prefix sketch in DuckDB, so the estimate —
+    * a ratio of integers — matches bit-exactly. */
+  private val containmentSketch = Q(
+    "dedup_containment_bottomk",
+    (s, dir) => {
+      import s.implicits._
+      val withShingles = docs(s, dir)
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      DedupOps.containmentSketchPairs(withShingles, "doc_id", "shingles",
+          0.8, 16)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""$shingleCte,
+            |hh AS (SELECT doc_id,
+            |         list_sort(list_distinct(
+            |           [('0x'||substr(md5(t),1,8))::BIGINT FOR t IN s])) hs
+            |       FROM sh WHERE len(s) > 0),
+            |post AS (SELECT doc_id, unnest(hs) h FROM hh),
+            |probe AS (SELECT doc_id, len(hs) sza, unnest(hs[1:16]) h FROM hh),
+            |m AS (SELECT p.doc_id a, q.doc_id b, p.sza, count(*) m
+            |      FROM probe p JOIN post q
+            |        ON p.h = q.h AND p.doc_id <> q.doc_id
+            |      GROUP BY 1, 2, 3),
+            |dir AS (SELECT a, b, m::DOUBLE / least(16, sza) est FROM m),
+            |und AS (SELECT least(a,b) id_a, greatest(a,b) id_b,
+            |          coalesce(max(CASE WHEN a < b THEN est END), 0) rab,
+            |          coalesce(max(CASE WHEN a > b THEN est END), 0) rba
+            |        FROM dir GROUP BY 1, 2)
+            |SELECT id_a, id_b,
+            |       round(rab, 6) AS containment_ab_est,
+            |       round(rba, 6) AS containment_ba_est
+            |FROM und WHERE greatest(rab, rba) >= 0.8
+            |ORDER BY id_a, id_b""".stripMargin))
+
   /** Cluster-size audit over the near-dup components — the dedup QA
     * report every corpus run ships with (how much mass sits in big
     * duplicate families vs singletons, and what one keep-one-per-cluster
@@ -454,5 +493,5 @@ object DedupQueries {
   def all: Seq[Q] =
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
       minhash, simhashQ, lines, bloomDelta, fuzzy, substring, containment,
-      clusterSizes)
+      containmentSketch, clusterSizes)
 }

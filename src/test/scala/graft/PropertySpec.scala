@@ -171,6 +171,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bottom-k containment sketch: exact when every set fits in k, " +
+      "superset-biased never (estimates are genuine ratios)") {
+    // the deployed approximate path's contract: with k ≥ max|set| the
+    // sketch IS the set, so the estimator must reproduce the dense exact
+    // kernel bit-for-bit (same pairs, same ratios); with tiny k it must
+    // still emit only well-formed estimates m/min(k,|A|) in [0,1]
+    val vocab = Gen.choose(0, 11).map(i => s"w$i")
+    val doc = Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, vocab)).map(_.mkString(" "))
+    val corpus = Gen.listOfN(12, doc)
+    forAll(corpus, n = 4) { docsList =>
+      val df = docsList.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
+      for (t <- Seq(0.5, 0.8)) {
+        val exact = graft.operators.DedupOps
+          .containmentPairsDense(df, "doc_id", "sh", t)
+          .select($"id_a", $"id_b", $"containment_ab", $"containment_ba")
+          .as[(Long, Long, Double, Double)].collect().toSet
+        // k=64 ≥ any shingle set here (docs ≤ 20 tokens → ≤ 19 shingles)
+        val sketch = graft.operators.DedupOps
+          .containmentSketchPairs(df, "doc_id", "sh", t, 64)
+          .select($"id_a", $"id_b", $"containment_ab_est", $"containment_ba_est")
+          .as[(Long, Long, Double, Double)].collect().toSet
+        assert(sketch === exact, s"k≥|set| sketch != exact at t=$t on $docsList")
+        val tiny = graft.operators.DedupOps
+          .containmentSketchPairs(df, "doc_id", "sh", t, 2)
+          .select($"containment_ab_est", $"containment_ba_est")
+          .as[(Double, Double)].collect()
+        assert(tiny.forall { case (a, b) =>
+          a >= 0.0 && a <= 1.0 && b >= 0.0 && b <= 1.0 })
+      }
+    }
+  }
+
   test("OHLC aggregate form equals the window first/last formulation") {
     import org.apache.spark.sql.expressions.Window
     val e = graft.core.Tables(spark, TestSpark.sfDir).events
