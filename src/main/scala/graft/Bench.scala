@@ -26,6 +26,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // branch-pinning affordance for scaling studies: export
+    // SPARK_GRAFT_DENSE_CUTOFF=0 (always prefix) or a huge value (always
+    // dense) to pin the cost-based dedup kernels' branch for a run
+    sys.env.get("SPARK_GRAFT_DENSE_CUTOFF").foreach(v =>
+      spark.conf.set("spark.graft.dedup.denseCutoff", v))
 
     // A query that throws must surface in the artifact, not just stderr: a
     // fast failure is indistinguishable from a fast plan in the timings map
@@ -63,15 +68,53 @@ object Bench {
                 else SparkEntry.queries.keys.toSeq.sorted
     val passes = 2
     val results = names.map(n => n -> (1 to passes).map(_ => exec(n)).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // Outlier re-measurement protocol: min-of-2 has twice manufactured
+    // phantom findings (r4's f13/f11/ks_drift "regressions" and r5's
+    // stats_basket_lift, all of which vanished on re-measurement with zero
+    // code change — co-tenant noise the min failed to shed). Any query
+    // whose min moved >2× in EITHER direction vs the prior committed
+    // artifact at the SAME sf gets an isolated min-of-3 re-run after the
+    // suite (isolated = outside the original suite position, so a noisy
+    // neighbor can't contaminate it twice); the final value is the min of
+    // all observations, and the artifact names the re-run queries so a
+    // reader can audit which numbers carry the extra evidence.
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+    val prior: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(priorPath)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // flat numeric "name":sec pairs; the top-level scalar keys
+        // (metric/value/passes/sf) never collide with query names
+        val sameSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sameSf) Map.empty
+        else "\"([A-Za-z0-9_]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val flagged = results.collect { case (n, v)
+      if !errors.contains(n) && prior.get(n).exists(p =>
+        v > 2 * p || v < p / 2) => n }
+    val rerunMin = flagged.map { n =>
+      System.err.println(s"[bench] outlier re-run (isolated min-of-3): $n")
+      n -> (1 to 3).map(_ => exec(n)).min
+    }.toMap
+    val finalResults = results.map { case (n, v) =>
+      n -> math.min(v, rerunMin.getOrElse(n, v)) }
+
+    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = finalResults.map(_._2).sum
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val errJson =
-      if (errors.isEmpty) ""
-      else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-        .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs$errJson,"sf":"$sfDir"}"""
+    // "errors" is ALWAYS present: a reader must be able to distinguish
+    // "zero errors" from "artifact predates error capture"
+    val errJson = ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val rerunJson = ",\"reruns\":" + flagged.map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs$errJson$rerunJson,"sf":"$sfDir"}"""
     println(line)
     // driver output tails can truncate the per-query map on long registries;
     // also persist the full line as a tracked artifact so every round's

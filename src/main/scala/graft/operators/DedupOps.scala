@@ -212,10 +212,21 @@ object DedupOps {
     * base table; unused set/shingle projections are pruned out). */
   def jaccardPairsAuto(docs: DataFrame, idCol: String, setCol: String,
                        threshold: Double,
-                       denseCutoff: Long = 10000L): DataFrame =
-    if (docs.select(col(idCol)).count() < denseCutoff)
+                       denseCutoff: Long = -1L): DataFrame =
+    if (docs.select(col(idCol)).count() < resolveDenseCutoff(docs, denseCutoff))
       jaccardPairsDense(docs, idCol, setCol, threshold)
     else jaccardPairs(docs, idCol, setCol, threshold)
+
+  /** The dense/prefix crossover is a runtime-tunable session conf (the
+    * same shape as `spark.sql.autoBroadcastJoinThreshold`): callers pass
+    * an explicit cutoff to pin a branch (the branch-invariance property
+    * tests do), everyone else inherits `spark.graft.dedup.denseCutoff`
+    * (default 10000, the measured crossover) — so a bench run can pin
+    * either branch with `--conf`, no recompile. */
+  private def resolveDenseCutoff(docs: DataFrame, explicit: Long): Long =
+    if (explicit >= 0) explicit
+    else docs.sparkSession.conf
+      .get("spark.graft.dedup.denseCutoff", "10000").toLong
 
   /** Exact substring-level duplication profile (the suffix-array-style
     * dedup signal of RefinedWeb/Lee et al. 2022, re-expressed relationally
@@ -343,8 +354,8 @@ object DedupOps {
     * identical, property-tested. */
   def containmentPairsAuto(docs: DataFrame, idCol: String, setCol: String,
                            threshold: Double,
-                           denseCutoff: Long = 10000L): DataFrame =
-    if (docs.select(col(idCol)).count() < denseCutoff)
+                           denseCutoff: Long = -1L): DataFrame =
+    if (docs.select(col(idCol)).count() < resolveDenseCutoff(docs, denseCutoff))
       containmentPairsDense(docs, idCol, setCol, threshold)
     else containmentPairs(docs, idCol, setCol, threshold)
 
