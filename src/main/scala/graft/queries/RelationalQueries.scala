@@ -1049,9 +1049,95 @@ object RelationalQueries {
     },
     Some(q6Sql))
 
+  // --- TPC-H hard correlated-subquery trio (q4/q20/q21 shapes) ----------
+  // The canonical decorrelation stress cases, run verbatim through the
+  // spark.sql STRING entry point (same surface q6_forecast_revenue_sql
+  // proves) with the identical text on DuckDB. The predicates are adapted
+  // to this schema (no l_commitdate/l_receiptdate/partsupp): "late" is
+  // l_shipdate > o_orderdate + 30/45 days, and q20's availability guard
+  // becomes a correlated per-part average — the correlation STRUCTURE
+  // (EXISTS; nested IN + correlated scalar; double-correlated
+  // EXISTS/NOT EXISTS sharing an outer column) is what is under test.
+  // Scale notes: Catalyst decorrelates each into aggregate+join on the
+  // correlation key (orderkey/partkey) — no nested-loop per-row subquery
+  // execution, no cartesian (plan-asserted in PlanQualitySpec); the
+  // nation dim probe broadcasts.
+
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private val q4 = Q(
+    "q4_order_priority_exists",
+    (s, dir) => {
+      t(s, dir).orders.createOrReplaceTempView("orders")
+      t(s, dir).lineitem.createOrReplaceTempView("lineitem")
+      s.sql(q4Sql)
+    },
+    Some(q4Sql))
+
+  private val q20Sql =
+    """SELECT s_name, round(s_acctbal, 2) AS acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT l1.l_suppkey FROM lineitem l1
+      |    WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+      |                           WHERE p_name LIKE 'red %')
+      |      AND l1.l_quantity > 0.5 * (SELECT avg(l2.l_quantity)
+      |                                 FROM lineitem l2
+      |                                 WHERE l2.l_partkey = l1.l_partkey))
+      |ORDER BY s_name""".stripMargin
+
+  private val q20 = Q(
+    "q20_excess_suppliers_nested_in",
+    (s, dir) => {
+      t(s, dir).supplier.createOrReplaceTempView("supplier")
+      t(s, dir).nation.createOrReplaceTempView("nation")
+      t(s, dir).part.createOrReplaceTempView("part")
+      t(s, dir).lineitem.createOrReplaceTempView("lineitem")
+      s.sql(q20Sql)
+    },
+    Some(q20Sql))
+
+  private val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  private val q21 = Q(
+    "q21_waiting_suppliers_double_exists",
+    (s, dir) => {
+      t(s, dir).supplier.createOrReplaceTempView("supplier")
+      t(s, dir).orders.createOrReplaceTempView("orders")
+      t(s, dir).lineitem.createOrReplaceTempView("lineitem")
+      s.sql(q21Sql)
+    },
+    Some(q21Sql))
+
   private val all0: Seq[Q] = Seq(
     q1, q3, q5, q6, s3Lookup, f5, semi, q17, existsQ, notExistsQ,
-    scalarSelectQ, lateralTopN,
+    scalarSelectQ, lateralTopN, q4, q20, q21,
     f3, f6, f7, f18, f19,
     f1, f1Quarantine, f4, pivotQ, f11, f13, f14, f8,
     setExcept, setIntersect, setUnion, topk, topkWindowForm, fullOuter,

@@ -116,6 +116,26 @@ class PlanQualitySpec extends SparkSpec {
       s"containment prefix path must be equi-join only:\n${prefixPlan.take(800)}")
   }
 
+  test("TPC-H q4/q20/q21 decorrelate: no per-row subquery loops, no " +
+      "cartesian, nation dim broadcasts") {
+    for (name <- Seq("q4_order_priority_exists",
+        "q20_excess_suppliers_nested_in",
+        "q21_waiting_suppliers_double_exists")) {
+      val plan = physicalPlan(SparkEntry.queries(name)(spark, TestSpark.sfDir))
+      // Catalyst must rewrite every EXISTS/IN/scalar subquery into a
+      // join on the correlation key — a surviving nested-loop or
+      // cartesian means per-row re-execution, quadratic at scale
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian:\n${plan.take(800)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested loop:\n${plan.take(800)}")
+    }
+    val q20Plan = physicalPlan(
+      SparkEntry.queries("q20_excess_suppliers_nested_in")(spark, TestSpark.sfDir))
+    assert(q20Plan.contains("BroadcastHashJoin"),
+      s"q20's nation/part dim probes must broadcast:\n${q20Plan.take(800)}")
+  }
+
   test("IVF top-k search broadcasts the probe table, never the corpus") {
     val q = SparkEntry.queries("sim_ivf_topk")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)
