@@ -181,9 +181,12 @@ object GraphOps {
     * Scale posture: per round one equi-join of the (static, lineage-cut)
     * bidirectional adjacency table against the narrow (id, label) state
     * + one (node, label) hash aggregate + one argmax aggregate — the
-    * argmax rides a sortable (count, -label) struct, so `max` gives
+    * argmax rides a sortable (-count, label) struct, so `min` gives
     * "most frequent, then smallest" with map-side partial aggregation
-    * and no window sort. State is never wider than two columns. */
+    * and no window sort (negating the COUNT, not the label, keeps the
+    * contract type-generic: node ids only need an ordering, not signed
+    * arithmetic — string ids work, and no id value can overflow a
+    * negation). State is never wider than two columns. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int): DataFrame = {
     val und = edges
@@ -205,8 +208,8 @@ object GraphOps {
         .agg(count(lit(1)).as("cnt"))
       labels = counts
         .groupBy(col("a").as("id"))
-        .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("id"), (-col("m.nl")).as("label"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("label"))
       round += 1
       // cut BETWEEN rounds only: intermediate lineage must not snowball,
       // but the final round's plan stays inspectable (plan-quality specs

@@ -116,11 +116,16 @@ object MultimodalOps {
     * (band index, band value) — Σ bucket², never corpus²; hamming is a
     * scan-local expression over the two hex halves (conv → xor →
     * bit_count). Payloads themselves never shuffle — only (id, 16-char
-    * hash) pairs do. */
+    * hash) pairs do.
+    *
+    * `payloadCol` is the (possibly nested) binary payload column path;
+    * the default matches the asMedia-shaped table this module produces —
+    * callers with a different layout pass their own path. */
   def phashCandidatePairs(media: DataFrame, idCol: String,
-                          maxHamming: Int): DataFrame = {
+                          maxHamming: Int,
+                          payloadCol: String = "media.payload"): DataFrame = {
     val h = media.select(col(idCol).as("id"),
-      phash(col("media.payload")).as("h"))
+      phash(col(payloadCol)).as("h"))
     val bands = h.select(col("id"), col("h"),
         posexplode(array((0 to 3).map(i =>
           substring(col("h"), 1 + 4 * i, 4)): _*)))

@@ -675,7 +675,12 @@ object GoldQueries {
         .select($"user_id", to_date($"ts").as("date"), $"ts", $"event_id",
           $"value")
         .groupBy($"user_id", $"date")
-        .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
+        // snap the close to integer cents BEFORE the frame aggregates:
+        // the window sums then run over exact hundredths on both engines,
+        // so a last-ulp float-order difference can't flip the 6dp z
+        // rounding or the |z|>2 boundary boolean
+        .agg((round(max_by($"value", struct($"ts", $"event_id")) * 100) / 100)
+          .as("close"))
       val w = Window.partitionBy($"user_id").orderBy($"date")
         .rowsBetween(-19, Window.currentRow)
       daily
@@ -687,7 +692,7 @@ object GoldQueries {
         .orderBy($"user_id", $"date")
     },
     Some("""WITH px AS (
-           |  SELECT user_id, date, value AS close
+           |  SELECT user_id, date, round(value * 100) / 100 AS close
            |  FROM (SELECT user_id, ts::DATE AS date, value,
            |               row_number() OVER (PARTITION BY user_id, ts::DATE
            |                 ORDER BY ts DESC, event_id DESC) AS rn
@@ -721,7 +726,11 @@ object GoldQueries {
         .select($"user_id", to_date($"ts").as("date"), $"ts", $"event_id",
           $"value")
         .groupBy($"user_id", $"date")
-        .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
+        // cents-snap before the co-moment aggregates (same rationale as
+        // gold_rolling_zscore: exact hundredths make the regr_* partial
+        // merges order-independent at the 6dp output precision)
+        .agg((round(max_by($"value", struct($"ts", $"event_id")) * 100) / 100)
+          .as("close"))
       val market = daily.groupBy($"date")
         .agg(round(avg($"close"), 6).as("mkt"))
       daily.join(broadcast(market), "date")
@@ -733,7 +742,7 @@ object GoldQueries {
         .orderBy($"user_id")
     },
     Some("""WITH px AS (
-           |  SELECT user_id, date, value AS close
+           |  SELECT user_id, date, round(value * 100) / 100 AS close
            |  FROM (SELECT user_id, ts::DATE AS date, value,
            |               row_number() OVER (PARTITION BY user_id, ts::DATE
            |                 ORDER BY ts DESC, event_id DESC) AS rn

@@ -1227,7 +1227,11 @@ object StatsQueries {
       val tot = perB.agg(count(lit(1)).as("bn"), sum($"mb").as("s1"))
       val se = perB.crossJoin(broadcast(tot))
         .select(($"bn" * $"mb" - $"s1").as("d"), $"bn")
-        .groupBy($"bn").agg(sum($"d" * $"d").as("sd2"))
+        // d² accumulates in DECIMAL(38,0), not LongType: d is a long, so
+        // d² fits 38 digits exactly, but Σd² can pass 2⁶³ on plausible
+        // value scales — the oracle side widens to HUGEINT to match
+        .groupBy($"bn").agg(sum($"d".cast("decimal(20,0)")
+          * $"d".cast("decimal(20,0)")).as("sd2"))
         .select(round(sqrt(
           $"sd2".cast("double") / ($"bn" * $"bn" * ($"bn" - 1)) / 2.0)
           / 1e6, 6).as("se"))
@@ -1256,7 +1260,8 @@ object StatsQueries {
            |        FROM perb CROSS JOIN tot),
            |se AS (
            |  SELECT round(sqrt(
-           |           sum(d * d)::DOUBLE / (bn * bn * (bn - 1)) / 2.0)
+           |           sum(d::HUGEINT * d::HUGEINT)::DOUBLE
+           |             / (bn * bn * (bn - 1)) / 2.0)
            |         / 1e6, 6) AS se
            |  FROM dev GROUP BY bn)
            |SELECT n_rows, grand_mean, se,
