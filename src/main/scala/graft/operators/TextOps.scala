@@ -379,13 +379,34 @@ object TextOps {
     val encode = udf { (toks: Seq[String]) =>
       if (toks == null) null else toks.map(t => bc.value.getOrElse(t, -1))
     }
+    encoderBroadcasts.add(bc)
     docs.select(col(idCol).as("id"),
       encode(tokens(col(textCol))).as("ids"))
     // broadcast lifetime: bc is NOT unpersisted here — the returned plan
     // is lazy and probes bc at execution, which may be long after this
     // call returns. The v-row map is freed with the session (same
-    // lifetime contract as Spark's own broadcast joins); repeated re-fits
-    // in one session each ship one bounded v-row map.
+    // lifetime contract as Spark's own broadcast joins). Each fit costs
+    // ~v·60 B (≈6 MB at V=100k) on the driver and every live executor, so
+    // a long-lived session re-fitting per epoch accumulates E·6 MB —
+    // bounded but real; call [[releaseEncoderBroadcasts]] between epochs
+    // to reclaim it.
+  }
+
+  private val encoderBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.broadcast.Broadcast[_]]()
+
+  /** Re-fit hygiene hook for [[encodeIds]]: non-blocking `unpersist` of
+    * every encoder vocab broadcast out of executor memory, returning how
+    * many were released. Safe to call while earlier plans are still held:
+    * `unpersist` (unlike `destroy`) leaves the driver copy, so a stale
+    * plan that re-executes just re-fetches — correctness is unaffected,
+    * only the cached executor bytes are reclaimed. */
+  def releaseEncoderBroadcasts(): Int = {
+    var n = 0
+    var b = encoderBroadcasts.poll()
+    while (b != null) { b.unpersist(false); n += 1; b = encoderBroadcasts.poll() }
+    n
   }
 
   /** BPE tokenizer TRAINING (Sennrich et al. 2016 §3.2), distributed:

@@ -165,6 +165,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out === Seq((1L, Some(Seq(0, 0))), (2L, None)))
   }
 
+  test("encodeIds: releaseEncoderBroadcasts reclaims per-fit vocab maps " +
+      "without breaking an already-returned plan") {
+    TextOps.releaseEncoderBroadcasts() // drain fits left by other tests
+    val docs = Seq((1L, "a a b z"), (2L, "b b")).toDF("doc_id", "text")
+    val fit1 = TextOps.encodeIds(docs, "doc_id", "text", 2)
+    val fit2 = TextOps.encodeIds(docs, "doc_id", "text", 2)
+    assert(fit1.count() === 2L)
+    // two epochs fitted → two broadcasts released; the count is the
+    // measured bound (E fits accumulate exactly E maps, nothing hidden)
+    assert(TextOps.releaseEncoderBroadcasts() === 2)
+    assert(TextOps.releaseEncoderBroadcasts() === 0, "drain is idempotent")
+    // unpersist (not destroy): a plan executed AFTER release still works —
+    // executors re-fetch the driver copy
+    val out = fit2.orderBy($"id").as[(Long, Seq[Int])].collect().toSeq
+    assert(out === Seq((1L, Seq(1, 1, 0, -1)), (2L, Seq(0, 0))))
+  }
+
   test("encodeIds: a 100k-entry vocab stays OUT of the serialized plan") {
     // 1000 docs × 100 unique tokens = a 100k-distinct-token corpus — the
     // documented production vocab size. The fitted map must ship as a
