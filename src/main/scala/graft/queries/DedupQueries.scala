@@ -404,18 +404,32 @@ object DedupQueries {
     * postings (≤ k·N probe rows, never a pair join), where the exact
     * `dedup_containment` twin above must compare sets pairwise. The oracle
     * replays the identical md5-prefix sketch in DuckDB, so the estimate —
-    * a ratio of integers — matches bit-exactly. */
+    * a ratio of integers — matches bit-exactly.
+    *
+    * Shingle width is the probe-selectivity knob and is deliberately 3
+    * here (vs the exact twin's 2): candidate volume is Σ over sketch
+    * slots of df(token), and this corpus's 2-gram vocabulary is ~900
+    * tokens with avg df ≈ 275 — EVERY 2-gram is a stop-shingle, so the
+    * sketch probe degenerates toward all-pairs (measured: 56% of all
+    * pairs became candidates, slower than the exact prefix path). At
+    * 3-gram the vocabulary is 27k with avg df 9.6 and the probe is ~30×
+    * more selective; quote/superset detection over ≥3-token spans is the
+    * realistic containment target anyway. */
   private val containmentSketch = Q(
     "dedup_containment_bottomk",
     (s, dir) => {
       import s.implicits._
       val withShingles = docs(s, dir)
-        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+        .select($"doc_id", TextOps.shingles($"text", 3).as("shingles"))
       DedupOps.containmentSketchPairs(withShingles, "doc_id", "shingles",
           0.8, 16)
         .orderBy($"id_a", $"id_b")
     },
-    Some(s"""$shingleCte,
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+            |sh AS (SELECT doc_id,
+            |         list_distinct([array_to_string(toks[i:i+2],' ')
+            |                        FOR i IN generate_series(1, len(toks)-2)]) s
+            |       FROM d),
             |hh AS (SELECT doc_id,
             |         list_sort(list_distinct(
             |           [('0x'||substr(md5(t),1,8))::BIGINT FOR t IN s])) hs
