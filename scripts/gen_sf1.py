@@ -19,7 +19,7 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "target/sf1"
 K = 1_000_000          # key stride per copy
 KBIG = 10_000_000      # orderkey/event_id stride (they exceed 1M at sf>=1)
-COPIES = 10
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 con = duckdb.connect()
 con.execute(f"CREATE VIEW copies AS SELECT unnest(range({COPIES})) AS i")

@@ -1135,9 +1135,106 @@ object RelationalQueries {
     },
     Some(q21Sql))
 
+  // --- TPC-H outer-join / view / IN-HAVING / anti-join quartet ----------
+  // q13/q15/q18/q22 shapes through the same spark.sql STRING entry point.
+  // Adaptations to this schema: q13's comment filter becomes an
+  // orderpriority filter INSIDE the outer join's ON clause (the point of
+  // q13 — the filter must not turn the outer join inner); q22's phone
+  // country code becomes c_nationkey and "no orders at all" (empty on
+  // this synthetic data — every customer orders) becomes "no URGENT
+  // orders". Money lands in exact integer cents before any aggregate or
+  // equality (the q15 max-revenue tie compare and q18's sort key would
+  // otherwise ride float partial-aggregation order).
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private val q13 = Q(
+    "q13_customer_order_distribution",
+    (s, dir) => {
+      t(s, dir).customer.createOrReplaceTempView("customer")
+      t(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(q13Sql)
+    },
+    Some(q13Sql))
+
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |                       AS BIGINT)) AS BIGINT) AS total_revenue_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue_c
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  private val q15 = Q(
+    "q15_top_supplier_revenue_view",
+    (s, dir) => {
+      t(s, dir).supplier.createOrReplaceTempView("supplier")
+      t(s, dir).lineitem.createOrReplaceTempView("lineitem")
+      s.sql(q15Sql)
+    },
+    Some(q15Sql))
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS order_date,
+      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS totalprice_c,
+      |       CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY totalprice_c DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  private val q18 = Q(
+    "q18_large_volume_customers",
+    (s, dir) => {
+      t(s, dir).customer.createOrReplaceTempView("customer")
+      t(s, dir).orders.createOrReplaceTempView("orders")
+      t(s, dir).lineitem.createOrReplaceTempView("lineitem")
+      s.sql(q18Sql)
+    },
+    Some(q18Sql))
+
+  private val q22Sql =
+    """SELECT c_nationkey, count(*) AS numcust,
+      |       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+      |         AS totacctbal_c
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+      |                   WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  private val q22 = Q(
+    "q22_dormant_customers_antijoin",
+    (s, dir) => {
+      t(s, dir).customer.createOrReplaceTempView("customer")
+      t(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(q22Sql)
+    },
+    Some(q22Sql))
+
   private val all0: Seq[Q] = Seq(
     q1, q3, q5, q6, s3Lookup, f5, semi, q17, existsQ, notExistsQ,
-    scalarSelectQ, lateralTopN, q4, q20, q21,
+    scalarSelectQ, lateralTopN, q4, q20, q21, q13, q15, q18, q22,
     f3, f6, f7, f18, f19,
     f1, f1Quarantine, f4, pivotQ, f11, f13, f14, f8,
     setExcept, setIntersect, setUnion, topk, topkWindowForm, fullOuter,

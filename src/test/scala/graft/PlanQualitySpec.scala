@@ -136,6 +136,36 @@ class PlanQualitySpec extends SparkSpec {
       s"q20's nation/part dim probes must broadcast:\n${q20Plan.take(800)}")
   }
 
+  test("TPC-H q13/q15/q18/q22: outer join survives, IN/NOT-EXISTS/scalar " +
+      "subqueries become joins, no cartesian") {
+    for (name <- Seq("q13_customer_order_distribution",
+        "q15_top_supplier_revenue_view", "q18_large_volume_customers",
+        "q22_dormant_customers_antijoin")) {
+      val plan = physicalPlan(SparkEntry.queries(name)(spark, TestSpark.sfDir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian:\n${plan.take(800)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested loop:\n${plan.take(800)}")
+    }
+    // q13: the ON-clause filter must NOT turn the outer join inner — the
+    // zero-order customers bucket is the point of the query
+    val q13Plan = physicalPlan(SparkEntry.queries(
+      "q13_customer_order_distribution")(spark, TestSpark.sfDir))
+    assert(q13Plan.contains("LeftOuter"),
+      s"q13's left outer join must survive optimization:\n${q13Plan.take(800)}")
+    // q18: the IN (GROUP BY ... HAVING) subquery decorrelates to an
+    // aggregate + semi join on l_orderkey, not a per-row re-aggregation
+    val q18Plan = physicalPlan(SparkEntry.queries(
+      "q18_large_volume_customers")(spark, TestSpark.sfDir))
+    assert(q18Plan.contains("LeftSemi"),
+      s"q18's IN subquery must plan as a semi join:\n${q18Plan.take(800)}")
+    // q22: NOT EXISTS → anti join
+    val q22Plan = physicalPlan(SparkEntry.queries(
+      "q22_dormant_customers_antijoin")(spark, TestSpark.sfDir))
+    assert(q22Plan.contains("LeftAnti"),
+      s"q22's NOT EXISTS must plan as an anti join:\n${q22Plan.take(800)}")
+  }
+
   test("IVF top-k search broadcasts the probe table, never the corpus") {
     val q = SparkEntry.queries("sim_ivf_topk")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)
@@ -456,11 +486,13 @@ class PlanQualitySpec extends SparkSpec {
   test("label propagation argmax partial-aggregates map-side (no per-round window)") {
     val q = SparkEntry.queries("graph_label_propagation")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)
-    // the per-round most-frequent-label argmax rides a (count, -label)
-    // struct max — mergeable, map-side combined; a row_number window
+    // the per-round most-frequent-label argmax rides a (-count, label)
+    // struct min — mergeable, map-side combined; a row_number window
     // would sort-shuffle every (node, label) row every round
-    assert(plan.contains("partial_max"),
-      s"argmax must be a partial max aggregate:\n${plan.take(800)}")
+    assert(plan.contains("partial_min"),
+      s"argmax must be a partial min aggregate:\n${plan.take(800)}")
+    assert(!plan.contains("Window"),
+      s"per-round argmax must not be a window:\n${plan.take(800)}")
   }
 
   test("SQL surface: native functions registered via SparkSessionExtensions") {
