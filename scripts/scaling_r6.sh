@@ -26,7 +26,7 @@ run() { # run <tag> <sfdir> <extra-env...> -- <queries...>
   echo "=== $tag ==="
   env SPARK_GRAFT_SF_DIR="$sfdir" "${envs[@]}" \
     sbt -batch "runMain graft.Bench $*" 2>&1 \
-    | grep -E '^\{"metric"' > "$OUT/$tag.json"
+    | grep -oE '\{"metric".*\}' > "$OUT/$tag.json"
   cat "$OUT/$tag.json"
 }
 

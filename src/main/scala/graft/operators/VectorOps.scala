@@ -249,6 +249,97 @@ object VectorOps {
         col("col._2").as("neighbor_id"), col("col._1").as("cos"))
   }
 
+  /** Product-quantization codebooks: the D-dim space is split into m
+    * contiguous subspaces of D/m dims; each subspace gets its own
+    * k-codeword k-means codebook (seeded spark.ml fit over the sliced
+    * subvectors — one bounded fit per subspace). Codebooks are BOUNDED
+    * DRIVER STATE (m·k·(D/m) doubles — the same contract as IVF
+    * centroids), returned nested and ready for `typedLit`, so every
+    * downstream step (encode, decode, ADC search) is a scan-local
+    * expression: at 100 TB the corpus is rewritten once into m-byte
+    * codes (16× smaller than float32 at m=4, k≤256 over 64 dims) and
+    * never touched as floats again. */
+  def pqTrainCodebooks(corpus: DataFrame, vecCol: String, m: Int, k: Int,
+                       seed: Long = 42L,
+                       maxIter: Int = 5): Seq[Seq[Seq[Double]]] = {
+    val d = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
+    (0 until m).map { s =>
+      val toVec = org.apache.spark.ml.functions.array_to_vector(
+        toDouble(slice(col(vecCol), s * sub + 1, sub)))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed + s).setMaxIter(maxIter)
+        .fit(corpus.select(toVec.as("features")))
+      model.clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+  }
+
+  /** PQ encode: per subspace, the index of the L2-nearest codeword
+    * (tie → lowest index, via array_position-of-min). Pure scan-local
+    * expression over the literal codebooks — no joins, no shuffle. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val cb = typedLit(codebooks)
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val subv = slice(toDouble(vec), s * lit(sub) + 1, lit(sub))
+      val d2s = transform(element_at(cb, s + 1), c =>
+        aggregate(zip_with(c, subv, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(d2s, array_min(d2s)) - 1).cast("int")
+    })
+  }
+
+  /** PQ decode: codeword concatenation — the reconstruction the ADC
+    * distance is measured against. */
+  def pqDecode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val cb = typedLit(codebooks)
+    flatten(transform(sequence(lit(0), lit(codebooks.size - 1)), s =>
+      element_at(element_at(cb, s + 1), element_at(codes, s + 1) + 1)))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    * (bounded) query precomputes an m×k lookup table of subspace
+    * distances to every codeword; a corpus row's distance is then m
+    * table lookups summed — the original floats are never read at
+    * search time. Identity (spec- and oracle-pinned):
+    * Σ_s lut[s][code_s] ≡ ‖q − decode(codes)‖², exactly — the LUT sum
+    * IS the reconstruction distance, because the subspaces partition
+    * the dimensions. Query side broadcasts; the finish is the bounded-
+    * heap TopKAggregator (≤k rows per partition×query shuffle), same
+    * posture as ivfTopK. Output: (query_id, rank, neighbor_id, adc2). */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, codebooks: Seq[Seq[Seq[Double]]],
+                k: Int): DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val cb = typedLit(codebooks)
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      pqEncode(col(vecCol), codebooks).as("codes"))
+    val q = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), s => {
+        val subq = slice(col("qv"), s * lit(sub) + 1, lit(sub))
+        transform(element_at(cb, s + 1), c =>
+          aggregate(zip_with(c, subq, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+      }))
+      .select(col("query_id"), col("lut"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc2", aggregate(
+        zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("query_id"))
+      // TopKAggregator keeps the LARGEST scores: negate the distance
+      .agg(topk(-col("adc2"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col._2").as("neighbor_id"), (-col("col._1")).as("adc2"))
+  }
+
   /** IVF-style assignment: nearest centroid (max cosine, tie → min id)
     * per vector. Centroids are broadcast — one map-side pass; the argmax
     * is a `max_by` HASH AGGREGATE, not a window: the partial aggregate

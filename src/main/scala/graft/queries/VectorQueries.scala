@@ -310,5 +310,112 @@ object VectorQueries {
            |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
            |FROM generate_series(0, 7) t(i) ORDER BY cluster""".stripMargin))
 
-  def all: Seq[Q] = Seq(topk, pairs, lsh, lshAuto, quantTopk, ivf, ivfTopk, kmeans)
+  /** Product-quantization ANN (m=16 subspaces × k=16 codewords over the
+    * 64-dim embeddings — 16 small ints per vector, 16× smaller than
+    * float32 at rest; m chosen by measured recall on the near-random
+    * synthetic embeddings, where coarser m=4/8 drops below a usable
+    * floor). The k-means codebook fit is iterative spark.ml (no SQL
+    * oracle), so the driver-checkable query follows the
+    * [[VectorOps.kmeansInvariants]] pattern: per query vector a row of
+    * in-plan invariant booleans the oracle twin emits as literal trues —
+    *   codes_in_range   — every code ∈ [0, 16) on every corpus row,
+    *   lut_identity_ok  — the ADC lookup-table sum equals
+    *                      ‖q − decode(codes)‖² (1e-9) on every returned
+    *                      pair: the LUT assembly IS the reconstruction
+    *                      distance (subspaces partition the dims), so a
+    *                      wrong slice offset / code index / table layout
+    *                      breaks it,
+    *   adc_topk_ok      — DETERMINISTIC end-to-end search check: the ten
+    *                      ADC distances returned per query equal (1e-9,
+    *                      as multisets) a brute-force top-10 over the
+    *                      reconstruction distance — ADC *is* that
+    *                      distance, so banding/heap/rank bugs break this
+    *                      regardless of data distribution,
+    *   recall10_ok      — ≥ 2 of the exact-L2 top-10 survive in the ADC
+    *                      top-10 (quality floor; measured 3–6 for these
+    *                      query ids at both oracle SFs, m=16),
+    *   n_total          — exact corpus count, hash-comparable.
+    * Search cost posture: codebooks are literal, encode is scan-local,
+    * queries broadcast, finish is the bounded-heap TopKAggregator. */
+  private val pqInv = Q(
+    "sim_pq_invariants",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cbs = VectorOps.pqTrainCodebooks(e, "embedding", m = 16, k = 16)
+      val enc = e.select($"vec_id",
+        VectorOps.pqEncode($"embedding", cbs).as("codes"),
+        VectorOps.toDouble($"embedding").as("v"))
+      val global = enc.agg(
+        min(forall($"codes", c => c >= 0 && c < 16)).as("codes_in_range"),
+        count(lit(1)).as("n_total"))
+      val queries = e.filter($"vec_id" < 4)
+      val adc = VectorOps.pqAdcTopK(queries, e, "vec_id", "embedding", cbs, 10)
+      // identity check on every returned pair: ADC distance recomputed
+      // directly against the reconstruction
+      def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      val qv = queries.select($"vec_id".as("query_id"),
+        VectorOps.toDouble($"embedding").as("qv"))
+      val idOk = adc
+        .join(enc.select($"vec_id".as("neighbor_id"), $"codes"), "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("direct",
+          d2($"qv", VectorOps.pqDecode($"codes", cbs)))
+        .groupBy($"query_id")
+        .agg(min(abs($"adc2" - $"direct") <= 1e-9).as("lut_identity_ok"),
+          collect_list($"neighbor_id").as("adc_ids"),
+          sort_array(collect_list($"adc2")).as("adc_d"))
+      val topk10 = udaf(new graft.functions.TopKAggregator(10))
+      // brute-force top-10 over the RECONSTRUCTION distance: ADC is this
+      // exact distance, so the returned distance multiset must match
+      val reconExact = enc.crossJoin(broadcast(qv))
+        .filter($"query_id" =!= $"vec_id")
+        .withColumn("dr", d2($"qv", VectorOps.pqDecode($"codes", cbs)))
+        .groupBy($"query_id")
+        .agg(topk10(-$"dr", $"vec_id").as("top"))
+        .select($"query_id",
+          sort_array(transform($"top", t => -t.getField("_1"))).as("recon_d"))
+      // exact L2 top-10 (brute force over the broadcast queries) → recall
+      val exact = enc.crossJoin(broadcast(qv))
+        .filter($"query_id" =!= $"vec_id")
+        .withColumn("d2x", d2($"qv", $"v"))
+        .groupBy($"query_id")
+        .agg(topk10(-$"d2x", $"vec_id").as("top"))
+        .select($"query_id", transform($"top", t => t.getField("_2")).as("exact_ids"))
+      idOk.join(reconExact, "query_id").join(exact, "query_id")
+        .crossJoin(broadcast(global))
+        .select($"query_id", $"codes_in_range", $"lut_identity_ok",
+          (size($"adc_d") === 10 &&
+            forall(zip_with($"adc_d", $"recon_d", (a, b) => abs(a - b) <= 1e-9),
+              x => x)).as("adc_topk_ok"),
+          (size(array_intersect($"adc_ids", $"exact_ids")) >= 2).as("recall10_ok"),
+          $"n_total")
+        .orderBy($"query_id")
+    },
+    Some("""SELECT vec_id AS query_id, true AS codes_in_range,
+           |       true AS lut_identity_ok, true AS adc_topk_ok,
+           |       true AS recall10_ok,
+           |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
+           |FROM embeddings WHERE vec_id < 4 ORDER BY query_id""".stripMargin))
+
+  /** The PQ search surface itself (rows-only driver check — neighbor
+    * ranks ride the engine-specific k-means fit; the invariants query
+    * above carries the hash-strength evidence, the spec the math). */
+  private val pqTopk = Q(
+    "sim_pq_topk",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cbs = VectorOps.pqTrainCodebooks(e, "embedding", m = 16, k = 16)
+      VectorOps.pqAdcTopK(e.filter($"vec_id" < 5), e, "vec_id", "embedding",
+          cbs, 10)
+        .withColumn("adc2", round($"adc2", 6))
+        .orderBy($"query_id", $"rank")
+    },
+    None)
+
+  def all: Seq[Q] = Seq(topk, pairs, lsh, lshAuto, quantTopk, ivf, ivfTopk,
+    kmeans, pqInv, pqTopk)
 }
