@@ -1232,9 +1232,243 @@ object RelationalQueries {
     },
     Some(q22Sql))
 
+  // --- TPC-H completion octet (q2/q9/q10/q11/q12/q14/q16/q19) -----------
+  // The remaining eight TPC-H shapes, closing the 22/22 surface through
+  // the same spark.sql STRING entry point with identical text on DuckDB.
+  // Schema adaptations (this corpus has no partsupp / l_commitdate /
+  // l_receiptdate / l_shipmode / p_container / p_mfgr): the supply
+  // catalog IS lineitem — "supply cost" becomes sale price in integer
+  // cents (q2's correlated min, q11's value aggregate) or p_retailprice
+  // cost-of-goods (q9); "late delivery" is l_shipdate > o_orderdate + 30
+  // days (the q4/q21 convention); q12's ship modes become l_returnflag
+  // classes; q16's complaint suppliers become negative-balance suppliers;
+  // q19's container/shipmode conjuncts become p_size bands. The SHAPES
+  // under test are intact: q2 correlated scalar min against a 5-way join,
+  // q9 multi-fact star with expression profit, q10 group-top-N, q11
+  // scalar subquery in HAVING, q12 conditional CASE-sum counting, q14
+  // conditional-ratio aggregate, q16 NOT IN + count(DISTINCT), q19
+  // OR-of-ANDs pushed into one join.
+  // Scale notes: every money term lands in exact integer cents BEFORE
+  // any aggregate/compare (float partial-agg order can never flip a
+  // result); part/supplier/nation/region probes broadcast; q19's
+  // disjunction shares the single p_partkey=l_partkey equi-join key so
+  // Catalyst plans ONE hash join with the OR as a post-join filter —
+  // never a cartesian (plan-asserted alongside the r5 trio).
+
+  private val q2Sql =
+    """SELECT DISTINCT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+      |                p_partkey, p_name
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size = 30 AND p_type = 'LARGE'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND CAST(round(l_extendedprice * 100, 0) AS BIGINT) = (
+      |    SELECT min(CAST(round(l2.l_extendedprice * 100, 0) AS BIGINT))
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      |ORDER BY acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  private val q2 = Q(
+    "q2_min_cost_supplier",
+    (s, dir) => {
+      val tt = t(s, dir)
+      tt.part.createOrReplaceTempView("part")
+      tt.supplier.createOrReplaceTempView("supplier")
+      tt.lineitem.createOrReplaceTempView("lineitem")
+      tt.nation.createOrReplaceTempView("nation")
+      tt.region.createOrReplaceTempView("region")
+      s.sql(q2Sql)
+    },
+    Some(q2Sql))
+
+  private val q9Sql =
+    """SELECT nation, o_year, CAST(sum(amount_c) AS BIGINT) AS sum_profit_c
+      |FROM (SELECT n_name AS nation,
+      |             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |                  AS BIGINT)
+      |             - CAST(round(p_retailprice * l_quantity * 100, 0)
+      |                    AS BIGINT) AS amount_c
+      |      FROM part, supplier, lineitem, orders, nation
+      |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |        AND p_name LIKE '%old%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  private val q9 = Q(
+    "q9_product_profit_by_nation_year",
+    (s, dir) => {
+      val tt = t(s, dir)
+      tt.part.createOrReplaceTempView("part")
+      tt.supplier.createOrReplaceTempView("supplier")
+      tt.lineitem.createOrReplaceTempView("lineitem")
+      tt.orders.createOrReplaceTempView("orders")
+      tt.nation.createOrReplaceTempView("nation")
+      s.sql(q9Sql)
+    },
+    Some(q9Sql))
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |                     AS BIGINT)) AS BIGINT) AS revenue_c,
+      |       round(c_acctbal, 2) AS acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue_c DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  private val q10 = Q(
+    "q10_returned_item_customers",
+    (s, dir) => {
+      val tt = t(s, dir)
+      tt.customer.createOrReplaceTempView("customer")
+      tt.orders.createOrReplaceTempView("orders")
+      tt.lineitem.createOrReplaceTempView("lineitem")
+      tt.nation.createOrReplaceTempView("nation")
+      s.sql(q10Sql)
+    },
+    Some(q10Sql))
+
+  private val q11Sql =
+    """SELECT l_partkey,
+      |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                * CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+      |         AS value_c
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_5'
+      |GROUP BY l_partkey
+      |HAVING CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                * CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+      |       > 0.001 * (
+      |         SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                    * CAST(round(l_quantity, 0) AS BIGINT))
+      |         FROM lineitem, supplier, nation
+      |         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |           AND n_name = 'NATION_5')
+      |ORDER BY value_c DESC, l_partkey""".stripMargin
+
+  private val q11 = Q(
+    "q11_important_stock_having_scalar",
+    (s, dir) => {
+      val tt = t(s, dir)
+      tt.lineitem.createOrReplaceTempView("lineitem")
+      tt.supplier.createOrReplaceTempView("supplier")
+      tt.nation.createOrReplaceTempView("nation")
+      s.sql(q11Sql)
+    },
+    Some(q11Sql))
+
+  private val q12Sql =
+    """SELECT l_returnflag AS ship_class,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_returnflag IN ('A', 'N')
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  private val q12 = Q(
+    "q12_late_lines_by_priority",
+    (s, dir) => {
+      val tt = t(s, dir)
+      tt.orders.createOrReplaceTempView("orders")
+      tt.lineitem.createOrReplaceTempView("lineitem")
+      s.sql(q12Sql)
+    },
+    Some(q12Sql))
+
+  private val q14Sql =
+    """SELECT round(100.0
+      |  * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |                  THEN CAST(round(l_extendedprice * (1 - l_discount)
+      |                                  * 100, 0) AS BIGINT)
+      |                  ELSE 0 END) AS DOUBLE)
+      |  / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |                  AS BIGINT)) AS DOUBLE), 6) AS promo_revenue_pct
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  private val q14 = Q(
+    "q14_promo_revenue_share",
+    (s, dir) => {
+      val tt = t(s, dir)
+      tt.lineitem.createOrReplaceTempView("lineitem")
+      tt.part.createOrReplaceTempView("part")
+      s.sql(q14Sql)
+    },
+    Some(q14Sql))
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#3'
+      |  AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  private val q16 = Q(
+    "q16_parts_supplier_not_in",
+    (s, dir) => {
+      val tt = t(s, dir)
+      tt.lineitem.createOrReplaceTempView("lineitem")
+      tt.part.createOrReplaceTempView("part")
+      tt.supplier.createOrReplaceTempView("supplier")
+      s.sql(q16Sql)
+    },
+    Some(q16Sql))
+
+  private val q19Sql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |                     AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM lineitem, part
+      |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+      |       AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+      |       AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#14'
+      |       AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  private val q19 = Q(
+    "q19_disjunctive_brand_revenue",
+    (s, dir) => {
+      val tt = t(s, dir)
+      tt.lineitem.createOrReplaceTempView("lineitem")
+      tt.part.createOrReplaceTempView("part")
+      s.sql(q19Sql)
+    },
+    Some(q19Sql))
+
   private val all0: Seq[Q] = Seq(
     q1, q3, q5, q6, s3Lookup, f5, semi, q17, existsQ, notExistsQ,
     scalarSelectQ, lateralTopN, q4, q20, q21, q13, q15, q18, q22,
+    q2, q9, q10, q11, q12, q14, q16, q19,
     f3, f6, f7, f18, f19,
     f1, f1Quarantine, f4, pivotQ, f11, f13, f14, f8,
     setExcept, setIntersect, setUnion, topk, topkWindowForm, fullOuter,

@@ -166,6 +166,47 @@ class PlanQualitySpec extends SparkSpec {
       s"q22's NOT EXISTS must plan as an anti join:\n${q22Plan.take(800)}")
   }
 
+  test("TPC-H completion octet (q2/q9/q10/q11/q12/q14/q16/q19): no " +
+      "cartesian anywhere; q19's disjunction extracts the shared equi-key " +
+      "and pushes per-side OR branches into both scans") {
+    for (name <- Seq("q2_min_cost_supplier",
+        "q9_product_profit_by_nation_year", "q10_returned_item_customers",
+        "q11_important_stock_having_scalar", "q12_late_lines_by_priority",
+        "q14_promo_revenue_share", "q16_parts_supplier_not_in",
+        "q19_disjunctive_brand_revenue")) {
+      val plan = physicalPlan(SparkEntry.queries(name)(spark, TestSpark.sfDir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian:\n${plan.take(800)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested loop:\n${plan.take(800)}")
+    }
+    // q19 is the disjunctive-pushdown stress case: the three OR-of-AND
+    // branches share p_partkey = l_partkey, so Catalyst must plan ONE
+    // hash join on that key (not a nested loop over the disjunction) and
+    // extract each side's OR residue into the parquet scans — at 100 TB
+    // the lineitem scan reading only the quantity-banded rows is the
+    // difference between a table scan and a pruned one
+    val q19Plan = physicalPlan(SparkEntry.queries(
+      "q19_disjunctive_brand_revenue")(spark, TestSpark.sfDir))
+    assert(q19Plan.contains("BroadcastHashJoin") ||
+        q19Plan.contains("SortMergeJoin"),
+      s"q19 must plan an equi hash join on partkey:\n${q19Plan.take(800)}")
+    assert("PushedFilters: \\[[^\\]]*Or\\(".r.findAllIn(q19Plan).size >= 2,
+      s"q19's OR branches must push into BOTH scans:\n${q19Plan.take(1500)}")
+    // q16's NOT IN (nullable-free key) must become an anti join, and the
+    // count(DISTINCT l_suppkey) a two-phase distinct aggregate
+    val q16Plan = physicalPlan(SparkEntry.queries(
+      "q16_parts_supplier_not_in")(spark, TestSpark.sfDir))
+    assert(q16Plan.contains("LeftAnti"),
+      s"q16's NOT IN must plan as an anti join:\n${q16Plan.take(800)}")
+    // q11's HAVING scalar subquery must decorrelate (run once, broadcast
+    // as a literal into the filter), not re-aggregate per group
+    val q11Plan = physicalPlan(SparkEntry.queries(
+      "q11_important_stock_having_scalar")(spark, TestSpark.sfDir))
+    assert(q11Plan.contains("Subquery") || q11Plan.contains("scalar-subquery"),
+      s"q11's total must be a one-shot scalar subquery:\n${q11Plan.take(800)}")
+  }
+
   test("IVF top-k search broadcasts the probe table, never the corpus") {
     val q = SparkEntry.queries("sim_ivf_topk")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)
