@@ -315,6 +315,37 @@ object TextOps {
     when(size(toks) < n, array().cast("array<string>")).otherwise(folded)
   }
 
+  /** Fasttext-style hashed-feature linear document scorer — the
+    * quality-classifier filter stage of an LLM data pipeline (CCNet /
+    * DataComp / FineWeb keep-drop gates), with the TRAINED WEIGHTS
+    * standing in as a deterministic function of the feature bucket (the
+    * same stub policy the multimodal decode uses: the container has no
+    * training stack, so the model parameters are a fixed fake while the
+    * engine surface — hashing-trick featurization, sparse linear score,
+    * length normalization, thresholding — is real and oracle-pinned).
+    *
+    * Features: unigrams ++ word-2-grams (occurrence multiset, not set —
+    * fasttext sums over occurrences), bucketed by the portable 32-bit
+    * hash mod `dim`. Weight of bucket i: hash32("w#" ‖ i) mod 2001 −
+    * 1000, an integer in [−1000, 1000] acting as a fixed-point
+    * milli-weight. The raw margin `z` is therefore an exact INTEGER sum
+    * — no float accumulation anywhere, so partial-aggregation order can
+    * never flip the keep decision — and the reported score is the single
+    * double division z / (1000·n_feats) at the end.
+    *
+    * Scale: pure scan-local expression (two md5s per gram, all inside
+    * one `aggregate` fold evaluated once per row); no UDF, no join, no
+    * shuffle — at 100 TB this is a map-only pass whose cost is the scan
+    * itself. Returns struct(n_feats, z_milli). */
+  def classifierMargin(text: Column, dim: Int = 1024): Column = {
+    val grams = concat(tokens(text), shingles(text, 2))
+    val z = aggregate(grams, lit(0L), (acc, t) => {
+      val idx = hash32(t) % dim
+      acc + (hash32(concat(lit("w#"), idx.cast("string"))) % 2001 - 1000)
+    })
+    struct(size(grams).as("n_feats"), z.as("z_milli"))
+  }
+
   /** URL canonicalization — the dedup key for web corpora (two crawls of
     * the same page must collapse BEFORE content dedup ever runs): scheme
     * and host lowercased, default ports dropped, fragment dropped,

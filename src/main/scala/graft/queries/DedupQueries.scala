@@ -504,8 +504,84 @@ object DedupQueries {
             |FROM sizes GROUP BY cluster_size
             |ORDER BY cluster_size""".stripMargin))
 
+  /** Best-copy retention: the production variant of keep-one-per-cluster.
+    * Near-dup clusters (same CC build as dedup_components) keep their
+    * HIGHEST-QUALITY member, not their first — the standard corpus-dedup
+    * policy (a page's cleanest mirror survives, not its lowest id).
+    * Winner = argmax (quality, then min doc_id) per cluster, computed as
+    * a `max(struct(...))` HASH AGGREGATE — partial/map-side, no window
+    * sort; quality is the 6dp-rounded composite the text_quality_score
+    * twin already pins cross-engine, so the comparison key is identical
+    * bits on both sides. The tie-break negates doc_id, a non-negative
+    * synthetic key by the corpus contract (the same contract keep_first
+    * relies on), so no overflow is reachable. Scale: CC lineage-cut
+    * iterations + two key shuffles; nothing pairwise. */
+  private val keepBest = Q(
+    "dedup_keep_best_quality",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val withShingles = d
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      val pairs = DedupOps.jaccardPairsAuto(withShingles, "doc_id", "shingles", 0.5)
+      val comps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      d.select($"doc_id", TextOps.qualityScore($"text").as("quality"))
+        .join(comps, $"doc_id" === $"id", "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("rep"), $"quality")
+        .groupBy($"rep")
+        .agg(
+          max(struct($"quality", (-$"doc_id").as("nid"))).as("w"),
+          count(lit(1)).as("cluster_size"))
+        .select($"rep", (-$"w.nid").as("kept_doc_id"),
+          $"w.quality".as("quality"), $"cluster_size")
+        .orderBy($"rep")
+    },
+    Some(s"""WITH RECURSIVE $shingleCteBody,
+            |post AS (SELECT doc_id, unnest(s) tok FROM sh),
+            |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+            |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id),
+            |prs AS (SELECT a, b
+            |        FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+            |        WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+            |              / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+            |edges AS (SELECT a AS src, b AS dst FROM prs
+            |          UNION SELECT b, a FROM prs),
+            |reach AS (
+            |  SELECT src AS id, src AS r FROM edges
+            |  UNION
+            |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+            |q AS (
+            |  SELECT doc_id,
+            |    round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+            |          / length(text), 6) AS punct_ratio,
+            |    round(len(list_filter(string_split(text,' '),
+            |              t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+            |          / len(string_split(text,' ')), 6) AS stopword_ratio,
+            |    length(text) AS n
+            |  FROM documents),
+            |qual AS (
+            |  SELECT doc_id,
+            |    round(least(n::DOUBLE/500.0, 1.0)*0.5
+            |          + (1.0 - least(punct_ratio*5.0, 1.0))*0.3
+            |          + least(stopword_ratio*4.0, 1.0)*0.2, 6) AS quality
+            |  FROM q),
+            |labeled AS (
+            |  SELECT d2.doc_id, coalesce(min(reach.r), d2.doc_id) AS rep
+            |  FROM documents d2 LEFT JOIN reach ON reach.id = d2.doc_id
+            |  GROUP BY d2.doc_id),
+            |ranked AS (
+            |  SELECT l.rep, l.doc_id, qual.quality,
+            |         row_number() OVER (PARTITION BY l.rep
+            |                            ORDER BY qual.quality DESC, l.doc_id)
+            |           AS rn,
+            |         count(*) OVER (PARTITION BY l.rep) AS cluster_size
+            |  FROM labeled l JOIN qual ON qual.doc_id = l.doc_id)
+            |SELECT rep, doc_id AS kept_doc_id, quality,
+            |       cluster_size::BIGINT AS cluster_size
+            |FROM ranked WHERE rn = 1 ORDER BY rep""".stripMargin))
+
   def all: Seq[Q] =
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
       minhash, simhashQ, lines, bloomDelta, fuzzy, substring, containment,
-      containmentSketch, clusterSizes)
+      containmentSketch, clusterSizes, keepBest)
 }

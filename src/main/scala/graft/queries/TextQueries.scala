@@ -669,8 +669,47 @@ object TextQueries {
            |  FROM scored) WHERE rank <= 10
            |ORDER BY query_id, rank""".stripMargin))
 
+  /** Fasttext-style keep/drop classifier gate
+    * ([[TextOps.classifierMargin]]): hashing-trick features (unigrams ++
+    * 2-grams mod 1024), integer milli-weights derived from the portable
+    * hash (the trained-parameter STUB — see the operator Scaladoc), exact
+    * integer margin, one trailing double division for the reported score.
+    * The keep decision compares INTEGERS (z_milli > 0), so no float
+    * tie can diverge between engines. Scan-local: the 100 TB cost is the
+    * corpus scan itself. */
+  private val classifierQ = Q(
+    "text_quality_classifier",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).documents
+        .select($"doc_id",
+          TextOps.classifierMargin($"text").as("m"))
+        .select($"doc_id",
+          $"m.n_feats".as("n_feats"),
+          round($"m.z_milli".cast("double") / ($"m.n_feats" * 1000.0), 6)
+            .as("score"),
+          ($"m.z_milli" > 0).as("keep"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+           |g AS (SELECT doc_id,
+           |        list_concat(toks,
+           |          [array_to_string(toks[i:i+1],' ')
+           |           FOR i IN generate_series(1, len(toks)-1)]) grams
+           |      FROM d),
+           |f AS (SELECT doc_id, len(grams)::INT AS n_feats,
+           |        list_sum(list_transform(grams, tk ->
+           |          ('0x' || substr(md5('w#' ||
+           |             (('0x' || substr(md5(tk),1,8))::BIGINT % 1024)::VARCHAR),
+           |           1,8))::BIGINT % 2001 - 1000))::BIGINT AS z_milli
+           |      FROM g)
+           |SELECT doc_id, n_feats,
+           |       round(z_milli::DOUBLE / (n_feats * 1000.0), 6) AS score,
+           |       z_milli > 0 AS keep
+           |FROM f ORDER BY doc_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, wordFreq, tfidfQ, bm25Q,
       chunkQ, piiRedact, normalizeQ, perplexityQ, pmiQ, vocabOovQ, bpePairs,
-      bpeTrainQ, chi2, encodeQ, urlCanon, sparseTopk)
+      bpeTrainQ, chi2, encodeQ, urlCanon, sparseTopk, classifierQ)
 }
