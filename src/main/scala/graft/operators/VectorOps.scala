@@ -340,6 +340,106 @@ object VectorOps {
         col("col._2").as("neighbor_id"), (-col("col._1")).as("adc2"))
   }
 
+  /** Residual PQ codebooks for IVF-PQ: each corpus vector is first
+    * L2-assigned to its nearest centroid (tie → min id), and the
+    * codebooks are fit on the RESIDUALS v − c. Residuals concentrate
+    * around the origin, which is what makes PQ's per-subspace k-means
+    * meaningful after a coarse quantizer — encoding raw vectors with
+    * list-local structure wastes codewords re-expressing the centroid.
+    * Same bounded-driver-state contract as [[pqTrainCodebooks]]. */
+  def pqTrainResidualCodebooks(corpus: DataFrame, centroids: DataFrame,
+                               idCol: String, vecCol: String,
+                               centroidIdCol: String, centroidVecCol: String,
+                               m: Int, k: Int, seed: Long = 42L,
+                               maxIter: Int = 5): Seq[Seq[Seq[Double]]] =
+    pqTrainCodebooks(
+      assignWithResidual(corpus, centroids, idCol, vecCol, centroidIdCol,
+        centroidVecCol).select(col("residual")),
+      "residual", m, k, seed, maxIter)
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 coarse assignment + residual in one broadcast pass: every vector
+    * gets (centroid_id, residual = v − c) via a `min_by` HASH AGGREGATE
+    * over the broadcast centroid table (argmin ‖v−c‖², tie → min id) —
+    * map-side partial, no window, no shuffle of the N·k scored rows. */
+  def assignWithResidual(vectors: DataFrame, centroids: DataFrame,
+                         idCol: String, vecCol: String,
+                         centroidIdCol: String, centroidVecCol: String): DataFrame = {
+    val cent = centroids.select(col(centroidIdCol).as("centroid_id"),
+      toDouble(col(centroidVecCol)).as("cv"))
+    vectors.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cd2", sqDist(col("v"), col("cv")))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("centroid_id"), col("cv"), col("v")),
+        struct(col("cd2"), col("centroid_id"))).as("b"))
+      .select(col(idCol), col("b.centroid_id").as("centroid_id"),
+        zip_with(col("b.v"), col("b.cv"), (a, b) => a - b).as("residual"))
+  }
+
+  /** IVF-PQ top-k — the FAISS-canonical 100 TB ANN layout: a coarse
+    * quantizer partitions the corpus into inverted lists, and each
+    * vector is stored ONLY as the m-byte PQ code of its residual. Search:
+    * a query ranks the (broadcast) centroids by ‖q−c‖², keeps its
+    * `nprobe` nearest lists, and builds one m×k ADC lookup table PER
+    * PROBED LIST over the query residual q − c. The join on the probed
+    * list id pairs each code with exactly the LUT built against its own
+    * assignment centroid, so the ADC sum is EXACTLY
+    * ‖q − (c + decode(codes))‖² — the reconstruction distance through
+    * both quantization stages (oracle- and spec-pinned). Costs: corpus
+    * is scanned once at index build (assignment + residual encode, all
+    * scan-local against broadcast centroids/literal codebooks); search
+    * touches only probed lists' CODES (floats never read), probe table
+    * (queries × nprobe rows, each with an m×k LUT) broadcasts, and the
+    * finish is the bounded-heap TopKAggregator. Recall is the
+    * nprobe-coverage × PQ-distortion trade; exactness within the probed
+    * set at the reconstruction metric is deterministic.
+    * Output: (query_id, rank, neighbor_id, adc2). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String, centroidIdCol: String,
+                centroidVecCol: String, codebooks: Seq[Seq[Seq[Double]]],
+                k: Int, nprobe: Int): DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val cb = typedLit(codebooks)
+    val lists = assignWithResidual(corpus, centroids, idCol, vecCol,
+        centroidIdCol, centroidVecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        pqEncode(col("residual"), codebooks).as("codes"))
+    val cent = centroids.select(col(centroidIdCol).as("centroid_id"),
+      toDouble(col(centroidVecCol)).as("cv"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("pd2"), col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("pd2", sqDist(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .withColumn("res", zip_with(col("qv"), col("cv"), (a, b) => a - b))
+      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), s => {
+        val subq = slice(col("res"), s * lit(sub) + 1, lit(sub))
+        transform(element_at(cb, s + 1), c =>
+          aggregate(zip_with(c, subq, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+      }))
+      .select(col("query_id"), col("centroid_id"), col("lut"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    lists.join(broadcast(probes), "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc2", aggregate(
+        zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("query_id"))
+      .agg(topk(-col("adc2"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col._2").as("neighbor_id"), (-col("col._1")).as("adc2"))
+  }
+
   /** IVF-style assignment: nearest centroid (max cosine, tie → min id)
     * per vector. Centroids are broadcast — one map-side pass; the argmax
     * is a `max_by` HASH AGGREGATE, not a window: the partial aggregate

@@ -416,6 +416,132 @@ object VectorQueries {
     },
     None)
 
+  /** IVF-PQ ([[VectorOps.ivfPqTopK]]): coarse L2 quantizer (first 8
+    * vectors as centroids, same fixture as sim_ivf_*) + PQ over
+    * RESIDUALS (m=16 × k=16), searched via per-probed-list ADC tables,
+    * nprobe = 3. Driver-checkable the same way sim_pq_invariants is —
+    * in-plan invariant booleans the oracle emits as literal trues:
+    *   codes_in_range      — every residual code ∈ [0, 16),
+    *   adc_identity_ok     — every returned adc2 equals
+    *                         ‖q − (c + decode(codes))‖² (1e-9): the
+    *                         two-stage reconstruction identity; a wrong
+    *                         residual sign, probe/assignment centroid
+    *                         mismatch, or LUT layout bug breaks it,
+    *   probed_ok           — every returned neighbor's assigned list is
+    *                         inside the query's nprobe-nearest probe set
+    *                         (the list-restriction contract),
+    *   restricted_exact_ok — DETERMINISTIC end-to-end: the k ADC
+    *                         distances equal (as multisets) a brute-force
+    *                         top-k over the reconstruction distance
+    *                         restricted to the probed lists,
+    *   recall10_ok         — ≥ 1 of the exact-L2 top-10 survives
+    *                         (measured 1–6 at both oracle SFs),
+    *   n_total             — exact corpus count, hash-comparable. */
+  private val ivfPqInv = Q(
+    "sim_ivfpq_invariants",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = e.filter($"vec_id" < 8)
+      val cbs = VectorOps.pqTrainResidualCodebooks(
+        e, cents, "vec_id", "embedding", "vec_id", "embedding", 16, 16)
+      val nprobe = 3
+      def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      val lists = VectorOps.assignWithResidual(e, cents, "vec_id",
+          "embedding", "vec_id", "embedding")
+        .select($"vec_id".as("neighbor_id"), $"centroid_id",
+          VectorOps.pqEncode($"residual", cbs).as("codes"))
+      val global = lists.agg(
+        min(forall($"codes", c => c >= 0 && c < 16)).as("codes_in_range"),
+        count(lit(1)).as("n_total"))
+      val queries = e.filter($"vec_id" < 4)
+      val qv = queries.select($"vec_id".as("query_id"),
+        VectorOps.toDouble($"embedding").as("qv"))
+      val cv = cents.select($"vec_id".as("centroid_id"),
+        VectorOps.toDouble($"embedding").as("cv"))
+      // the probe sets, recomputed independently of the operator (window
+      // over the bounded query × centroid table)
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"pd2", $"centroid_id")
+      val probes = qv.crossJoin(broadcast(cv))
+        .withColumn("pd2", d2($"qv", $"cv"))
+        .withColumn("pr", row_number().over(wp))
+        .filter($"pr" <= nprobe)
+        .select($"query_id", $"centroid_id")
+      val adc = VectorOps.ivfPqTopK(queries, e, cents, "vec_id", "embedding",
+        "vec_id", "embedding", cbs, 10, nprobe)
+      // reconstruction vector per corpus row: c + decode(codes)
+      val recon = lists.join(broadcast(cv), "centroid_id")
+        .select($"neighbor_id", $"centroid_id",
+          zip_with($"cv", VectorOps.pqDecode($"codes", cbs),
+            (a, b) => a + b).as("rv"))
+      val pairChecks = adc
+        .join(recon, "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("direct", d2($"qv", $"rv"))
+        .join(broadcast(probes.withColumn("probed", lit(true))),
+          Seq("query_id", "centroid_id"), "left")
+        .groupBy($"query_id")
+        .agg(min(abs($"adc2" - $"direct") <= 1e-9).as("adc_identity_ok"),
+          min(coalesce($"probed", lit(false))).as("probed_ok"),
+          collect_list($"neighbor_id").as("adc_ids"),
+          sort_array(collect_list($"adc2")).as("adc_d"))
+      // brute force over the reconstruction distance restricted to the
+      // probed lists — the deterministic end-to-end search check
+      val topk10 = udaf(new graft.functions.TopKAggregator(10))
+      val restricted = recon
+        .join(broadcast(probes), "centroid_id")
+        .join(broadcast(qv), "query_id")
+        .filter($"query_id" =!= $"neighbor_id")
+        .withColumn("dr", d2($"qv", $"rv"))
+        .groupBy($"query_id")
+        .agg(topk10(-$"dr", $"neighbor_id").as("top"))
+        .select($"query_id",
+          sort_array(transform($"top", t => -t.getField("_1"))).as("restr_d"))
+      // exact L2 top-10 over the raw floats → recall floor
+      val ev = e.select($"vec_id", VectorOps.toDouble($"embedding").as("v"))
+      val exact = ev.crossJoin(broadcast(qv))
+        .filter($"query_id" =!= $"vec_id")
+        .withColumn("d2x", d2($"qv", $"v"))
+        .groupBy($"query_id")
+        .agg(topk10(-$"d2x", $"vec_id").as("top"))
+        .select($"query_id", transform($"top", t => t.getField("_2")).as("exact_ids"))
+      pairChecks.join(restricted, "query_id").join(exact, "query_id")
+        .crossJoin(broadcast(global))
+        .select($"query_id", $"codes_in_range", $"adc_identity_ok", $"probed_ok",
+          (size($"adc_d") === 10 &&
+            forall(zip_with($"adc_d", $"restr_d", (a, b) => abs(a - b) <= 1e-9),
+              x => x)).as("restricted_exact_ok"),
+          (size(array_intersect($"adc_ids", $"exact_ids")) >= 1).as("recall10_ok"),
+          $"n_total")
+        .orderBy($"query_id")
+    },
+    Some("""SELECT vec_id AS query_id, true AS codes_in_range,
+           |       true AS adc_identity_ok, true AS probed_ok,
+           |       true AS restricted_exact_ok, true AS recall10_ok,
+           |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
+           |FROM embeddings WHERE vec_id < 4 ORDER BY query_id""".stripMargin))
+
+  /** The IVF-PQ search surface itself (rows-only: ranks ride the seeded
+    * k-means codebook fit; the invariants query above carries the
+    * hash-strength evidence). */
+  private val ivfPqTopk = Q(
+    "sim_ivfpq_topk",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = e.filter($"vec_id" < 8)
+      val cbs = VectorOps.pqTrainResidualCodebooks(
+        e, cents, "vec_id", "embedding", "vec_id", "embedding", 16, 16)
+      VectorOps.ivfPqTopK(e.filter($"vec_id" < 5), e, cents, "vec_id",
+          "embedding", "vec_id", "embedding", cbs, 10, 3)
+        .withColumn("adc2", round($"adc2", 6))
+        .orderBy($"query_id", $"rank")
+    },
+    None)
+
   def all: Seq[Q] = Seq(topk, pairs, lsh, lshAuto, quantTopk, ivf, ivfTopk,
-    kmeans, pqInv, pqTopk)
+    kmeans, pqInv, pqTopk, ivfPqInv, ivfPqTopk)
 }

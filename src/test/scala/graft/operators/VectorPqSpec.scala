@@ -74,6 +74,50 @@ class VectorPqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: assignment is argmin L2 (driver recompute), ADC equals the " +
+       "two-stage reconstruction distance, neighbors come from probed lists") {
+    val cents = e.filter($"vec_id" < 8)
+    val rcbs = VectorOps.pqTrainResidualCodebooks(
+      e, cents, "vec_id", "embedding", "vec_id", "embedding", 4, 16)
+    val centArr = cents.select($"vec_id", VectorOps.toDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2)
+    // driver recompute of assignment + residual for a sample
+    val assigned = VectorOps.assignWithResidual(e, cents, "vec_id",
+        "embedding", "vec_id", "embedding")
+      .limit(30).as[(Long, Long, Seq[Double])].collect()
+    val vById = e.select($"vec_id", VectorOps.toDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    for ((id, cid, res) <- assigned) {
+      val dists = centArr.map(c => l2sq(vById(id), c))
+      assert(cid === dists.indexOf(dists.min), s"vec $id wrong list")
+      val expect = vById(id).zip(centArr(cid.toInt)).map { case (a, b) => a - b }
+      res.zip(expect).foreach { case (g, x) => assert(math.abs(g - x) <= 1e-12) }
+    }
+    // ADC distances equal ||q - (c + decode(codes))||^2 on every returned
+    // pair, and every neighbor's list is within the query's probe set
+    val nprobe = 3
+    val adc = VectorOps.ivfPqTopK(e.filter($"vec_id" < 2), e, cents,
+        "vec_id", "embedding", "vec_id", "embedding", rcbs, 5, nprobe)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(adc.length === 10)
+    val codesById = VectorOps.assignWithResidual(e, cents, "vec_id",
+        "embedding", "vec_id", "embedding")
+      .select($"vec_id", $"centroid_id",
+        VectorOps.pqEncode($"residual", rcbs).as("codes"))
+      .as[(Long, Long, Seq[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    for ((qid, _, nid, adc2) <- adc) {
+      val (cid, codes) = codesById(nid)
+      val reconVec = centArr(cid.toInt).zip(
+        (0 until 4).flatMap(s => rcbs(s)(codes(s)))).map { case (a, b) => a + b }
+      assert(math.abs(adc2 - l2sq(vById(qid), reconVec)) <= 1e-9,
+        s"IVF-PQ ADC($qid,$nid) != two-stage reconstruction distance")
+      val probed = centArr.indices.sortBy(c => (l2sq(vById(qid), centArr(c)), c))
+        .take(nprobe).toSet
+      assert(probed.contains(cid.toInt), s"neighbor $nid outside probed lists")
+    }
+  }
+
   test("ADC never misranks reconstructions: searching the decoded corpus " +
        "reproduces exact distances") {
     // corpus whose vectors ARE reconstructions → encode is lossless on
