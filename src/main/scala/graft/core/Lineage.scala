@@ -29,9 +29,11 @@ object Lineage {
     val spark = df.sparkSession
     spark.conf.getOption(confKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        // setCheckpointDir mints a fresh UUID subdirectory per call —
-        // set once per context (first configured dir wins for the session)
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
+        // honor the CURRENTLY configured dir: a context-level dir left
+        // over from an earlier configuration must not silently redirect
+        // durable checkpoints (getCheckpointDir is the fully-qualified
+        // form of dir + a minted UUID subdir, hence contains, not ==)
+        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)

@@ -15,6 +15,28 @@ object VectorQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir).embeddings
 
+  /** Driver-side memo for the seeded PQ codebook fits: the fit is
+    * deterministic in (data dir, params), so the invariants query and
+    * the search query over the same dir share one fit instead of each
+    * paying 16 k-means jobs. Plain Scala values — safe across sessions
+    * (nothing Spark-resident is cached), bounded by #dirs × 2 entries. */
+  private val cbCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
+
+  private def pqCbs(s: org.apache.spark.sql.SparkSession,
+                    dir: String): Seq[Seq[Seq[Double]]] =
+    cbCache.getOrElseUpdate(s"pq:$dir",
+      VectorOps.pqTrainCodebooks(emb(s, dir), "embedding", m = 16, k = 16))
+
+  private def ivfPqCbs(s: org.apache.spark.sql.SparkSession,
+                       dir: String): Seq[Seq[Seq[Double]]] =
+    cbCache.getOrElseUpdate(s"ivfpq:$dir", {
+      import s.implicits._
+      val e = emb(s, dir)
+      VectorOps.pqTrainResidualCodebooks(e, e.filter($"vec_id" < 8),
+        "vec_id", "embedding", "vec_id", "embedding", 16, 16)
+    })
+
   /** DuckDB cosine between double-cast lists. */
   private def dcos(a: String, b: String): String =
     s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
@@ -342,7 +364,7 @@ object VectorQueries {
     (s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
-      val cbs = VectorOps.pqTrainCodebooks(e, "embedding", m = 16, k = 16)
+      val cbs = pqCbs(s, dir)
       val enc = e.select($"vec_id",
         VectorOps.pqEncode($"embedding", cbs).as("codes"),
         VectorOps.toDouble($"embedding").as("v"))
@@ -408,7 +430,7 @@ object VectorQueries {
     (s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
-      val cbs = VectorOps.pqTrainCodebooks(e, "embedding", m = 16, k = 16)
+      val cbs = pqCbs(s, dir)
       VectorOps.pqAdcTopK(e.filter($"vec_id" < 5), e, "vec_id", "embedding",
           cbs, 10)
         .withColumn("adc2", round($"adc2", 6))
@@ -443,8 +465,7 @@ object VectorQueries {
       import s.implicits._
       val e = emb(s, dir)
       val cents = e.filter($"vec_id" < 8)
-      val cbs = VectorOps.pqTrainResidualCodebooks(
-        e, cents, "vec_id", "embedding", "vec_id", "embedding", 16, 16)
+      val cbs = ivfPqCbs(s, dir)
       val nprobe = 3
       def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -533,8 +554,7 @@ object VectorQueries {
       import s.implicits._
       val e = emb(s, dir)
       val cents = e.filter($"vec_id" < 8)
-      val cbs = VectorOps.pqTrainResidualCodebooks(
-        e, cents, "vec_id", "embedding", "vec_id", "embedding", 16, 16)
+      val cbs = ivfPqCbs(s, dir)
       VectorOps.ivfPqTopK(e.filter($"vec_id" < 5), e, cents, "vec_id",
           "embedding", "vec_id", "embedding", cbs, 10, 3)
         .withColumn("adc2", round($"adc2", 6))
