@@ -79,8 +79,17 @@ object Bench {
     // neighbor can't contaminate it twice); the final value is the min of
     // all observations, and the artifact names the re-run queries so a
     // reader can audit which numbers carry the extra evidence.
-    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+    // Default artifact name is SF-DERIVED: the reference artifact is
+    // bench_full.json (the sf0.1 regression baseline); any other SF dir
+    // writes bench_full_<dirname>.json. Before this rule, one sf0.001
+    // smoke run silently clobbered the committed sf0.1 baseline, which
+    // then disabled the outlier protocol on the next sf0.1 run (the
+    // same-sf guard saw a foreign-SF prior and compared against nothing).
+    val defaultOut =
+      if (new java.io.File(sfDir).getName == "sf0.1") "bench_full.json"
+      else s"bench_full_${new java.io.File(sfDir).getName}.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", outPath)
     val prior: Map[String, Double] = {
       val p = java.nio.file.Paths.get(priorPath)
       if (!java.nio.file.Files.exists(p)) Map.empty
@@ -123,8 +132,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT redirects it (e.g. the sf1 headroom run →
     // bench_full_sf1.json) so runs at other SFs don't either.
     if (args.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
