@@ -580,8 +580,112 @@ object DedupQueries {
             |       cluster_size::BIGINT AS cluster_size
             |FROM ranked WHERE rn = 1 ORDER BY rep""".stripMargin))
 
+  /** Round-6 capstone — the curation pipeline the round's new operators
+    * exist for, as ONE declarative plan: classifier keep gate
+    * ([[TextOps.classifierMargin]], integer margin > 0) → near-dup
+    * clusters over the survivors (cost-based pair generator → CC) →
+    * best-copy retention per cluster (argmax 6dp quality, tie min id) →
+    * per-lang corpus stats. Every stage is individually oracle-verified
+    * (text_quality_classifier, dedup_components, dedup_keep_best_quality);
+    * this verifies their COMPOSITION — the gate must run BEFORE pair
+    * generation (clusters among gated survivors differ from gating
+    * cluster winners). Quality lands in integer micro-units before the
+    * mean so the per-lang average is one exact integer sum + one trailing
+    * division on both engines. Scale: gate is scan-local, pairs are
+    * cost-based/blocked, CC iterates on (id, label), stats are one hash
+    * aggregate — no stage is O(N²). */
+  private val curated = Q(
+    "pipeline_curated_corpus",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val kept = d
+        .withColumn("m", TextOps.classifierMargin($"text"))
+        .filter($"m.z_milli" > 0)
+        .select($"doc_id", $"lang", $"text")
+        .cut(eager = false)
+      val sh = kept.select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      val pairs = DedupOps.jaccardPairsAuto(sh, "doc_id", "shingles", 0.5)
+      val comps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      val best = kept
+        .select($"doc_id", $"lang",
+          TextOps.qualityScore($"text").as("quality"),
+          TextOps.tokenCount($"text").as("n_tokens"))
+        .join(comps, $"doc_id" === $"id", "left")
+        .select($"doc_id", $"lang", $"quality", $"n_tokens",
+          coalesce($"label", $"doc_id").as("rep"))
+        .groupBy($"rep")
+        .agg(max(struct($"quality", (-$"doc_id").as("nid"))).as("w"))
+      // winner row carries its own lang/tokens: re-join on the kept id
+      val winners = best.select((-$"w.nid").as("doc_id"))
+        .join(kept.select($"doc_id", $"lang",
+          TextOps.qualityScore($"text").as("quality"),
+          TextOps.tokenCount($"text").as("n_tokens")), "doc_id")
+      winners.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens".cast("bigint")).as("total_tokens"),
+          // round BEFORE the bigint cast: Spark casts truncate where
+          // DuckDB casts round — both sides round explicitly
+          round((sum(round($"quality" * 1e6, 0).cast("bigint")) /
+            (count(lit(1)) * lit(1e6))), 6).as("avg_quality"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH RECURSIVE g0 AS (
+            |  SELECT doc_id, lang, text, string_split(text,' ') toks
+            |  FROM documents),
+            |gate AS (
+            |  SELECT doc_id, lang, text FROM (
+            |    SELECT *, list_sum(list_transform(
+            |      list_concat(toks, [array_to_string(toks[i:i+1],' ')
+            |                         FOR i IN generate_series(1, len(toks)-1)]),
+            |      tk -> ('0x' || substr(md5('w#' ||
+            |              (('0x' || substr(md5(tk),1,8))::BIGINT % 1024)::VARCHAR),
+            |            1,8))::BIGINT % 2001 - 1000)) z
+            |    FROM g0) WHERE z > 0),
+            |sh AS (SELECT doc_id,
+            |         list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
+            |                        FOR i IN generate_series(1, len(string_split(text,' '))-1)]) s
+            |       FROM gate),
+            |post AS (SELECT doc_id, unnest(s) tok FROM sh),
+            |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
+            |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id),
+            |prs AS (SELECT a, b
+            |        FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+            |        WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+            |              / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+            |edges AS (SELECT a AS src, b AS dst FROM prs
+            |          UNION SELECT b, a FROM prs),
+            |reach AS (
+            |  SELECT src AS id, src AS r FROM edges
+            |  UNION
+            |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+            |qual AS (
+            |  SELECT doc_id, lang,
+            |    round(least(length(text)::DOUBLE/500.0, 1.0)*0.5
+            |      + (1.0 - least(round(length(regexp_replace(text,'[a-zA-Z0-9 ]','','g'))::DOUBLE
+            |                           / length(text), 6)*5.0, 1.0))*0.3
+            |      + least(round(len(list_filter(string_split(text,' '),
+            |                        t -> t IN ('the','a','of','and','to','in')))::DOUBLE
+            |                    / len(string_split(text,' ')), 6)*4.0, 1.0)*0.2, 6) AS quality,
+            |    len(string_split(text,' '))::INT AS n_tokens
+            |  FROM gate),
+            |labeled AS (
+            |  SELECT g.doc_id, coalesce(min(reach.r), g.doc_id) AS rep
+            |  FROM gate g LEFT JOIN reach ON reach.id = g.doc_id
+            |  GROUP BY g.doc_id),
+            |ranked AS (
+            |  SELECT l.rep, l.doc_id, q.lang, q.quality, q.n_tokens,
+            |         row_number() OVER (PARTITION BY l.rep
+            |                            ORDER BY q.quality DESC, l.doc_id) AS rn
+            |  FROM labeled l JOIN qual q ON q.doc_id = l.doc_id)
+            |SELECT lang, count(*)::BIGINT AS n_docs,
+            |       sum(n_tokens::BIGINT)::BIGINT AS total_tokens,
+            |       round(sum(round(quality*1e6, 0)::BIGINT) / (count(*) * 1e6), 6)
+            |         AS avg_quality
+            |FROM ranked WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin))
+
   def all: Seq[Q] =
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
       minhash, simhashQ, lines, bloomDelta, fuzzy, substring, containment,
-      containmentSketch, clusterSizes, keepBest)
+      containmentSketch, clusterSizes, keepBest, curated)
 }
