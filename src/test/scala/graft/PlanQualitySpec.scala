@@ -207,6 +207,37 @@ class PlanQualitySpec extends SparkSpec {
       s"q11's total must be a one-shot scalar subquery:\n${q11Plan.take(800)}")
   }
 
+  test("round-6 operators keep their scale posture: keep-best is a hash " +
+      "aggregate, classifier is scan-local, IVF-PQ broadcasts probes only") {
+    // best-copy retention: winner pick must be max(struct) hash
+    // aggregation — a window form would sort-shuffle every doc per rep
+    val kb = physicalPlan(SparkEntry.queries(
+      "dedup_keep_best_quality")(spark, TestSpark.sfDir))
+    assert(!kb.contains("Window"),
+      s"keep-best winner must not plan a window:\n${kb.take(800)}")
+    // classifier gate: one scan + one exchange for the final sort — no
+    // join, no mid-plan aggregate exchange (the margin is per-row)
+    val cls = physicalPlan(SparkEntry.queries(
+      "text_quality_classifier")(spark, TestSpark.sfDir))
+    assert(!cls.contains("Join"),
+      s"classifier must be join-free (scan-local):\n${cls.take(800)}")
+    // IVF-PQ: the probe/LUT table broadcasts; the corpus must reach the
+    // search join through a non-broadcast (streamed) side
+    val ivfpq = physicalPlan(SparkEntry.queries(
+      "sim_ivfpq_topk")(spark, TestSpark.sfDir))
+    assert(ivfpq.contains("BroadcastHashJoin"),
+      s"IVF-PQ search join must broadcast the probe side:\n${ivfpq.take(800)}")
+    assert(!ivfpq.contains("CartesianProduct"),
+      s"IVF-PQ must never plan a cartesian:\n${ivfpq.take(800)}")
+    // curated-corpus capstone: the composed plan inherits the no-O(N²)
+    // guarantee of its pair generator
+    val cur = physicalPlan(SparkEntry.queries(
+      "pipeline_curated_corpus")(spark, TestSpark.sfDir))
+    assert(!cur.contains("CartesianProduct") &&
+        !cur.contains("BroadcastNestedLoopJoin"),
+      s"curated pipeline must stay equi-join only:\n${cur.take(800)}")
+  }
+
   test("IVF top-k search broadcasts the probe table, never the corpus") {
     val q = SparkEntry.queries("sim_ivf_topk")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)

@@ -62,6 +62,43 @@ class TextOpsSpec extends SparkSpec {
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
 
+  test("classifierMargin: driver recompute of hashed features and integer " +
+       "milli-weights; gate flips with the margin sign") {
+    // recompute the margin from first principles (java MessageDigest md5,
+    // not Spark's) so a simultaneous bug in expression and twin can't
+    // self-certify
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def margin(text: String): (Int, Long) = {
+      val toks = text.split(" ", -1).toSeq
+      val grams = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val z = grams.map { g =>
+        h32("w#" + (h32(g) % 1024).toString) % 2001 - 1000
+      }.sum
+      (grams.size, z)
+    }
+    val rows = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .limit(25)
+      .select($"text", TextOps.classifierMargin($"text").as("m"))
+      .select($"text", $"m.n_feats", $"m.z_milli")
+      .as[(String, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((text, nf, z) <- rows) {
+      val (en, ez) = margin(text)
+      assert(nf === en, s"n_feats $nf != $en for: ${text.take(40)}")
+      assert(z === ez, s"z_milli $z != $ez for: ${text.take(40)}")
+    }
+    // the keep gate is exactly sign(z): verified against the registry query
+    val gate = graft.SparkEntry.queries("text_quality_classifier")(
+      spark, graft.TestSpark.sfDir)
+      .select($"keep", ($"score" > 0).as("pos")).distinct()
+      .as[(Boolean, Boolean)].collect()
+    assert(gate.forall { case (k, p) => k === p })
+  }
+
   test("normalizeText folds case/ctl/nbsp/quotes and is identity on clean") {
     val out = Seq(
       "  Hello\t World  ",           // ws runs + tab + nbsp + case
