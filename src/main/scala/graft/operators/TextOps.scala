@@ -338,11 +338,20 @@ object TextOps {
     * shuffle — at 100 TB this is a map-only pass whose cost is the scan
     * itself. Returns struct(n_feats, z_milli). */
   def classifierMargin(text: Column, dim: Int = 1024): Column = {
-    val grams = concat(tokens(text), shingles(text, 2))
-    val z = aggregate(grams, lit(0L), (acc, t) => {
-      val idx = hash32(t) % dim
-      acc + (hash32(concat(lit("w#"), idx.cast("string"))) % 2001 - 1000)
+    // the weight of bucket i is a pure function of i — materialize the
+    // whole table ONCE on the driver (java MD5 ≡ the md5 expression,
+    // spec-pinned) and ship it as a literal: the per-gram work drops to
+    // one md5 + one array lookup instead of two md5s (measured ~2× on
+    // the corpus scan; same bits, the DuckDB twin keeps the inline form)
+    val weights = typedLit(Seq.tabulate(dim) { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w#$i".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) %
+        2001 - 1000
     })
+    val grams = concat(tokens(text), shingles(text, 2))
+    val z = aggregate(grams, lit(0L), (acc, t) =>
+      acc + element_at(weights, (hash32(t) % dim).cast("int") + 1))
     struct(size(grams).as("n_feats"), z.as("z_milli"))
   }
 
