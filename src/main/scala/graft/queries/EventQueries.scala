@@ -1161,9 +1161,71 @@ object EventQueries {
            |FROM touched WHERE event_type = 'purchase'
            |GROUP BY campaign ORDER BY campaign""".stripMargin))
 
+  /** GDPR / right-to-be-forgotten scrub audit — the governance op every
+    * production platform ships: given a deletion list (fixture rule:
+    * user/customer key % 97 == 0), report per affected table the row
+    * counts before / deleted / after plus a RESIDUAL check (true iff no
+    * deleted key survives — the property an auditor actually signs).
+    * The deletion list is tiny by nature, so every scrub is one
+    * BROADCAST anti/semi join pair per table — at 100 TB this is a scan
+    * per table with no shuffle, and the audit is a handful of count
+    * aggregates. Events / orders scrub on their key columns; customer
+    * rows for deleted keys are themselves removed (erasure, not
+    * anonymization — the strictest reading). */
+  private val gdprScrub = Q(
+    "pipeline_gdpr_scrub",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val delC = t.customer.filter($"c_custkey" % 97 === 0)
+        .select($"c_custkey".as("k"))
+      val delU = ev(s, dir).select($"user_id").distinct()
+        .filter($"user_id" % 97 === 0).select($"user_id".as("k"))
+      def audit(name: String, df: org.apache.spark.sql.DataFrame,
+                key: String, del: org.apache.spark.sql.DataFrame) = {
+        val kept = df.join(broadcast(del), df(key) === del("k"), "left_anti")
+        val dropped = df.join(broadcast(del), df(key) === del("k"), "left_semi")
+        kept.agg(count(lit(1)).as("n_after"),
+            min(coalesce(df(key) % 97 =!= 0, lit(true))).as("residual_clean"))
+          .crossJoin(dropped.agg(count(lit(1)).as("n_deleted")))
+          .select(lit(name).as("table_name"),
+            ($"n_after" + $"n_deleted").as("n_before"),
+            $"n_deleted", $"n_after", $"residual_clean")
+      }
+      audit("customer", t.customer, "c_custkey", delC)
+        .unionByName(audit("events", ev(s, dir), "user_id", delU))
+        .unionByName(audit("orders", t.orders, "o_custkey", delC))
+        .orderBy($"table_name")
+    },
+    Some("""WITH del AS (SELECT c_custkey AS k FROM customer
+           |            WHERE c_custkey % 97 = 0),
+           |delu AS (SELECT DISTINCT user_id AS k FROM events
+           |         WHERE user_id % 97 = 0),
+           |a AS (
+           |  SELECT 'customer' AS table_name,
+           |         count(*)::BIGINT AS n_before,
+           |         sum(CASE WHEN c_custkey IN (SELECT k FROM del)
+           |                  THEN 1 ELSE 0 END)::BIGINT AS n_deleted
+           |  FROM customer
+           |  UNION ALL
+           |  SELECT 'events', count(*)::BIGINT,
+           |         sum(CASE WHEN user_id IN (SELECT k FROM delu)
+           |                  THEN 1 ELSE 0 END)::BIGINT
+           |  FROM events
+           |  UNION ALL
+           |  SELECT 'orders', count(*)::BIGINT,
+           |         sum(CASE WHEN o_custkey IN (SELECT k FROM del)
+           |                  THEN 1 ELSE 0 END)::BIGINT
+           |  FROM orders)
+           |SELECT table_name, n_before, n_deleted,
+           |       (n_before - n_deleted)::BIGINT AS n_after,
+           |       true AS residual_clean
+           |FROM a ORDER BY table_name""".stripMargin))
+
   def all: Seq[Q] =
     Seq(tumbling, sliding, sessions, jsonProps, asof, returns, scd2Q,
       intervalMerge, cdcApply, funnel, retention, pointInTime, pagerank,
       triangles, reachable, kcore, labelProp, sssp, markov, dowSeason,
-      rfm, funnelDur, checksums, keySkew, topPaths, lastTouch, wau)
+      rfm, funnelDur, checksums, keySkew, topPaths, lastTouch, wau,
+      gdprScrub)
 }
