@@ -96,9 +96,14 @@ object Bench {
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         // flat numeric "name":sec pairs; the top-level scalar keys
-        // (metric/value/passes/sf) never collide with query names
+        // (metric/value/passes/sf) never collide with query names.
+        // Same-SF compares the dir BASENAME, the same identity the
+        // artifact name is derived from — a raw-string compare let a
+        // trailing slash or alternate spelling of the same dir both
+        // overwrite the baseline and skip the outlier protocol.
+        def sfName(s: String) = new java.io.File(s.stripSuffix("/")).getName
         val sameSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
+          .exists(m => sfName(m.group(1)) == sfName(sfDir))
         if (!sameSf) Map.empty
         else "\"([A-Za-z0-9_]+)\":([0-9][0-9.eE+-]*)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap

@@ -31,9 +31,26 @@ object Lineage {
       case Some(dir) =>
         // honor the CURRENTLY configured dir: a context-level dir left
         // over from an earlier configuration must not silently redirect
-        // durable checkpoints (getCheckpointDir is the fully-qualified
-        // form of dir + a minted UUID subdir, hence contains, not ==)
-        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+        // durable checkpoints. getCheckpointDir is the fully-qualified
+        // form of dir plus a minted UUID subdir, so the active dir is
+        // current iff its PARENT path equals the configured path — an
+        // exact segment compare, not substring contains (which treated
+        // /ckpt/run1 as active while /ckpt/run10 was, and matched
+        // accidental substrings inside the UUID). A relative configured
+        // dir never exact-matches the qualified form and simply re-sets
+        // (setCheckpointDir mints a fresh subdir; correctness unchanged).
+        def pathOf(s: String): String = {
+          val u = try new java.net.URI(s) catch { case _: Exception => null }
+          val p = if (u != null && u.getPath != null && u.getPath.nonEmpty)
+            u.getPath else s
+          p.stripSuffix("/")
+        }
+        val want = pathOf(dir)
+        val activeParent = spark.sparkContext.getCheckpointDir.map { c =>
+          val p = pathOf(c)
+          p.substring(0, math.max(p.lastIndexOf('/'), 0))
+        }
+        if (!activeParent.contains(want))
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)

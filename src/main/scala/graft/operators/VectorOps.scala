@@ -284,9 +284,7 @@ object VectorOps {
     val cb = typedLit(codebooks)
     transform(sequence(lit(0), lit(m - 1)), s => {
       val subv = slice(toDouble(vec), s * lit(sub) + 1, lit(sub))
-      val d2s = transform(element_at(cb, s + 1), c =>
-        aggregate(zip_with(c, subv, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
+      val d2s = transform(element_at(cb, s + 1), c => sqDist(c, subv))
       (array_position(d2s, array_min(d2s)) - 1).cast("int")
     })
   }
@@ -321,9 +319,7 @@ object VectorOps {
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), s => {
         val subq = slice(col("qv"), s * lit(sub) + 1, lit(sub))
-        transform(element_at(cb, s + 1), c =>
-          aggregate(zip_with(c, subq, (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x))
+        transform(element_at(cb, s + 1), c => sqDist(c, subq))
       }))
       .select(col("query_id"), col("lut"))
     val topk = udaf(new graft.functions.TopKAggregator(k))
@@ -370,14 +366,22 @@ object VectorOps {
                          centroidIdCol: String, centroidVecCol: String): DataFrame = {
     val cent = centroids.select(col(centroidIdCol).as("centroid_id"),
       toDouble(col(centroidVecCol)).as("cv"))
+    // the aggregate carries only (centroid_id, v) — the winning centroid
+    // VECTOR is re-derived by broadcast-joining the tiny centroid table
+    // after the argmin, so the exchange on the index-build pass is D
+    // doubles per row, not 2D (the residual subtraction is post-shuffle,
+    // still one map pass)
     vectors.select(col(idCol), toDouble(col(vecCol)).as("v"))
       .crossJoin(broadcast(cent))
       .withColumn("cd2", sqDist(col("v"), col("cv")))
       .groupBy(col(idCol))
-      .agg(min_by(struct(col("centroid_id"), col("cv"), col("v")),
+      .agg(min_by(struct(col("centroid_id"), col("v")),
         struct(col("cd2"), col("centroid_id"))).as("b"))
       .select(col(idCol), col("b.centroid_id").as("centroid_id"),
-        zip_with(col("b.v"), col("b.cv"), (a, b) => a - b).as("residual"))
+        col("b.v").as("v"))
+      .join(broadcast(cent), "centroid_id")
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("residual"))
   }
 
   /** IVF-PQ top-k — the FAISS-canonical 100 TB ANN layout: a coarse
@@ -422,9 +426,7 @@ object VectorOps {
       .withColumn("res", zip_with(col("qv"), col("cv"), (a, b) => a - b))
       .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), s => {
         val subq = slice(col("res"), s * lit(sub) + 1, lit(sub))
-        transform(element_at(cb, s + 1), c =>
-          aggregate(zip_with(c, subq, (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x))
+        transform(element_at(cb, s + 1), c => sqDist(c, subq))
       }))
       .select(col("query_id"), col("centroid_id"), col("lut"))
     val topk = udaf(new graft.functions.TopKAggregator(k))

@@ -607,7 +607,11 @@ object DedupQueries {
       val sh = kept.select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
       val pairs = DedupOps.jaccardPairsAuto(sh, "doc_id", "shingles", 0.5)
       val comps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
-      val best = kept
+      // the winner's own attributes ride INSIDE the max struct: the
+      // (quality, −doc_id) prefix is unique per row, so trailing fields
+      // never influence the ordering and the regex-heavy quality/token
+      // expressions run exactly once per kept doc (no second scan+join)
+      val winners = kept
         .select($"doc_id", $"lang",
           TextOps.qualityScore($"text").as("quality"),
           TextOps.tokenCount($"text").as("n_tokens"))
@@ -615,12 +619,10 @@ object DedupQueries {
         .select($"doc_id", $"lang", $"quality", $"n_tokens",
           coalesce($"label", $"doc_id").as("rep"))
         .groupBy($"rep")
-        .agg(max(struct($"quality", (-$"doc_id").as("nid"))).as("w"))
-      // winner row carries its own lang/tokens: re-join on the kept id
-      val winners = best.select((-$"w.nid").as("doc_id"))
-        .join(kept.select($"doc_id", $"lang",
-          TextOps.qualityScore($"text").as("quality"),
-          TextOps.tokenCount($"text").as("n_tokens")), "doc_id")
+        .agg(max(struct($"quality", (-$"doc_id").as("nid"),
+          $"lang", $"n_tokens")).as("w"))
+        .select($"w.lang".as("lang"), $"w.quality".as("quality"),
+          $"w.n_tokens".as("n_tokens"))
       winners.groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_tokens".cast("bigint")).as("total_tokens"),

@@ -1185,12 +1185,20 @@ object EventQueries {
                 key: String, del: org.apache.spark.sql.DataFrame) = {
         val kept = df.join(broadcast(del), df(key) === del("k"), "left_anti")
         val dropped = df.join(broadcast(del), df(key) === del("k"), "left_semi")
-        kept.agg(count(lit(1)).as("n_after"),
-            min(coalesce(df(key) % 97 =!= 0, lit(true))).as("residual_clean"))
+        // residual check audits the ACTUAL contract — zero kept rows
+        // still matching the deletion list — not the fixture rule that
+        // happened to generate the list (a %97 re-derivation would
+        // false-alarm on keys matching the rule but absent from the list)
+        val residual = kept
+          .join(broadcast(del), kept(key) === del("k"), "left_semi")
+          .agg(count(lit(1)).as("n_residual"))
+        kept.agg(count(lit(1)).as("n_after"))
           .crossJoin(dropped.agg(count(lit(1)).as("n_deleted")))
+          .crossJoin(residual)
           .select(lit(name).as("table_name"),
             ($"n_after" + $"n_deleted").as("n_before"),
-            $"n_deleted", $"n_after", $"residual_clean")
+            $"n_deleted", $"n_after",
+            ($"n_residual" === 0).as("residual_clean"))
       }
       audit("customer", t.customer, "c_custkey", delC)
         .unionByName(audit("events", ev(s, dir), "user_id", delU))
