@@ -471,6 +471,30 @@ object DedupOps {
     * B× replication of its rows only; small buckets keep block 0 and pay
     * nothing. Same pairs, different task keys — exactness is unchanged
     * (block-invariance is property-tested). */
+  /** Incremental LSH probe: near-dup candidates between a NEW batch and
+    * a pre-indexed history. The batch explodes its signature bands and
+    * equi-joins the history's banded postings on (band, bucket) — no
+    * batch×batch and no history×history pair is ever generated, which is
+    * the whole point of incremental dedup on a continuously-crawled
+    * corpus. At 100 TB the history's banded postings are a STORED table
+    * (partitioned by band, bucket-bucketed) appended per increment; the
+    * per-increment candidate cost is |batch| × bucket occupancy,
+    * independent of total corpus size. Completes the incremental-dedup
+    * family: bloom delta (exact keys), this (batch near-dup),
+    * lshCandidatesStream (streaming near-dup). */
+  def lshProbeCandidates(index: DataFrame, batch: DataFrame, idCol: String,
+                         sigCol: String, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
+    def banded(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col(as), col("pos").as("band"),
+        concat_ws(",", col("col").cast("array<string>")).as("bucket"))
+    banded(batch, "batch_id")
+      .join(banded(index, "hist_id"), Seq("band", "bucket"))
+      .select(col("batch_id"), col("hist_id")).distinct()
+  }
+
   def lshCandidatePairs(docs: DataFrame, idCol: String, sigCol: String,
                         bands: Int, rowsPerBand: Int,
                         skewThreshold: Int = 1024, blocks: Int = 8): DataFrame = {

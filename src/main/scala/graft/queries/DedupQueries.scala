@@ -686,8 +686,65 @@ object DedupQueries {
             |         AS avg_quality
             |FROM ranked WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Batch-incremental near-dup ([[DedupOps.lshProbeCandidates]]): the
+    * new crawl increment (fixture split: doc_id % 3 == 0) probed against
+    * the already-indexed history (the rest) — candidates only ever cross
+    * the boundary, verified at true Jaccard ≥ 0.8. The third leg of the
+    * incremental-dedup family next to bloom-delta (exact) and the
+    * streaming LSH state op (stream≡batch parity-proven). */
+  private val minhashDelta = Q(
+    "dedup_minhash_delta",
+    (s, dir) => {
+      import s.implicits._
+      val withShingles = docs(s, dir)
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+        .select($"doc_id", array_distinct($"shingles").as("shingles"))
+        .cut(eager = false)
+      val signed = DedupOps.minhashSignatures(withShingles, "doc_id",
+          "shingles", 16)
+        .withColumnRenamed("id", "doc_id")
+      val cands = DedupOps.lshProbeCandidates(
+        signed.filter($"doc_id" % 3 =!= 0),
+        signed.filter($"doc_id" % 3 === 0), "doc_id", "sig", 4, 4)
+      val sets = withShingles.select($"doc_id".as("id"), $"shingles".as("ss"))
+      cands
+        .join(sets.withColumnRenamed("id", "batch_id")
+          .withColumnRenamed("ss", "s_a"), "batch_id")
+        .join(sets.withColumnRenamed("id", "hist_id")
+          .withColumnRenamed("ss", "s_b"), "hist_id")
+        .withColumn("raw", size(array_intersect($"s_a", $"s_b")).cast("double") /
+          size(array_union($"s_a", $"s_b")))
+        .filter($"raw" >= 0.8)
+        .select($"batch_id", $"hist_id", round($"raw", 6).as("jaccard"))
+        .orderBy($"batch_id", $"hist_id")
+    },
+    Some {
+      val coeffs = DedupOps.minhashCoeffs(16)
+      val p = DedupOps.minhashPrime
+      val sigExpr = coeffs.map { case (a, b) =>
+        s"coalesce(list_min([(${a}*h + ${b}) % $p FOR h IN hs]), $p)"
+      }.mkString("[", ",\n      ", "]")
+      s"""$shingleCte,
+         |h AS (SELECT doc_id, [('0x'||substr(md5(t),1,8))::BIGINT FOR t IN s] hs FROM sh),
+         |sig AS (SELECT doc_id, $sigExpr sig FROM h),
+         |banded AS (SELECT doc_id, b AS band,
+         |             array_to_string(sig[4*b+1 : 4*b+4], ',') AS bucket
+         |           FROM sig, generate_series(0,3) g(b)),
+         |cand AS (SELECT DISTINCT l.doc_id batch_id, r.doc_id hist_id
+         |         FROM banded l JOIN banded r
+         |           ON l.band = r.band AND l.bucket = r.bucket
+         |          AND l.doc_id % 3 = 0 AND r.doc_id % 3 <> 0)
+         |SELECT batch_id, hist_id,
+         |       round(len(list_intersect(sa.s, sb.s))::DOUBLE
+         |             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+         |FROM cand JOIN sh sa ON sa.doc_id = batch_id JOIN sh sb ON sb.doc_id = hist_id
+         |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+         |      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+         |ORDER BY batch_id, hist_id""".stripMargin
+    })
+
   def all: Seq[Q] =
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
       minhash, simhashQ, lines, bloomDelta, fuzzy, substring, containment,
-      containmentSketch, clusterSizes, keepBest, curated)
+      containmentSketch, clusterSizes, keepBest, curated, minhashDelta)
 }
