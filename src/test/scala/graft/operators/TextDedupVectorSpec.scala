@@ -510,6 +510,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(unsalted.forall { case (a, b) => a < b })
   }
 
+  test("lshProbeCandidates: only cross-boundary pairs, and exactly the " +
+       "self-join candidates restricted to the boundary") {
+    val docs = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .select($"doc_id", array_distinct(TextOps.shingles($"text", 2)).as("sh"))
+    val signed = docs.withColumn("sig", DedupOps.minhashSignature($"sh", 16))
+    val hist = signed.filter($"doc_id" % 3 =!= 0)
+    val batch = signed.filter($"doc_id" % 3 === 0)
+    val probe = DedupOps.lshProbeCandidates(hist, batch, "doc_id", "sig", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    // (a) no within-side pair can exist by construction
+    assert(probe.forall { case (b, h) => b % 3 == 0 && h % 3 != 0 })
+    // (b) completeness + no extras: the self-join generator over the full
+    // corpus, restricted to cross-boundary pairs, is the same set
+    val self = DedupOps.lshCandidatePairs(signed, "doc_id", "sig", 4, 4)
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (x, y) if x % 3 == 0 && y % 3 != 0 => (x, y) }.toSet
+    assert(probe === self)
+    assert(probe.nonEmpty) // the fixture corpus has cross-boundary dups
+  }
+
   test("connectedComponents identical in reliable-checkpoint mode") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.conf.set(graft.core.Lineage.confKey, dir)
