@@ -743,8 +743,74 @@ object DedupQueries {
          |ORDER BY batch_id, hist_id""".stripMargin
     })
 
+  /** The DEPLOYED two-stage containment path as one plan — exactly the
+    * 100 TB order the round-6 per-branch scaling table prescribes:
+    * bottom-k sketch candidates at a LOOSE threshold (0.5, recall
+    * headroom) → EXACT C(A→B)=∩/|A| verification of the survivors only
+    * at 0.8. Stage-2 cost is pair-LOCAL (one array_intersect per
+    * candidate row, ∝ #candidates) — the exact kernel never sees the
+    * corpus as pairs. Reported values are the exact containments, so a
+    * sketch that under-estimates a true pair below 0.5 drops it
+    * (recall trade, documented); a sketch over-estimate is repaired by
+    * the exact stage. Twin replays the identical md5 bottom-k sketch
+    * then the identical exact verify. */
+  private val containmentVerified = Q(
+    "dedup_containment_verified",
+    (s, dir) => {
+      import s.implicits._
+      val withShingles = docs(s, dir)
+        .select($"doc_id", TextOps.shingles($"text", 3).as("shingles"))
+      val sets = withShingles
+        .select($"doc_id", array_distinct($"shingles").as("ss"))
+        .cut(eager = false)
+      val cands = DedupOps.containmentSketchPairs(withShingles, "doc_id",
+          "shingles", 0.5, 16)
+        .select($"id_a", $"id_b")
+      cands
+        .join(sets.select($"doc_id".as("id_a"), $"ss".as("s_a")), "id_a")
+        .join(sets.select($"doc_id".as("id_b"), $"ss".as("s_b")), "id_b")
+        .withColumn("inter", size(array_intersect($"s_a", $"s_b")).cast("double"))
+        .withColumn("cab", $"inter" / size($"s_a"))
+        .withColumn("cba", $"inter" / size($"s_b"))
+        .filter(greatest($"cab", $"cba") >= 0.8)
+        .select($"id_a", $"id_b",
+          round($"cab", 6).as("containment_ab"),
+          round($"cba", 6).as("containment_ba"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+            |sh AS (SELECT doc_id,
+            |         list_distinct([array_to_string(toks[i:i+2],' ')
+            |                        FOR i IN generate_series(1, len(toks)-2)]) s
+            |       FROM d),
+            |hh AS (SELECT doc_id,
+            |         list_sort(list_distinct(
+            |           [('0x'||substr(md5(t),1,8))::BIGINT FOR t IN s])) hs
+            |       FROM sh WHERE len(s) > 0),
+            |post AS (SELECT doc_id, unnest(hs) h FROM hh),
+            |probe AS (SELECT doc_id, len(hs) sza, unnest(hs[1:16]) h FROM hh),
+            |m AS (SELECT p.doc_id a, q.doc_id b, p.sza, count(*) m
+            |      FROM probe p JOIN post q
+            |        ON p.h = q.h AND p.doc_id <> q.doc_id
+            |      GROUP BY 1, 2, 3),
+            |dir AS (SELECT a, b, m::DOUBLE / least(16, sza) est FROM m),
+            |cand AS (SELECT least(a,b) id_a, greatest(a,b) id_b
+            |         FROM dir GROUP BY 1, 2
+            |         HAVING max(est) >= 0.5),
+            |ver AS (SELECT id_a, id_b,
+            |          len(list_intersect(sa.s, sb.s))::DOUBLE AS inter,
+            |          len(sa.s) AS la, len(sb.s) AS lb
+            |        FROM cand JOIN sh sa ON sa.doc_id = id_a
+            |                  JOIN sh sb ON sb.doc_id = id_b)
+            |SELECT id_a, id_b,
+            |       round(inter / la, 6) AS containment_ab,
+            |       round(inter / lb, 6) AS containment_ba
+            |FROM ver WHERE greatest(inter / la, inter / lb) >= 0.8
+            |ORDER BY id_a, id_b""".stripMargin))
+
   def all: Seq[Q] =
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
       minhash, simhashQ, lines, bloomDelta, fuzzy, substring, containment,
-      containmentSketch, clusterSizes, keepBest, curated, minhashDelta)
+      containmentSketch, clusterSizes, keepBest, curated, minhashDelta,
+      containmentVerified)
 }
