@@ -32,6 +32,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
+  /** Data-dependent oracle twins (see [[graft.queries.Q.oracleFor]]):
+    * SQL that embeds values derived from the data dir — e.g. the seeded
+    * PQ codebooks as literal tables. Verify merges these into its
+    * oracle_sql.json dump so the driver compares them like any other. */
+  def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] =
+    registry.flatMap(q => q.oracleFor.map(f => q.name -> f(spark, dir))).toMap
+
   /** Headline queries timed by Bench. */
   def headline: Seq[Q] = registry.filter(_.headline)
 }

@@ -6,9 +6,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SQL-expressible) a DuckDB oracle twin producing identical column names,
   * types, and values (doubles pre-rounded on both sides so hash comparison
   * is stable). `headline` marks queries timed by Bench.
+  *
+  * `oracleFor` is the DATA-DEPENDENT oracle channel: some twins must embed
+  * values that only exist after looking at the data dir (e.g. the seeded
+  * PQ codebook fits serialized as literal tables). Verify evaluates these
+  * against its sf dir and merges them into `oracle_sql.json`, so the
+  * driver's DuckDB compare sees a full rows+schema+hash oracle; the static
+  * `SparkEntry.oracleSql` map carries only the dir-independent twins.
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    oracleFor: Option[(SparkSession, String) => String] = None)

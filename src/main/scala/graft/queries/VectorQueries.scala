@@ -19,18 +19,43 @@ object VectorQueries {
     * deterministic in (data dir, params), so the invariants query and
     * the search query over the same dir share one fit instead of each
     * paying 16 k-means jobs. Plain Scala values — safe across sessions
-    * (nothing Spark-resident is cached), bounded by #dirs × 2 entries. */
+    * (nothing Spark-resident is cached), bounded by #dirs × 2 entries.
+    * The key carries a cheap file fingerprint so regenerating a dir
+    * IN-PLACE within one JVM (scripts/gen_sf1.py rewrites target/sf1)
+    * invalidates the stale fit instead of serving codebooks trained on
+    * data that no longer exists. */
   private val cbCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
 
+  /** (size, mtime, name)-fold over the embeddings parquet path; 0 when
+    * the path isn't a readable local file tree (cache then keys on the
+    * dir string alone, the pre-fingerprint behavior). */
+  private def dataFp(dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    try {
+      val p = Paths.get(dir, "embeddings.parquet")
+      if (!Files.exists(p)) 0L
+      else {
+        val st = Files.walk(p)
+        try st.iterator().asScala.foldLeft(0L) { (acc, f) =>
+          acc * 31L + f.getFileName.toString.hashCode +
+            (if (Files.isRegularFile(f))
+               Files.size(f) + Files.getLastModifiedTime(f).toMillis
+             else 0L)
+        } finally st.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+  }
+
   private def pqCbs(s: org.apache.spark.sql.SparkSession,
                     dir: String): Seq[Seq[Seq[Double]]] =
-    cbCache.getOrElseUpdate(s"pq:$dir",
+    cbCache.getOrElseUpdate(s"pq:$dir:${dataFp(dir)}",
       VectorOps.pqTrainCodebooks(emb(s, dir), "embedding", m = 16, k = 16))
 
   private def ivfPqCbs(s: org.apache.spark.sql.SparkSession,
                        dir: String): Seq[Seq[Seq[Double]]] =
-    cbCache.getOrElseUpdate(s"ivfpq:$dir", {
+    cbCache.getOrElseUpdate(s"ivfpq:$dir:${dataFp(dir)}", {
       import s.implicits._
       val e = emb(s, dir)
       VectorOps.pqTrainResidualCodebooks(e, e.filter($"vec_id" < 8),
@@ -422,9 +447,60 @@ object VectorQueries {
            |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
            |FROM embeddings WHERE vec_id < 4 ORDER BY query_id""".stripMargin))
 
-  /** The PQ search surface itself (rows-only driver check — neighbor
-    * ranks ride the engine-specific k-means fit; the invariants query
-    * above carries the hash-strength evidence, the spec the math). */
+  /** Render the nested codebooks as a DuckDB literal table
+    * cb(s, code, c): one VALUES row per (subspace, codeword). Doubles
+    * print in shortest-round-trip form, which DuckDB's strtod parses
+    * back to the identical bits. */
+  private def cbValues(cbs: Seq[Seq[Seq[Double]]]): String =
+    cbs.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cw, code) =>
+        s"($s,$code,[${cw.mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(",")
+
+  /** DuckDB twin for sim_pq_topk, with THIS dir's seeded codebook fit
+    * serialized as a literal table (the sim_quantized_topk pattern — the
+    * oracle re-derives the codes itself): encode = per-subspace argmin
+    * codeword (tie → lowest code, matching pqEncode's
+    * array_position-of-min), adc2 = Σ_s ‖q_sub − cb[s][code_s]‖² — the
+    * LUT-sum ≡ reconstruction-distance identity sim_pq_invariants pins —
+    * ranked (adc2 asc, neighbor_id asc), the TopKAggregator order. */
+  private def pqTopkOracle(cbs: Seq[Seq[Seq[Double]]]): String = {
+    val m = cbs.size
+    val sub = cbs.head.head.size
+    s"""WITH cb(s, code, c) AS (VALUES ${cbValues(cbs)}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |sl AS (SELECT vec_id, s, list_slice(v, s*$sub+1, s*$sub+$sub) sv
+       |       FROM e, range($m) t(s)),
+       |scored AS (SELECT sl.vec_id, sl.s, cb.code,
+       |    list_sum([(sl.sv[i+1]-cb.c[i+1])*(sl.sv[i+1]-cb.c[i+1])
+       |              FOR i IN generate_series(0, ${sub - 1})]) d2
+       |  FROM sl JOIN cb ON cb.s = sl.s),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY vec_id, s ORDER BY d2, code) rn FROM scored)
+       |  WHERE rn = 1),
+       |pairsub AS (SELECT q.vec_id query_id, en.vec_id neighbor_id,
+       |    list_sum([(q.sv[i+1]-cb.c[i+1])*(q.sv[i+1]-cb.c[i+1])
+       |              FOR i IN generate_series(0, ${sub - 1})]) sd2
+       |  FROM sl q
+       |  JOIN enc en ON en.s = q.s AND en.vec_id <> q.vec_id
+       |  JOIN cb ON cb.s = en.s AND cb.code = en.code
+       |  WHERE q.vec_id < 5),
+       |adc AS (SELECT query_id, neighbor_id, sum(sd2) adc2
+       |        FROM pairsub GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, round(adc2, 6) adc2 FROM (
+       |  SELECT *, (row_number() OVER
+       |    (PARTITION BY query_id ORDER BY adc2, neighbor_id))::INT rank
+       |  FROM adc)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The PQ search surface itself. Driver-checked at full rows+schema+
+    * hash strength: the oracle twin embeds the memoized seeded codebook
+    * fit for the verify dir (via [[Q.oracleFor]]) and replays encode +
+    * ADC ranking in SQL, so any code/LUT/rank divergence hash-fails.
+    * The invariants twin above additionally pins the math identities. */
   private val pqTopk = Q(
     "sim_pq_topk",
     (s, dir) => {
@@ -436,7 +512,8 @@ object VectorQueries {
         .withColumn("adc2", round($"adc2", 6))
         .orderBy($"query_id", $"rank")
     },
-    None)
+    None,
+    oracleFor = Some((s, dir) => pqTopkOracle(pqCbs(s, dir))))
 
   /** IVF-PQ ([[VectorOps.ivfPqTopK]]): coarse L2 quantizer (first 8
     * vectors as centroids, same fixture as sim_ivf_*) + PQ over
@@ -545,9 +622,75 @@ object VectorQueries {
            |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
            |FROM embeddings WHERE vec_id < 4 ORDER BY query_id""".stripMargin))
 
-  /** The IVF-PQ search surface itself (rows-only: ranks ride the seeded
-    * k-means codebook fit; the invariants query above carries the
-    * hash-strength evidence). */
+  /** DuckDB twin for sim_ivfpq_topk: residual codebooks as a literal
+    * table, plus the full two-stage replay — L2 coarse assignment
+    * (tie → min centroid_id, matching assignWithResidual's min_by),
+    * residual encode, nprobe=3 probe sets (pd2 asc, centroid_id asc),
+    * candidates restricted to probed lists, adc2 =
+    * Σ_s ‖(q−c)_sub − cb[s][code_s]‖² (the reconstruction identity
+    * sim_ivfpq_invariants pins), ranked (adc2 asc, neighbor_id asc). */
+  private def ivfPqTopkOracle(cbs: Seq[Seq[Seq[Double]]]): String = {
+    val m = cbs.size
+    val sub = cbs.head.head.size
+    val d = m * sub
+    def l2(a: String, b: String) =
+      s"""list_sum([($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1])
+         |              FOR i IN generate_series(0, ${d - 1})])""".stripMargin
+    s"""WITH cb(s, code, c) AS (VALUES ${cbValues(cbs)}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |cent AS (SELECT vec_id centroid_id, v cv FROM e WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, cent.centroid_id, row_number() OVER
+       |      (PARTITION BY e.vec_id ORDER BY ${l2("e.v", "cent.cv")},
+       |       cent.centroid_id) rn
+       |    FROM e CROSS JOIN cent) WHERE rn = 1),
+       |res AS (SELECT e.vec_id, a.centroid_id,
+       |    [e.v[i+1]-c.cv[i+1] FOR i IN generate_series(0, ${d - 1})] rv
+       |  FROM e JOIN asg a USING (vec_id)
+       |  JOIN cent c ON c.centroid_id = a.centroid_id),
+       |rsl AS (SELECT vec_id, centroid_id, s,
+       |          list_slice(rv, s*$sub+1, s*$sub+$sub) sv
+       |        FROM res, range($m) t(s)),
+       |scored AS (SELECT rsl.vec_id, rsl.centroid_id, rsl.s, cb.code,
+       |    list_sum([(rsl.sv[i+1]-cb.c[i+1])*(rsl.sv[i+1]-cb.c[i+1])
+       |              FOR i IN generate_series(0, ${sub - 1})]) d2
+       |  FROM rsl JOIN cb ON cb.s = rsl.s),
+       |enc AS (SELECT vec_id, centroid_id, s, code FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY vec_id, s ORDER BY d2, code) rn FROM scored)
+       |  WHERE rn = 1),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |    SELECT q.vec_id query_id, c.centroid_id, row_number() OVER
+       |      (PARTITION BY q.vec_id ORDER BY ${l2("q.v", "c.cv")},
+       |       c.centroid_id) pr
+       |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE pr <= 3),
+       |qres AS (SELECT p.query_id, p.centroid_id,
+       |    [q.v[i+1]-c.cv[i+1] FOR i IN generate_series(0, ${d - 1})] rv
+       |  FROM probes p JOIN e q ON q.vec_id = p.query_id
+       |  JOIN cent c ON c.centroid_id = p.centroid_id),
+       |qsl AS (SELECT query_id, centroid_id, s,
+       |          list_slice(rv, s*$sub+1, s*$sub+$sub) sv
+       |        FROM qres, range($m) t(s)),
+       |pairsub AS (SELECT q.query_id, en.vec_id neighbor_id,
+       |    list_sum([(q.sv[i+1]-cb.c[i+1])*(q.sv[i+1]-cb.c[i+1])
+       |              FOR i IN generate_series(0, ${sub - 1})]) sd2
+       |  FROM qsl q
+       |  JOIN enc en ON en.centroid_id = q.centroid_id AND en.s = q.s
+       |             AND en.vec_id <> q.query_id
+       |  JOIN cb ON cb.s = en.s AND cb.code = en.code),
+       |adc AS (SELECT query_id, neighbor_id, sum(sd2) adc2
+       |        FROM pairsub GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, round(adc2, 6) adc2 FROM (
+       |  SELECT *, (row_number() OVER
+       |    (PARTITION BY query_id ORDER BY adc2, neighbor_id))::INT rank
+       |  FROM adc)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The IVF-PQ search surface itself. Driver-checked at full
+    * rows+schema+hash strength via [[Q.oracleFor]]: the twin embeds the
+    * memoized residual codebooks and replays coarse-assign → residual
+    * encode → probe → list-restricted ADC ranking entirely in SQL. */
   private val ivfPqTopk = Q(
     "sim_ivfpq_topk",
     (s, dir) => {
@@ -560,7 +703,8 @@ object VectorQueries {
         .withColumn("adc2", round($"adc2", 6))
         .orderBy($"query_id", $"rank")
     },
-    None)
+    None,
+    oracleFor = Some((s, dir) => ivfPqTopkOracle(ivfPqCbs(s, dir))))
 
   def all: Seq[Q] = Seq(topk, pairs, lsh, lshAuto, quantTopk, ivf, ivfTopk,
     kmeans, pqInv, pqTopk, ivfPqInv, ivfPqTopk)
