@@ -94,17 +94,90 @@ object MultimodalOps {
         f => f.isNotNull))
   }
 
-  /** Perceptual-hash STUB: 64 bits from the payload's md5 prefix. A real
-    * pipeline computes pHash/dHash from decoded pixels (DCT of the
-    * downscaled luma); the codec isn't in this environment, so the
-    * deterministic stand-in hashes the encoded bytes — which preserves
-    * the property the downstream plumbing exercises (identical payloads
-    * collide, others are ~random), and is itself the exact-duplicate
-    * image key real pipelines use before any decode. Returned as the hex
-    * string (the cross-engine-portable form; band extraction and
-    * hamming both slice it). */
+  /** Exact-duplicate media key: 64 bits from the payload's md5 prefix —
+    * the pre-decode key real pipelines use to drop byte-identical copies
+    * before any decode work. NOT perceptual (see [[dhash]] for that):
+    * identical payloads collide, everything else is ~random. Returned as
+    * a 16-char hex string (the cross-engine-portable form; band
+    * extraction and hamming both slice it). */
   def phash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     substring(md5(payload), 1, 16)
+
+  /** Let-binding for column expressions: evaluates `value` ONCE per row
+    * and exposes it as a lambda variable to `f`. Without this, an
+    * expression referenced n times is INLINED n times (Catalyst does not
+    * CSE across HOF lambda bodies) — for dhash's 72-cell grid referenced
+    * by 128 gradient comparisons that's a ~100× tree blowup. */
+  private def bind(value: org.apache.spark.sql.Column)
+                  (f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    element_at(transform(array(value), f), 1)
+
+  /** REAL perceptual hash (dHash) over a raw 8-bit luma payload — no
+    * codec needed: `payload` is width×height grayscale bytes, row-major
+    * (the shape a decoder emits; a real pipeline runs this right after
+    * decode, or on the raw-luma sidecar column). Classic dHash:
+    * downscale to a 9×8 grid of block means, then bit (r,c) = 1 iff
+    * cell(r,c) is brighter than cell(r,c+1) — 8 gradient bits per row ×
+    * 8 rows = 64 bits, emitted as a 16-char hex string so the SAME
+    * banding/hamming plumbing as [[phash]] rides it unchanged.
+    *
+    * All arithmetic is INTEGER (block means compared by cross-
+    * multiplying sums with cell pixel counts), so the DuckDB twin
+    * replays it exactly — no float tie hazards. Requires width ≥ 9 and
+    * height ≥ 8 (a real decoder's downscale handles smaller frames;
+    * this expression form keeps cells non-empty instead).
+    *
+    * Near-dup behavior (spec-asserted): a few-pixel perturbation leaves
+    * most block means — and so most gradient bits — intact, landing
+    * within hamming ≤ 3 of the original; unrelated images differ in
+    * ~half the bits. Pure scan-local expression: no UDF, no shuffle. */
+  def dhash(payload: org.apache.spark.sql.Column,
+            width: org.apache.spark.sql.Column,
+            height: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = width.cast("int")
+    val h = height.cast("int")
+    // one hex() of the payload, let-bound; byte i is then a 2-char slice
+    bind(hex(payload)) { hx =>
+      def byteAt(pos: org.apache.spark.sql.Column) = // pos 0-based
+        conv(hx.substr(pos * 2 + 1, lit(2)), 16, 10).cast("long")
+      def bound(i: org.apache.spark.sql.Column,
+                n: org.apache.spark.sql.Column, parts: Int) =
+        floor(i * n / parts).cast("int")
+      val gridExpr = transform(sequence(lit(0), lit(7)), r =>
+        transform(sequence(lit(0), lit(8)), c => {
+          val r0 = bound(r, h, 8); val r1 = bound(r + 1, h, 8)
+          val c0 = bound(c, w, 9); val c1 = bound(c + 1, w, 9)
+          val cell = flatten(transform(sequence(r0, r1 - 1), rr =>
+            transform(sequence(c0, c1 - 1), cc => byteAt(rr * w + cc))))
+          struct(
+            aggregate(cell, lit(0L), (acc, x) => acc + x).as("s"),
+            size(cell).cast("long").as("n"))
+        }))
+      bind(gridExpr) { grid =>
+        val bitsExpr = transform(sequence(lit(0), lit(63)), i => {
+          val a = element_at(element_at(grid, (i / 8).cast("int") + 1),
+            (i % 8).cast("int") + 1)
+          val b = element_at(element_at(grid, (i / 8).cast("int") + 1),
+            (i % 8).cast("int") + 2)
+          // mean(a) > mean(b) by integer cross-multiplication
+          when(a.getField("s") * b.getField("n") >
+            b.getField("s") * a.getField("n"), 1).otherwise(0)
+        })
+        bind(bitsExpr) { bits =>
+          // nibble p (MSB-first) = bits[4p..4p+3] → one hex char
+          val digits = lit("0123456789abcdef")
+          concat((0 until 16).map { p =>
+            val v = element_at(bits, 4 * p + 1) * 8 +
+              element_at(bits, 4 * p + 2) * 4 +
+              element_at(bits, 4 * p + 3) * 2 +
+              element_at(bits, 4 * p + 4)
+            digits.substr(v + 1, lit(1))
+          }: _*)
+        }
+      }
+    }
+  }
 
   /** Banded near-dup candidate pairs over 64-bit perceptual hashes, the
     * image-dedup sibling of DedupOps.simhash: 4 bands of 16 bits — any
@@ -123,10 +196,24 @@ object MultimodalOps {
     * callers with a different layout pass their own path. */
   def phashCandidatePairs(media: DataFrame, idCol: String,
                           maxHamming: Int,
-                          payloadCol: String = "media.payload"): DataFrame = {
-    val h = media.select(col(idCol).as("id"),
-      phash(col(payloadCol)).as("h"))
-    val bands = h.select(col("id"), col("h"),
+                          payloadCol: String = "media.payload"): DataFrame =
+    hashBandPairs(media.select(col(idCol).as("id"),
+      phash(col(payloadCol)).as("h")), maxHamming)
+
+  /** [[phashCandidatePairs]] with the REAL perceptual hash ([[dhash]])
+    * over raw-luma payloads — width/height come from the media meta
+    * struct. Identical banding/verify plumbing; only the hash differs. */
+  def dhashCandidatePairs(media: DataFrame, idCol: String,
+                          maxHamming: Int,
+                          payloadCol: String = "media.payload"): DataFrame =
+    hashBandPairs(media.select(col(idCol).as("id"),
+      dhash(col(payloadCol), col("media.meta.width"),
+        col("media.meta.height")).as("h")), maxHamming)
+
+  /** Banding + hamming-verify core over any 64-bit hash rendered as a
+    * 16-char hex string. `hashed` must have columns (id, h). */
+  def hashBandPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashed.select(col("id"), col("h"),
         posexplode(array((0 to 3).map(i =>
           substring(col("h"), 1 + 4 * i, 4)): _*)))
       .select(col("id"), col("h"), col("pos").as("band_idx"),
@@ -146,6 +233,27 @@ object MultimodalOps {
           .cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** A deterministic raw-luma media table derived from `documents`: the
+    * payload is a width×height 8-bit grayscale image whose pixels are the
+    * doc's text bytes cycled to fill the frame (rpad with the text itself
+    * cycles; empty docs get a flat 0x20 frame). Pure ASCII text means
+    * pixel i == ascii(text[i mod len]) — exactly what the DuckDB twin
+    * recomputes — while near-identical TEXTS yield near-identical IMAGES,
+    * so the corpus' real near-dup structure carries into the perceptual
+    * plane. Meta carries the (width, height) [[dhash]] reads. */
+  def lumaMediaFromDocuments(docs: DataFrame, width: Int = 24,
+                             height: Int = 16): DataFrame = {
+    val n = width * height
+    val cycled = when(length(col("text")) === 0, lit(" " * n))
+      .otherwise(expr(s"rpad(text, $n, text)"))
+    docs.select(col("doc_id"),
+      asMedia(
+        to_binary(cycled, lit("utf-8")),
+        lit("image/x-raw-luma"),
+        lit(width), lit(height),
+        lit(0L), lit("raw")).as("media"))
   }
 
   /** A deterministic fake media table derived from `documents` — text

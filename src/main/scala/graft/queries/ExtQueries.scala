@@ -95,24 +95,52 @@ object ExtQueries {
            |            IF i % 2 = 0]), 0)::INT AS frame_bytes
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** Banded pHash near-dup over the fake media table
-    * (MultimodalOps.phashCandidatePairs) — the image-dedup entry of the
-    * multimodal plane. With the md5-stub hash, survivors at hamming ≤ 3
-    * are exactly the identical-payload pairs; the PLUMBING (banding,
-    * bucket join, hamming verify) is what a real pHash would ride
-    * unchanged. The oracle rebuilds hash/bands/hamming from the text
-    * bytes (payload == utf-8 text, pure ASCII). */
+  /** Banded PERCEPTUAL near-dup over the raw-luma media table: the real
+    * dHash (MultimodalOps.dhash — 9×8 block-mean downscale + horizontal
+    * gradient bits, integer arithmetic throughout) rides the same
+    * banding/bucket-join/hamming-verify plumbing the md5 exact key uses.
+    * Survivors at hamming ≤ 3 include genuinely near-identical (NOT
+    * byte-identical) frames — near-dup texts yield near-dup luma images —
+    * and 4 bands × 16 bits makes the banded result EXACTLY the
+    * brute-force hamming ≤ 3 set (pigeonhole: ≤3 flipped bits leave ≥1
+    * band intact). The oracle replays the full pixel→grid→bits→hex→
+    * band→hamming chain from the text bytes (payload == cycled utf-8
+    * text, pure ASCII, 24×16). */
   private val phashDedup = Q(
     "multimodal_phash_neardup",
     (s, dir) => {
       import s.implicits._
-      val media = MultimodalOps.fakeMediaFromDocuments(Tables(s, dir).documents)
-      MultimodalOps.phashCandidatePairs(media, "doc_id", 3)
+      val media = MultimodalOps.lumaMediaFromDocuments(Tables(s, dir).documents)
+      MultimodalOps.dhashCandidatePairs(media, "doc_id", 3)
         .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"hamming")
         .orderBy($"doc_a", $"doc_b")
     },
-    Some("""WITH h AS (
-           |  SELECT doc_id, substr(md5(text), 1, 16) AS h FROM documents),
+    Some("""WITH px AS (SELECT doc_id,
+           |    [CASE WHEN length(text)=0 THEN 32
+           |          ELSE ascii(text[(i % length(text)) + 1]) END
+           |     FOR i IN generate_series(0, 383)] px
+           |  FROM documents),
+           |cg AS (SELECT doc_id, px, r, c, (c*24)//9 c0,
+           |              ((c+1)*24)//9 - (c*24)//9 cw
+           |       FROM px, generate_series(0,7) tr(r), generate_series(0,8) tc(c)),
+           |cells AS (SELECT doc_id, r, c,
+           |    list_sum([px[(2*r + i // cw)*24 + c0 + (i % cw) + 1]
+           |              FOR i IN generate_series(0, 2*cw - 1)]) s,
+           |    2*cw n
+           |  FROM cg),
+           |gb AS (SELECT a.doc_id, a.r*8 + a.c idx,
+           |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END bv
+           |  FROM cells a JOIN cells b
+           |    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+           |  WHERE a.c < 8),
+           |nib AS (SELECT doc_id, idx // 4 p,
+           |    sum(bv * (CASE idx % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+           |              WHEN 2 THEN 2 ELSE 1 END)) v
+           |  FROM gb GROUP BY 1, 2),
+           |h AS (SELECT doc_id,
+           |        string_agg(substr('0123456789abcdef', v::INT + 1, 1),
+           |                   '' ORDER BY p) h
+           |      FROM nib GROUP BY doc_id),
            |bands AS (
            |  SELECT doc_id, h, i AS band_idx, substr(h, 1 + 4*i, 4) AS band
            |  FROM h CROSS JOIN generate_series(0, 3) t(i)),
@@ -133,5 +161,24 @@ object ExtQueries {
            |SELECT doc_a, doc_b, hamming FROM ham
            |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin))
 
-  def all: Seq[Q] = Seq(topkAgg, multimodal, frames, phashDedup)
+  /** The md5 EXACT-duplicate media key (the pre-decode gate real
+    * pipelines run before any perceptual work): byte-identical payload
+    * groups with the kept representative. */
+  private val exactKey = Q(
+    "multimodal_exact_key",
+    (s, dir) => {
+      import s.implicits._
+      val media = MultimodalOps.fakeMediaFromDocuments(Tables(s, dir).documents)
+      media.select($"doc_id", MultimodalOps.phash($"media.payload").as("k"))
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("keep_id"))
+        .filter($"n" > 1)
+        .orderBy($"k")
+    },
+    Some("""SELECT k, n, keep_id FROM (
+           |  SELECT substr(md5(text), 1, 16) k, count(*) n, min(doc_id) keep_id
+           |  FROM documents GROUP BY 1)
+           |WHERE n > 1 ORDER BY k""".stripMargin))
+
+  def all: Seq[Q] = Seq(topkAgg, multimodal, frames, phashDedup, exactKey)
 }

@@ -62,6 +62,79 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  /** Reference dHash in plain Scala — the same integer math the column
+    * expression and the DuckDB twin implement. */
+  private def refDhash(b: Array[Int], w: Int, h: Int): String = {
+    def cell(r: Int, c: Int): (Long, Long) = {
+      val vals = for {
+        rr <- r * h / 8 until (r + 1) * h / 8
+        cc <- c * w / 9 until (c + 1) * w / 9
+      } yield b(rr * w + cc).toLong
+      (vals.sum, vals.size.toLong)
+    }
+    val grid = Array.tabulate(8, 9)(cell)
+    val bits = (0 until 64).map { i =>
+      val (sa, na) = grid(i / 8)(i % 8); val (sb, nb) = grid(i / 8)(i % 8 + 1)
+      if (sa * nb > sb * na) 1 else 0
+    }
+    (0 until 16).map(p => "0123456789abcdef".charAt(
+      8 * bits(4 * p) + 4 * bits(4 * p + 1) + 2 * bits(4 * p + 2) + bits(4 * p + 3)))
+      .mkString
+  }
+
+  test("dhash: near-dup (not byte-identical) luma frames collide within hamming ≤ 3") {
+    val w = 24; val h = 16
+    val base = Array.tabulate(h * w)(i => (i / w * 7 + i % w * 11) % 200 + 20)
+    val variant = base.clone()
+    // a strong local change confined to one grid cell: flips exactly the
+    // gradient bits that cell participates in (reference says hamming 1)
+    for (rr <- 0 until 2; cc <- 0 until 2)
+      variant(rr * w + cc) = math.min(255, variant(rr * w + cc) + 60)
+    val unrelated = Array.tabulate(h * w)(i => (i / w * 53 + i % w * 97) % 251)
+    assert(!java.util.Arrays.equals(base, variant), "fixture must not be byte-identical")
+    val rows = Seq((1L, base), (2L, variant), (3L, unrelated)).map {
+      case (id, px) => (id, px.map(_.toByte))
+    }
+    val media = rows.toDF("doc_id", "payload").select($"doc_id",
+      MultimodalOps.asMedia($"payload", lit("image/x-raw-luma"),
+        lit(w), lit(h), lit(0L), lit("raw")).as("media"))
+    // engine dhash == the plain-Scala reference on all three frames
+    val hs = media.select($"doc_id",
+        MultimodalOps.dhash($"media.payload", $"media.meta.width",
+          $"media.meta.height").as("dh"))
+      .as[(Long, String)].collect().toMap
+    assert(hs(1L) === refDhash(base, w, h))
+    assert(hs(2L) === refDhash(variant, w, h))
+    assert(hs(3L) === refDhash(unrelated, w, h))
+    // the near-dup pair collides within hamming ≤ 3; unrelated drops
+    val pairs = MultimodalOps.dhashCandidatePairs(media, "doc_id", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1)))
+    // ...while the md5 exact key does NOT pair them (not byte-identical):
+    // the perceptual behavior is real, not an artifact of equal payloads
+    val exact = MultimodalOps.phashCandidatePairs(media, "doc_id", 3)
+      .as[(Long, Long, Int)].collect()
+    assert(exact.isEmpty)
+  }
+
+  test("dhash over luma-from-documents media matches the reference per doc") {
+    val luma = MultimodalOps.lumaMediaFromDocuments(
+      graft.core.Tables(spark, graft.TestSpark.sfDir).documents)
+    val got = luma.select($"doc_id",
+        MultimodalOps.dhash($"media.payload", $"media.meta.width",
+          $"media.meta.height").as("dh"))
+      .orderBy($"doc_id").limit(20).as[(Long, String)].collect()
+    val texts = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(20)
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, dh) =>
+      val t = texts(id)
+      val px = Array.tabulate(384)(i =>
+        if (t.isEmpty) 32 else t.charAt(i % t.length).toInt)
+      assert(dh === refDhash(px, 24, 16), s"doc $id")
+    }
+  }
+
   test("frame sampling: stride-2 keeps every other 256-byte block") {
     val df = Seq(("x" * 1000)).toDF("t")
       .select(MultimodalOps.sampleFrames(to_binary($"t", lit("utf-8")), 2).as("frames"))
