@@ -134,6 +134,14 @@ object Schemas {
     StructField("TIME", StringType),
     StructField("DATA_VALUE", StringType)))
 
+  /** The live ECOS response envelope
+    * (bank_of_korea_operator.py:16,95-98): rows plus the
+    * list_total_count pagination control field. */
+  val bokEnvelope: StructType = StructType(Seq(
+    StructField("StatisticSearch", StructType(Seq(
+      StructField("list_total_count", LongType),
+      StructField("row", ArrayType(bokStat)))))))
+
   /** Silver dim_industry_code (industry_code_glue_job.py:98). */
   val dimIndustryCode: StructType = StructType(Seq(
     StructField("item_code", StringType),

@@ -47,19 +47,131 @@ final class YFinanceConnector(fixtureDir: String, category: String)
       Seq("Ticker"))
 }
 
+/** The ECOS "no data / error" envelope check: the reference raises
+  * whenever the response object carries a TOP-LEVEL "RESULT" key
+  * (bank_of_korea_operator.py:92-94 — `"RESULT" in response_json`) —
+  * landing such a payload as empty bronze would silently convert an
+  * upstream error into a hollow partition, the exact class the F17
+  * non-empty gates exist to prevent. Depth-aware scan (string-literal
+  * safe), not a substring test: a row VALUE containing the text
+  * "RESULT" must never trip it. */
+object BokPayload {
+  private[graft] def hasTopLevelResult(body: String): Boolean = {
+    var i = 0; var depth = 0; var inStr = false; var esc = false
+    var strStart = -1
+    var lastStrAtDepth1: String = null // candidate key: last depth-1 string
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') {
+          inStr = false
+          if (depth == 1) lastStrAtDepth1 = body.substring(strStart, i)
+        }
+      } else c match {
+        case '"' => inStr = true; strStart = i + 1
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case ':' =>
+          // a ':' directly following a depth-1 string makes it a KEY
+          if (depth == 1 && lastStrAtDepth1 == "RESULT") return true
+        case _ =>
+          if (depth == 1 && !c.isWhitespace) lastStrAtDepth1 = null
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Raise exactly where the reference does — before anything lands. */
+  def validate(body: String): Unit =
+    if (hasTopLevelResult(body))
+      throw new IllegalStateException("No data available for the query.")
+}
+
 /** S4: Bank of Korea ECOS stats — payload is a list of `row` batches
   * (bank_of_korea_operator.py:37-44,95); flatten one level then parse
-  * rows (F10). */
+  * rows (F10). An ECOS error envelope (top-level "RESULT" key,
+  * bank_of_korea_operator.py:92-94) RAISES instead of landing as empty
+  * bronze. */
 final class BokStatConnector(fixtureDir: String) extends Connector {
   val name = "economic_indicators"
   def fetchRaw(logicalDate: String): Seq[String] =
     FixtureFiles.readOne(s"$fixtureDir/ymd=$logicalDate/data.json")
   def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
     import spark.implicits._
+    raw.foreach(BokPayload.validate)
     spark.createDataset(raw)
       .select(explode(from_json($"value",
         ArrayType(ArrayType(Schemas.bokStat)))).as("batch"))
       .select(explode($"batch").as("r"))
+      .select("r.*")
+  }
+}
+
+/** S4 over real transport: the ECOS offset/batch pagination generator
+  * (bank_of_korea_operator.py:80-98) — fetch rows
+  * [offset, offset+batch_size−1], raise on a "RESULT" error envelope,
+  * advance offset by batch_size, learn `list_total_count` from each
+  * response, and loop while `offset < total` (the reference's exact
+  * while guard, so a total of 250 at batch 100 makes exactly 3
+  * requests: offsets 1, 101, 201). Missing list_total_count raises —
+  * the reference's KeyError analog; a silent partial fetch must be
+  * impossible. Each GET wrapped in C4 retries, same no-keep-alive
+  * transport as [[graft.sources.HttpKrEtfConnector]].
+  *
+  * In tests baseUrl is an in-process httpserver stub; in production
+  * the real ECOS API — connector code identical. */
+final class HttpBokStatConnector(baseUrl: String, statCode: String,
+                                 intervalCode: String, batchSize: Int = 100,
+                                 retries: Int = 3, retryDelayMs: Long = 0)
+    extends Connector {
+  val name = "economic_indicators_http"
+
+  private def get(url: String): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(5000)
+    conn.setRequestProperty("Connection", "close")
+    try {
+      val code = conn.getResponseCode
+      if (code != 200) throw new java.io.IOException(s"HTTP $code for $url")
+      new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+    } finally conn.disconnect()
+  }
+
+  private[graft] def listTotalCount(body: String): Int =
+    """"list_total_count"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"$name: no list_total_count in response"))
+
+  def fetchRaw(logicalDate: String): Seq[String] = {
+    val pages = Seq.newBuilder[String]
+    var offset = 1
+    var total: Option[Int] = None
+    while (total.isEmpty || offset < total.get) {
+      val body = Retry.withRetries(retries, retryDelayMs)(get(
+        s"$baseUrl/$offset/${offset + batchSize - 1}/$statCode/" +
+          s"$intervalCode/$logicalDate/$logicalDate"))
+      BokPayload.validate(body)
+      pages += body
+      offset += batchSize
+      total = Some(listTotalCount(body))
+    }
+    pages.result()
+  }
+
+  def toBronze(spark: SparkSession, raw: Seq[String]): DataFrame = {
+    import spark.implicits._
+    // from_json ignores list_total_count — row parse matches the
+    // fixture-backed connector's bronze shape exactly
+    spark.createDataset(raw)
+      .select(from_json($"value", Schemas.bokEnvelope).as("p"))
+      .select(explode($"p.StatisticSearch.row").as("r"))
       .select("r.*")
   }
 }

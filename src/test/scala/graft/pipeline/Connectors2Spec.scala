@@ -61,6 +61,93 @@ class Connectors2Spec extends SparkSpec {
     assert(df.schema.fieldNames.contains("DATA_VALUE"))
   }
 
+  test("S4 BOK red path: ECOS RESULT error envelope raises, never lands") {
+    val c = new BokStatConnector(fixture("economic_indicators"))
+    // the canonical ECOS "no data" payload (bank_of_korea_operator.py:92-94)
+    val err = """{"RESULT": {"CODE": "INFO-200",
+                | "MESSAGE": "해당하는 데이터가 없습니다."}}""".stripMargin
+    val e = intercept[IllegalStateException] { c.toBronze(spark, Seq(err)) }
+    assert(e.getMessage.contains("No data available"))
+    // depth-aware: "RESULT" as a VALUE or a NESTED key must NOT trip it
+    assert(!BokPayload.hasTopLevelResult(
+      """[[{"STAT_NAME": "RESULT", "note": "a \"RESULT\" in a string"}]]"""))
+    assert(!BokPayload.hasTopLevelResult(
+      """{"StatisticSearch": {"RESULT": "nested, not top-level", "row": []}}"""))
+    assert(BokPayload.hasTopLevelResult(
+      """{ "other": 1, "RESULT" : {"CODE": "INFO-100"} }"""))
+  }
+
+  test("S4 over HTTP: offset/batch pagination, RESULT raise, total raise") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    def rowJson(i: Int): String =
+      s"""{"STAT_CODE": "902Y006", "STAT_NAME": "국제수지",
+         | "ITEM_CODE1": "SA$i", "ITEM_NAME1": "x", "UNIT_NAME": "u",
+         | "TIME": "202411", "DATA_VALUE": "$i.0"}""".stripMargin
+    def batchBody(from: Int, to: Int, total: Int): String = {
+      val rows = (from to math.min(to, total)).map(rowJson).mkString(",")
+      s"""{"StatisticSearch": {"list_total_count": $total, "row": [$rows]}}"""
+    }
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val offsets = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Int]())
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // path shape mirrors the reference url:
+    // /api/{offset}/{end}/{stat}/{interval}/{date}/{date}
+    server.createContext("/api", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        requests.incrementAndGet()
+        val seg = x.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+        val (from, to) = (seg(1).toInt, seg(2).toInt)
+        offsets.add(from)
+        val body = (seg(3) match {
+          case "EMPTY"   => """{"RESULT": {"CODE": "INFO-200"}}"""
+          case "NOTOTAL" => """{"StatisticSearch": {"row": []}}"""
+          case _         => batchBody(from, to, total = 6)
+        }).getBytes("UTF-8")
+        x.sendResponseHeaders(200, body.length)
+        x.getResponseBody.write(body); x.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/api"
+      // 6 rows at batch 2: offsets 1, 3, 5 then stop at 7 (7 < 6 false) —
+      // the reference's exact `offset < total_records` while guard
+      val c = new HttpBokStatConnector(base, "902Y006", "M", batchSize = 2)
+      val raw = c.fetchRaw("2025-01-06")
+      assert(raw.length === 3)
+      assert(offsets.toArray.toSeq === Seq(1, 3, 5))
+      val bronze = c.toBronze(spark, raw)
+      assert(bronze.count() === 6)
+      assert(bronze.schema.fieldNames.toSeq ===
+        graft.model.Schemas.bokStat.fieldNames.toSeq,
+        "HTTP bronze shape == fixture-backed bronze shape")
+      assert(bronze.select($"ITEM_CODE1").as[String].collect().sorted ===
+        (1 to 6).map(i => s"SA$i").sorted.toArray)
+      // reference boundary parity (bank_of_korea_operator.py:85): when
+      // total ≡ 1 (mod batch) the strict `<` stops BEFORE the last
+      // offset — total=6 at batch 5 fetches offset 1 (rows 1-5), then
+      // offset 6 fails `6 < 6` and row 6 is never requested. Faithful
+      // reproduction of the reference's stop condition, asserted so a
+      // future "fix" is a conscious divergence, not an accident.
+      val c5 = new HttpBokStatConnector(base, "902Y006", "M", batchSize = 5)
+      val raw5 = c5.fetchRaw("2025-01-06")
+      assert(raw5.length === 1)
+      assert(c5.toBronze(spark, raw5).count() === 5)
+      // RESULT envelope from the live API raises mid-loop
+      val eEmpty = intercept[IllegalStateException] {
+        new HttpBokStatConnector(base, "EMPTY", "M", 2).fetchRaw("2025-01-06")
+      }
+      assert(eEmpty.getMessage.contains("No data available"))
+      // a response without list_total_count raises (KeyError analog) —
+      // silent partial fetches are impossible
+      val eTotal = intercept[IllegalStateException] {
+        new HttpBokStatConnector(base, "NOTOTAL", "M", 2).fetchRaw("2025-01-06")
+      }
+      assert(eTotal.getMessage.contains("list_total_count"))
+    } finally server.stop(0)
+  }
+
   test("S6 index: records parse; holiday day yields empty fetch") {
     val c = new IndexDataConnector(fixture("index_data"))
     val df = c.toBronze(spark, c.fetchRaw("2025-01-06"))
