@@ -13,10 +13,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * against its sf dir and merges them into `oracle_sql.json`, so the
   * driver's DuckDB compare sees a full rows+schema+hash oracle; the static
   * `SparkEntry.oracleSql` map carries only the dir-independent twins.
+  *
+  * `gate` marks verification-gate queries (in-plan invariant checks like
+  * sim_pq_invariants, whose cost is the deliberate brute-force identity
+  * check, not a deployed search path): Bench reports them in a separate
+  * subtotal so the headline number reflects what a user would run.
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     headline: Boolean = false,
-    oracleFor: Option[(SparkSession, String) => String] = None)
+    oracleFor: Option[(SparkSession, String) => String] = None,
+    gate: Boolean = false)

@@ -445,7 +445,8 @@ object VectorQueries {
            |       true AS lut_identity_ok, true AS adc_topk_ok,
            |       true AS recall10_ok,
            |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
-           |FROM embeddings WHERE vec_id < 4 ORDER BY query_id""".stripMargin))
+           |FROM embeddings WHERE vec_id < 4 ORDER BY query_id""".stripMargin),
+    gate = true)
 
   /** Render the nested codebooks as a DuckDB literal table
     * cb(s, code, c): one VALUES row per (subspace, codeword). Doubles
@@ -620,7 +621,8 @@ object VectorQueries {
            |       true AS adc_identity_ok, true AS probed_ok,
            |       true AS restricted_exact_ok, true AS recall10_ok,
            |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
-           |FROM embeddings WHERE vec_id < 4 ORDER BY query_id""".stripMargin))
+           |FROM embeddings WHERE vec_id < 4 ORDER BY query_id""".stripMargin),
+    gate = true)
 
   /** DuckDB twin for sim_ivfpq_topk: residual codebooks as a literal
     * table, plus the full two-stage replay — L2 coarse assignment
