@@ -33,24 +33,26 @@ object Lineage {
         // over from an earlier configuration must not silently redirect
         // durable checkpoints. getCheckpointDir is the fully-qualified
         // form of dir plus a minted UUID subdir, so the active dir is
-        // current iff its PARENT path equals the configured path — an
-        // exact segment compare, not substring contains (which treated
-        // /ckpt/run1 as active while /ckpt/run10 was, and matched
-        // accidental substrings inside the UUID). A relative configured
-        // dir never exact-matches the qualified form and simply re-sets
+        // current iff its PARENT equals the configured dir — compared on
+        // the FULL qualified identity (scheme + authority + path, via
+        // Hadoop's own makeQualified, which resolves scheme-less dirs
+        // against the default FS exactly like setCheckpointDir does).
+        // Path-only comparison treated hdfs://nn1/ckpt as already-active
+        // when hdfs://nn2/ckpt (or an s3 dir with the same path) was —
+        // a filesystem move that silently kept writing to the stale
+        // location. Either side failing to qualify falls back to
+        // re-setting, so a broken identity can never be "already active"
         // (setCheckpointDir mints a fresh subdir; correctness unchanged).
-        def pathOf(s: String): String = {
-          val u = try new java.net.URI(s) catch { case _: Exception => null }
-          val p = if (u != null && u.getPath != null && u.getPath.nonEmpty)
-            u.getPath else s
-          p.stripSuffix("/")
-        }
-        val want = pathOf(dir)
-        val activeParent = spark.sparkContext.getCheckpointDir.map { c =>
-          val p = pathOf(c)
-          p.substring(0, math.max(p.lastIndexOf('/'), 0))
-        }
-        if (!activeParent.contains(want))
+        def qualified(s: String): Option[String] =
+          try {
+            val p = new org.apache.hadoop.fs.Path(s)
+            Some(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .makeQualified(p).toUri.toString.stripSuffix("/"))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        val want = qualified(dir)
+        val activeParent = spark.sparkContext.getCheckpointDir.flatMap(c =>
+          qualified(c).map(q => q.substring(0, math.max(q.lastIndexOf('/'), 0))))
+        if (want.isEmpty || activeParent != want)
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)

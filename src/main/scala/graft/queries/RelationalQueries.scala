@@ -1145,6 +1145,11 @@ object RelationalQueries {
   // orders". Money lands in exact integer cents before any aggregate or
   // equality (the q15 max-revenue tie compare and q18's sort key would
   // otherwise ride float partial-aggregation order).
+  // Long-headroom bound for the BIGINT cent-sums here: q15 sums per
+  // SUPPLIER per quarter and q18 per ORDER — both group-local sums that
+  // sit many orders of magnitude below Long.MaxValue at any plausible
+  // SF. Only a corpus-wide money sum can cross ~9.2e18; the one such
+  // aggregate (q11's scalar subquery) accumulates in DECIMAL(38,0).
 
   private val q13Sql =
     """SELECT c_count, count(*) AS custdist
@@ -1339,20 +1344,34 @@ object RelationalQueries {
     },
     Some(q10Sql))
 
+  // q11's sums are WHOLE-FACT money aggregates (cents × quantity reaches
+  // ~5e8 per row): at the documented 100 TB posture the corpus-wide
+  // scalar subquery crosses ~1e19 > Long.MaxValue, where Spark's
+  // non-ANSI BIGINT sum wraps SILENTLY while DuckDB widens to HUGEINT —
+  // the engines would diverge exactly when it matters. Accumulate in
+  // DECIMAL(38,0) on both sides (identical text): 38 digits of headroom,
+  // and an overflow is an error, never a wrap. The per-row product stays
+  // BIGINT (≤ ~5e8, exact); only the accumulator widens. Group-level
+  // value_c keeps its BIGINT output type — a single partkey's value at
+  // any plausible SF is orders of magnitude below the corpus-wide sum
+  // (the same documented bound as the other money-in-cents outputs).
   private val q11Sql =
     """SELECT l_partkey,
-      |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-      |                * CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+      |       CAST(sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                     * CAST(round(l_quantity, 0) AS BIGINT)
+      |                     AS DECIMAL(38,0))) AS BIGINT)
       |         AS value_c
       |FROM lineitem, supplier, nation
       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       |  AND n_name = 'NATION_5'
       |GROUP BY l_partkey
-      |HAVING CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-      |                * CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+      |HAVING sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                * CAST(round(l_quantity, 0) AS BIGINT)
+      |                AS DECIMAL(38,0)))
       |       > 0.001 * (
-      |         SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-      |                    * CAST(round(l_quantity, 0) AS BIGINT))
+      |         SELECT sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |                         * CAST(round(l_quantity, 0) AS BIGINT)
+      |                         AS DECIMAL(38,0)))
       |         FROM lineitem, supplier, nation
       |         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       |           AND n_name = 'NATION_5')

@@ -74,6 +74,39 @@ class FaultToleranceSpec extends SparkSpec {
     } finally spark.conf.unset(Lineage.confKey)
   }
 
+  test("checkpoint dir identity is the FULL qualified URI, not the bare path") {
+    val dirA = Files.createTempDirectory("graft-ckpt-ident").toString
+    try {
+      // activate dirA, then reconfigure to the SAME filesystem identity
+      // spelled with an explicit scheme: makeQualified resolves both to
+      // one URI, so the active dir must be kept (no fresh subdir minted)
+      spark.conf.set(Lineage.confKey, dirA)
+      Lineage.cut(spark.range(3).toDF()).count()
+      val active1 = spark.sparkContext.getCheckpointDir
+      spark.conf.set(Lineage.confKey, s"file:$dirA")
+      Lineage.cut(spark.range(3).toDF()).count()
+      assert(spark.sparkContext.getCheckpointDir === active1,
+        "same qualified identity must not re-mint the checkpoint dir")
+      // an identity that fails to qualify must RE-SET (and so fail
+      // loudly), never be silently treated as already-active — the
+      // stale-location hazard the qualified compare exists to prevent
+      spark.conf.set(Lineage.confKey, s"bogus-fs://cluster-b$dirA")
+      val e = intercept[Exception] {
+        Lineage.cut(spark.range(3).toDF()).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(m => m.toLowerCase.contains("bogus-fs") ||
+        m.toLowerCase.contains("no filesystem")),
+        s"expected a loud unsupported-filesystem failure, got: ${msgs(e).take(3)}")
+    } finally {
+      spark.conf.unset(Lineage.confKey)
+      // restore a sane context dir for later suites sharing this session
+      spark.sparkContext.setCheckpointDir(
+        Files.createTempDirectory("graft-ckpt-reset").toString)
+    }
+  }
+
   test("connectedComponents completes correctly under sustained block loss " +
        "when the checkpoint dir is durable") {
     // a 12-node chain needs several pointer-jumping rounds (each round a
