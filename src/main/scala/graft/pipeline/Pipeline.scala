@@ -28,6 +28,41 @@ case class Failed(error: Throwable) extends StageResult
 
 /** E1: bronze ingest job — decision query, fetch w/ retry, non-empty
   * gate, idempotent partitioned bronze write, ledger mark. */
+final class SensorTimeoutException(msg: String) extends RuntimeException(msg)
+
+/** S17's full sensor contract — the reference's S3KeySensor runs with
+  * poke_interval=60 s, timeout=600 s, mode="reschedule"
+  * (slv_industry_code_daily/industry_code_daily.py:36-44); the one-shot
+  * `available()` precondition covers the membership check but not the
+  * poll/timeout lifecycle. [[poll]] is that lifecycle: poke immediately,
+  * then every `pokeIntervalMs`, failing once the NEXT poke would land
+  * past `timeoutMs`. "Reschedule" mode (free the worker slot between
+  * pokes instead of blocking it) is modeled by the injected `sleep` — a
+  * scheduler parks the task there; tests inject a virtual clock and the
+  * default blocks the calling thread, which on a driver-side control
+  * loop is exactly Airflow's poke mode. */
+object Sensor {
+  /** Returns the number of pokes taken (≥1) on success; raises
+    * [[SensorTimeoutException]] when the condition never landed inside
+    * the timeout window. */
+  def poll(pokeIntervalMs: Long, timeoutMs: Long,
+           nanoTime: () => Long = () => System.nanoTime(),
+           sleep: Long => Unit = Thread.sleep)(poke: => Boolean): Int = {
+    require(pokeIntervalMs > 0 && timeoutMs >= 0)
+    val deadline = nanoTime() + timeoutMs * 1000000L
+    var pokes = 0
+    while (true) {
+      pokes += 1
+      if (poke) return pokes
+      if (nanoTime() + pokeIntervalMs * 1000000L > deadline)
+        throw new SensorTimeoutException(
+          s"sensor timed out after $pokes pokes (${timeoutMs} ms window)")
+      sleep(pokeIntervalMs)
+    }
+    0 // unreachable
+  }
+}
+
 final class IngestJob(
     spark: SparkSession,
     layout: Layout,
@@ -97,6 +132,17 @@ final class SilverIndustryCodeJob(
     val p = new org.apache.hadoop.fs.Path(s"$bronzePath/ymd=$ymd")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** S17 with the reference's FULL sensor semantics (poke interval +
+    * timeout + reschedule, industry_code_daily.py:36-44): poll
+    * [[available]] every `pokeIntervalMs` until it lands or `timeoutMs`
+    * elapses. Returns the poke count on success; raises
+    * [[SensorTimeoutException]] on timeout, which the caller maps to
+    * Skipped/Failed per C1 policy (the default 60 s / 600 s mirror the
+    * reference's poke_interval/timeout). */
+  def awaitAvailable(ymd: String, pokeIntervalMs: Long = 60000L,
+                     timeoutMs: Long = 600000L): Int =
+    Sensor.poll(pokeIntervalMs, timeoutMs)(available(ymd))
 
   def runFor(ymd: String): StageResult = {
     if (!available(ymd)) return Skipped(s"bronze krx_codes ymd=$ymd not landed")

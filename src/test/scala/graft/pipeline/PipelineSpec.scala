@@ -424,6 +424,43 @@ class JobsSpec extends SparkSpec {
     assert(spark.table("dim_industry_code").count() === 4)
   }
 
+  test("S17 sensor: poke interval + timeout + reschedule semantics") {
+    // virtual clock: `sleep` advances time, nothing blocks — the
+    // reschedule-mode analog (the waiting slot is the injected sleep)
+    var now = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def clock() = now
+    def vsleep(ms: Long): Unit = { sleeps += ms; now += ms * 1000000L }
+    // lands on the 3rd poke: 3 pokes, 2 interval sleeps
+    var calls = 0
+    val pokes = Sensor.poll(60000L, 600000L, clock _, vsleep) {
+      calls += 1; calls >= 3
+    }
+    assert(pokes === 3 && calls === 3)
+    assert(sleeps.toSeq === Seq(60000L, 60000L))
+    // never lands: pokes at t=0,60,...,600 s (11 pokes fit the window —
+    // the poke AT the deadline still runs), then timeout
+    now = 0L; sleeps.clear()
+    val e = intercept[SensorTimeoutException] {
+      Sensor.poll(60000L, 600000L, clock _, vsleep)(false)
+    }
+    assert(e.getMessage.contains("11 pokes"))
+    assert(sleeps.size === 10)
+    // integration: awaitAvailable succeeds first-poke on landed bronze,
+    // times out (raising, not silently skipping) on a missing date
+    val layout = freshLayout()
+    val ledger = new PartitionLedger(layout.root + "/ledger.tsv")
+    val ingest = new IngestJob(spark, layout,
+      new KrxCodesConnector(fixture("krx_codes")), ledger)
+    assert(ingest.runFor("2025-01-06") === Ran)
+    val silver = new SilverIndustryCodeJob(spark, layout,
+      new SchemaRegistry(layout.root + "/registry"))
+    assert(silver.awaitAvailable("2025-01-06") === 1)
+    intercept[SensorTimeoutException] {
+      silver.awaitAvailable("2025-01-07", pokeIntervalMs = 5, timeoutMs = 20)
+    }
+  }
+
   test("E2 K4 JDBC mode: DROP/CREATE preaction full refresh (Derby warehouse)") {
     val layout = freshLayout()
     val ledger = new PartitionLedger(layout.root + "/ledger.tsv")
