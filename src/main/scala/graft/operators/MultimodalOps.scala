@@ -134,6 +134,17 @@ object MultimodalOps {
     * ~half the bits. Pure scan-local expression: no UDF, no shuffle. */
   def dhash(payload: org.apache.spark.sql.Column,
             width: org.apache.spark.sql.Column,
+            height: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.DHash64(payload, width.cast("int"), height.cast("int"))
+
+  /** The pure-HOF formulation of [[dhash]] — kept as the semantics
+    * cross-check (spec-asserted bit-identical to the codegen'd
+    * [[graft.functions.DHash64]] kernel, the Int8RoundTrip pattern):
+    * every step is an auditable column expression, but the ~2500-node
+    * interpreted tree per row made it 36.8 s at sf0.1 where the kernel
+    * does one primitive pass. */
+  private[graft] def dhashHof(payload: org.apache.spark.sql.Column,
+            width: org.apache.spark.sql.Column,
             height: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val w = width.cast("int")
     val h = height.cast("int")

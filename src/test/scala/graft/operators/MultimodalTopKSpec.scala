@@ -133,6 +133,15 @@ class MultimodalOpsSpec extends SparkSpec {
         if (t.isEmpty) 32 else t.charAt(i % t.length).toInt)
       assert(dh === refDhash(px, 24, 16), s"doc $id")
     }
+    // the codegen'd kernel (DHash64) is bit-identical to the pure-HOF
+    // column-expression form on the same rows (the Int8RoundTrip pattern)
+    val mismatches = luma.select(
+        MultimodalOps.dhash($"media.payload", $"media.meta.width",
+          $"media.meta.height").as("k"),
+        MultimodalOps.dhashHof($"media.payload", $"media.meta.width",
+          $"media.meta.height").as("hof"))
+      .filter($"k" =!= $"hof").count()
+    assert(mismatches === 0L)
   }
 
   test("frame sampling: stride-2 keeps every other 256-byte block") {
