@@ -503,6 +503,29 @@ object DedupOps {
         b => slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("id"), col("pos").as("band"),
         concat_ws(",", col("col").cast("array<string>")).as("bucket"))
+    bucketedPairs(banded, skewThreshold, blocks)
+  }
+
+  /** Distinct unordered candidate pairs from any banded posting table
+    * with columns (id, band, bucket) — the shared pair-generation core
+    * behind MinHash LSH ([[lshCandidatePairs]]), 64-bit SimHash banding,
+    * and perceptual-hash banding (`MultimodalOps.hashBandPairs`).
+    *
+    * Shuffles on (band, bucket, block) — bucket sizes are the skew knob,
+    * handled by triangle blocking: each (band, bucket) is sized once;
+    * a bucket at or above `skewThreshold` members (one hot bucket of
+    * degenerate values — empty docs, black frames — would otherwise
+    * serialize its |bucket|² candidate scan into ONE task at 100 TB) has
+    * its rows split into `blocks` id-hash blocks, each row replicated
+    * onto the (block_lo, block_hi) triangle so every pair is generated at
+    * exactly one grid key — parallelism × B(B+1)/2 for the hot bucket, at
+    * B× replication of its rows only; small buckets keep block 0 and pay
+    * nothing. Same pairs, different task keys — exactness is unchanged
+    * (block-invariance is property-tested). Block assignment hashes the
+    * id (`xxhash64`) so any id type shards, and shards uniformly even
+    * when ids are clustered. */
+  def bucketedPairs(banded: DataFrame, skewThreshold: Int = 1024,
+                    blocks: Int = 8): DataFrame = {
     // size each (band, bucket) once; oversized buckets get `blocks`-way
     // id blocks, the rest collapse to a single block (nb = 1 → blk = 0).
     // Lazily checkpointed: the tagged postings feed BOTH self-join sides.
@@ -511,7 +534,7 @@ object DedupOps {
     val tagged = banded.join(sizes, Seq("band", "bucket"))
       .withColumn("nb",
         when(col("bsz") >= skewThreshold, lit(blocks)).otherwise(lit(1)))
-      .withColumn("blk", pmod(col("id"), col("nb")).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("id")), col("nb")).cast("int"))
       .cut(eager = false)
     val lhs = tagged.withColumn("bj",
       explode(sequence(col("blk"), col("nb") - 1)))
@@ -557,8 +580,51 @@ object DedupOps {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** 64-bit SimHash, produced as 4 × 16-bit band values (array<long>,
+    * band b = bits [16b, 16b+16) of the conceptual 64-bit hash) — the
+    * scale-grade replacement for the 32-bit form: 16-bit bands give 65 536
+    * buckets per band (the dHash layout), so the banded self-join's
+    * candidate volume is Σ bucket² over a 65k-way histogram instead of the
+    * 256-way one that made the 32-bit geometry ≥N²/16k-quadratic on ANY
+    * corpus. Band-array representation (not one packed i64) keeps every
+    * value positive on both engines — no sign games at bit 63 — and makes
+    * banding a plain `posexplode`.
+    *
+    * Bits 0..31 come from md5 hex digits 1-8 of the token (= `hash32`),
+    * bits 32..63 from digits 9-16 — ONE md5 per token row sliced twice,
+    * because the md5-prefix hash is the portable primitive both engines
+    * share. Same explode + 64 codegen'd conditional-sum partial
+    * aggregates shape as [[simhashes]]: one shuffle on the id. */
+  def simhashes64(docs: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val posting = docs.select(col(idCol).as("id"), explode(tokensCol).as("t"))
+      .select(col("id"), md5(col("t")).as("m"))
+      .select(col("id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+    val bitSums = (0 until 64).map { j =>
+      val (h, jj) = if (j < 32) (col("h1"), j) else (col("h2"), j - 32)
+      val pow = 1L << jj
+      sum(when(h % (pow * 2) >= pow, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    posting.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        array((0 until 4).map { b =>
+          (0 until 16).map(jj =>
+            when(col(s"b${16 * b + jj}") > 0, 1L << jj).otherwise(0L))
+            .reduce(_ + _)
+        }: _*).as("bands"))
+  }
+
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Hamming distance between two band-array simhashes ([[simhashes64]]
+    * layout): per-band xor popcounts, summed. */
+  def hammingBands(a: Column, b: Column, nBands: Int = 4): Column =
+    (0 until nBands).map(i =>
+      bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1))))
+      .reduce(_ + _)
 
   /** Connected components over an undirected pair graph — the cluster-
     * resolution step between near-dup pair generation and "keep one per

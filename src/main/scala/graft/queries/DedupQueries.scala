@@ -225,45 +225,52 @@ object DedupQueries {
     },
     headline = true)
 
-  /** Per-doc 32-bit SimHash + near-dup pairs at hamming ≤ 2. Pairing is
-    * done via a band join on the two simhash halves (any pair within
-    * hamming ≤ 2 of a 32-bit value shares at least one exact 16-bit half
-    * only if both diff bits fall in one half — so band on 4 bytes instead:
-    * here, with hamming ≤ 2 and 4 bands of 8 bits, ≥2 bands must match;
-    * we join on any single matching band which is a superset, then filter
-    * by true hamming — no pairs are missed). */
+  /** Per-doc 64-bit SimHash + near-dup pairs at hamming ≤ 3. Pairing is a
+    * band join on the hash's 4 × 16-bit bands: ≤ 3 differing bits can
+    * touch at most 3 bands, so every qualifying pair shares at least one
+    * intact band (pigeonhole) — the join is a superset, then the exact
+    * 64-bit hamming filters. The band join routes through
+    * [[DedupOps.bucketedPairs]]' triangle-block hot-bucket sharding, and
+    * 16-bit bands give 65 536 buckets per band — together these replace
+    * the r7 geometry (8-bit bands = 256 buckets = ≥N²/16k candidate pairs
+    * on ANY corpus) with Σ bucket² over a 65k-way histogram plus a skew
+    * guard, the same scale posture as the MinHash-LSH and dHash plans.
+    * The hamming join-back ships only the narrow (id, 4×i64 bands) table. */
   private val simhashQ = Q(
     "dedup_simhash",
     (s, dir) => {
       import s.implicits._
-      val sim = DedupOps.simhashes(docs(s, dir), "doc_id", TextOps.tokens($"text"))
-        .withColumnRenamed("id", "doc_id")
-      // band on 4 × 8-bit chunks: hamming ≤ 2 ⟹ ≥ 2 of 4 chunks equal ⟹
-      // at least one chunk equal — the join below cannot miss a pair.
-      val banded = sim.select($"doc_id", $"simhash",
-        posexplode(array((0 until 4).map(b =>
-          pmod(shiftright($"simhash", 8 * b), lit(256L))): _*)))
-        .select($"doc_id", $"simhash", $"pos".as("band"), $"col".as("chunk"))
-      banded.as("l").join(banded.as("r"),
-          $"l.band" === $"r.band" && $"l.chunk" === $"r.chunk" &&
-            $"l.doc_id" < $"r.doc_id")
-        .select($"l.doc_id".as("id_a"), $"r.doc_id".as("id_b"),
-          DedupOps.hamming($"l.simhash", $"r.simhash").as("hamming"))
-        .distinct()
-        .filter($"hamming" <= 2)
+      val sim = DedupOps.simhashes64(docs(s, dir), "doc_id", TextOps.tokens($"text"))
+      val banded = sim.select($"id", posexplode($"bands"))
+        .select($"id", $"pos".as("band"), $"col".as("bucket"))
+      DedupOps.bucketedPairs(banded)
+        .join(sim.select($"id".as("id_a"), $"bands".as("ba")), "id_a")
+        .join(sim.select($"id".as("id_b"), $"bands".as("bb")), "id_b")
+        .select($"id_a", $"id_b",
+          DedupOps.hammingBands($"ba", $"bb").cast("int").as("hamming"))
+        .filter($"hamming" <= 3)
         .orderBy($"id_a", $"id_b")
     },
     Some("""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
-           |h AS (SELECT doc_id, [('0x'||substr(md5(t),1,8))::BIGINT FOR t IN toks] hs FROM d),
+           |h AS (SELECT doc_id,
+           |        [('0x'||substr(md5(t),1,8))::BIGINT FOR t IN toks] hs1,
+           |        [('0x'||substr(md5(t),9,8))::BIGINT FOR t IN toks] hs2
+           |      FROM d),
+           |bits AS (SELECT doc_id, list_concat(
+           |        [list_sum([((h//(2**j)::BIGINT)%2)*2-1 FOR h IN hs1]) FOR j IN generate_series(0,31)],
+           |        [list_sum([((h//(2**j)::BIGINT)%2)*2-1 FOR h IN hs2]) FOR j IN generate_series(0,31)]) bs
+           |      FROM h),
            |sim AS (SELECT doc_id,
-           |          list_sum([CASE WHEN list_sum([((h//(2**j)::BIGINT)%2)*2-1 FOR h IN hs]) > 0
-           |                         THEN (2**j)::BIGINT ELSE 0 END
-           |                    FOR j IN generate_series(0,31)]) simhash
-           |        FROM h)
-           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+           |        [(list_sum([CASE WHEN bs[16*b+jj+1] > 0 THEN (2**jj)::BIGINT ELSE 0 END
+           |                    FOR jj IN generate_series(0,15)]))::BIGINT
+           |         FOR b IN generate_series(0,3)] bands
+           |      FROM bits)
+           |SELECT id_a, id_b, hamming FROM (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         (bit_count(xor(a.bands[1], b.bands[1])) + bit_count(xor(a.bands[2], b.bands[2]))
+           |        + bit_count(xor(a.bands[3], b.bands[3])) + bit_count(xor(a.bands[4], b.bands[4])))::INT AS hamming
+           |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+           |WHERE hamming <= 3
            |ORDER BY id_a, id_b""".stripMargin))
 
   /** C4-style line-level dedup: 10-token chunks (the corpus has no

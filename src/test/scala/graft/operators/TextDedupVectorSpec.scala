@@ -555,6 +555,59 @@ class DedupOpsSpec extends SparkSpec {
     assert(v(0) === v(1))
     assert(v(0) >= 0 && v(0) < (1L << 32))
   }
+
+  test("simhashes64: halves reproduce the 32-bit HOF witness exactly") {
+    // bits 0..31 of the 64-bit hash are BY CONSTRUCTION the 32-bit simhash
+    // over md5 digits 1-8 (= hash32), bits 32..63 the one over digits
+    // 9-16 — so packing bands (b0 + b1·2^16, b2 + b3·2^16) must bit-equal
+    // the spec'd interpreted witness on real corpus text
+    val docs = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .limit(50)
+    val fast = DedupOps.simhashes64(docs, "doc_id", TextOps.tokens($"text"))
+      .select($"id",
+        (element_at($"bands", 1) + element_at($"bands", 2) * 65536L).as("lo"),
+        (element_at($"bands", 3) + element_at($"bands", 4) * 65536L).as("hi"))
+    val witness = docs.select($"doc_id".as("id"),
+      DedupOps.simhash32FromHashes(
+        transform(TextOps.tokens($"text"), TextOps.hash32(_))).as("lo_w"),
+      DedupOps.simhash32FromHashes(
+        transform(TextOps.tokens($"text"),
+          t => conv(substring(md5(t), 9, 8), 16, 10).cast("long"))).as("hi_w"))
+    val joined = fast.join(witness, "id")
+      .select($"id", $"lo", $"lo_w", $"hi", $"hi_w").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"lo mismatch id=${r.getLong(0)}")
+      assert(r.getLong(3) === r.getLong(4), s"hi mismatch id=${r.getLong(0)}")
+    }
+  }
+
+  test("simhashes64: bands are 16-bit and identical bags collide") {
+    val sim = DedupOps.simhashes64(
+      Seq((1L, "x y z"), (2L, "x y z")).toDF("id", "t"),
+      "id", TextOps.tokens($"t"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sim(1L) === sim(2L))
+    assert(sim(1L).length === 4)
+    assert(sim(1L).forall(b => b >= 0 && b < 65536))
+  }
+
+  test("bucketedPairs: string ids shard (xxhash blocks), salt-invariant") {
+    // the generic kernel must handle non-numeric ids — block assignment
+    // hashes the id — and forcing every bucket through the grid must not
+    // change the pair set
+    val banded = Seq(
+      ("u1", 0, "a"), ("u2", 0, "a"), ("u3", 0, "a"), ("u4", 0, "a"),
+      ("u5", 0, "b"), ("u6", 0, "b"), ("u7", 1, "a"), ("u1", 1, "c"),
+      ("u2", 1, "c")).toDF("id", "band", "bucket")
+    val plain = DedupOps.bucketedPairs(banded, skewThreshold = Int.MaxValue)
+      .as[(String, String)].collect().toSet
+    val sharded = DedupOps.bucketedPairs(banded, skewThreshold = 1, blocks = 3)
+      .as[(String, String)].collect().toSet
+    assert(plain === sharded)
+    assert(plain === Set(("u1", "u2"), ("u1", "u3"), ("u1", "u4"),
+      ("u2", "u3"), ("u2", "u4"), ("u3", "u4"), ("u5", "u6")))
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
