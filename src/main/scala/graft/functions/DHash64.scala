@@ -26,10 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Codegen emits a static call, keeping the surrounding projection
   * inside whole-stage codegen.
   *
-  * Contract: payload length ≥ width×height (the luma frame); indexes
-  * past the payload read as 0, matching a truncated-frame decoder
-  * convention. width ≥ 9 and height ≥ 8 keep every cell non-empty.
-  * Null on any null input.
+  * Contract (ENFORCED): payload length ≥ width×height (the luma frame),
+  * width ≥ 9, height ≥ 8 (keeps every cell non-empty). Out-of-contract
+  * inputs return NULL — the HOF twin guards identically, so the two
+  * forms can never produce divergent non-null hashes. Null on any null
+  * input.
   */
 case class DHash64(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -45,13 +46,18 @@ case class DHash64(first: Expression, second: Expression, third: Expression)
 
   override def dataType: DataType = StringType
 
+  // out-of-contract (short payload / tiny frame) inputs yield null even
+  // when every child is non-null
+  override def nullable: Boolean = true
+
   override def nullSafeEval(p: Any, w: Any, h: Any): Any =
     DHash64.compute(p.asInstanceOf[Array[Byte]],
       w.asInstanceOf[Int], h.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (p, w, h) =>
-      s"${ev.value} = graft.functions.DHash64.compute($p, $w, $h);")
+      s"""${ev.value} = graft.functions.DHash64.compute($p, $w, $h);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
@@ -63,8 +69,10 @@ object DHash64 {
   private val digits = "0123456789abcdef"
 
   /** The kernel (also called from generated code via the companion's
-    * static forwarder). One pass over the grid rectangles; all-integer. */
+    * static forwarder). One pass over the grid rectangles; all-integer.
+    * Returns null outside the contract domain. */
   def compute(b: Array[Byte], w: Int, h: Int): UTF8String = {
+    if (w < 9 || h < 8 || b.length < w.toLong * h) return null
     val sums = new Array[Long](72) // 8 rows × 9 cols, index r*9+c
     val cnts = new Array[Long](72)
     var r = 0
@@ -81,8 +89,7 @@ object DHash64 {
           val base = rr * w
           var cc = c0
           while (cc < c1) {
-            val idx = base + cc
-            if (idx < b.length) s += (b(idx) & 0xff)
+            s += (b(base + cc) & 0xff) // in bounds: contract guarantees len >= w*h
             cc += 1
           }
           rr += 1

@@ -124,9 +124,11 @@ object MultimodalOps {
     *
     * All arithmetic is INTEGER (block means compared by cross-
     * multiplying sums with cell pixel counts), so the DuckDB twin
-    * replays it exactly — no float tie hazards. Requires width ≥ 9 and
-    * height ≥ 8 (a real decoder's downscale handles smaller frames;
-    * this expression form keeps cells non-empty instead).
+    * replays it exactly — no float tie hazards. Contract: width ≥ 9,
+    * height ≥ 8 (keeps every cell non-empty) and payload length ≥
+    * width×height; out-of-contract inputs hash to NULL in both the
+    * kernel and the HOF twin (a real decoder's downscale handles
+    * smaller frames upstream).
     *
     * Near-dup behavior (spec-asserted): a few-pixel perturbation leaves
     * most block means — and so most gradient bits — intact, landing
@@ -148,6 +150,15 @@ object MultimodalOps {
             height: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val w = width.cast("int")
     val h = height.cast("int")
+    // same contract guard as the kernel: out-of-domain inputs are NULL in
+    // BOTH forms (otherwise a short payload zero-fills here but not there
+    // and the twins diverge)
+    when(w >= 9 && h >= 8 && length(payload) >= w * h, dhashHofBody(payload, w, h))
+  }
+
+  private def dhashHofBody(payload: org.apache.spark.sql.Column,
+            w: org.apache.spark.sql.Column,
+            h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     // one hex() of the payload, let-bound; byte i is then a 2-char slice
     bind(hex(payload)) { hx =>
       def byteAt(pos: org.apache.spark.sql.Column) = // pos 0-based
@@ -212,32 +223,42 @@ object MultimodalOps {
       phash(col(payloadCol)).as("h")), maxHamming)
 
   /** [[phashCandidatePairs]] with the REAL perceptual hash ([[dhash]])
-    * over raw-luma payloads — width/height come from the media meta
-    * struct. Identical banding/verify plumbing; only the hash differs. */
+    * over raw-luma payloads. Identical banding/verify plumbing; only the
+    * hash differs. `widthCol`/`heightCol` default to the asMedia-shaped
+    * meta paths and travel with `payloadCol` — a caller with a different
+    * layout overrides all three together. */
   def dhashCandidatePairs(media: DataFrame, idCol: String,
                           maxHamming: Int,
-                          payloadCol: String = "media.payload"): DataFrame =
+                          payloadCol: String = "media.payload",
+                          widthCol: String = "media.meta.width",
+                          heightCol: String = "media.meta.height"): DataFrame =
     hashBandPairs(media.select(col(idCol).as("id"),
-      dhash(col(payloadCol), col("media.meta.width"),
-        col("media.meta.height")).as("h")), maxHamming)
+      dhash(col(payloadCol), col(widthCol), col(heightCol)).as("h")),
+      maxHamming)
 
   /** Banding + hamming-verify core over any 64-bit hash rendered as a
-    * 16-char hex string. `hashed` must have columns (id, h). */
-  def hashBandPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
-    val bands = hashed.select(col("id"), col("h"),
+    * 16-char hex string. `hashed` must have columns (id, h).
+    *
+    * Pairing routes through [[DedupOps.bucketedPairs]], so hot buckets
+    * triangle-shard: image corpora make degenerate bands pathologically
+    * (solid/black frames, shared intro frames — thousands of members in
+    * ONE (band_idx, band) bucket), and without sharding that bucket's
+    * |bucket|² candidate scan serializes into a single task at 100 TB.
+    * The (id, hash) table is lazily cut first so the hash computes once —
+    * it feeds the banding AND both hamming join-back sides. */
+  def hashBandPairs(hashed: DataFrame, maxHamming: Int,
+                    skewThreshold: Int = 1024, blocks: Int = 8): DataFrame = {
+    import graft.core.Lineage.LineageOps
+    val hs = hashed.cut(eager = false)
+    val bands = hs.select(col("id"),
         posexplode(array((0 to 3).map(i =>
           substring(col("h"), 1 + 4 * i, 4)): _*)))
-      .select(col("id"), col("h"), col("pos").as("band_idx"),
-        col("col").as("band"))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     def half(c: org.apache.spark.sql.Column, off: Int) =
       conv(substring(c, off, 8), 16, 10).cast("long")
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.h").as("ha"), col("b.h").as("hb"))
-      .distinct()
-    cand
+    DedupOps.bucketedPairs(bands, skewThreshold, blocks)
+      .join(hs.select(col("id").as("id_a"), col("h").as("ha")), "id_a")
+      .join(hs.select(col("id").as("id_b"), col("h").as("hb")), "id_b")
       .withColumn("hamming",
         (bit_count(half(col("ha"), 1).bitwiseXOR(half(col("hb"), 1))) +
           bit_count(half(col("ha"), 9).bitwiseXOR(half(col("hb"), 9))))

@@ -144,6 +144,50 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("dhash contract: short payload / tiny frame hash to NULL in both forms") {
+    val w = 24; val h = 16
+    val full = Array.tabulate(h * w)(i => (i * 37) % 251).map(_.toByte)
+    val rows = Seq(
+      (1L, full, w, h),                  // in contract
+      (2L, full.take(100), w, h),        // payload < w*h
+      (3L, full, 8, h),                  // width < 9
+      (4L, full, w, 7))                  // height < 8
+    val df = rows.toDF("id", "payload", "w", "h").select($"id",
+      MultimodalOps.dhash($"payload", $"w", $"h").as("k"),
+      MultimodalOps.dhashHof($"payload", $"w", $"h").as("hof"))
+    val got = df.collect().map(r =>
+      r.getLong(0) -> ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(got(1L)._1.isDefined && got(1L)._1 === got(1L)._2)
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(got(id)._1.isEmpty, s"kernel must NULL id=$id")
+      assert(got(id)._2.isEmpty, s"HOF twin must NULL id=$id")
+    }
+  }
+
+  test("hashBandPairs: degenerate hot bucket shards without changing pairs") {
+    // an image-corpus pathology: many identical solid-color frames — every
+    // one lands in the SAME (band, bucket) for all 4 bands. Forcing the
+    // triangle grid over that hot bucket must yield exactly the all-pairs
+    // set the unsharded join finds (block-invariance on the worst case).
+    val w = 24; val h = 16
+    val black = Array.fill(h * w)(0.toByte)
+    val n = 20
+    val media = (1L to n.toLong).map(id => (id, black)).toDF("doc_id", "payload")
+      .select($"doc_id", MultimodalOps.asMedia($"payload",
+        lit("image/x-raw-luma"), lit(w), lit(h), lit(0L), lit("raw")).as("media"))
+    val hashed = media.select($"doc_id".as("id"),
+      MultimodalOps.dhash($"media.payload", $"media.meta.width",
+        $"media.meta.height").as("h"))
+    val unsharded = MultimodalOps.hashBandPairs(hashed, 3,
+      skewThreshold = Int.MaxValue).as[(Long, Long, Int)].collect().toSet
+    val sharded = MultimodalOps.hashBandPairs(hashed, 3,
+      skewThreshold = 2, blocks = 4).as[(Long, Long, Int)].collect().toSet
+    assert(unsharded === sharded)
+    // all 20 frames are identical → every pair, hamming 0
+    assert(sharded.size === n * (n - 1) / 2)
+    assert(sharded.forall { case (a, b, d) => a < b && d === 0 })
+  }
+
   test("frame sampling: stride-2 keeps every other 256-byte block") {
     val df = Seq(("x" * 1000)).toDF("t")
       .select(MultimodalOps.sampleFrames(to_binary($"t", lit("utf-8")), 2).as("frames"))
