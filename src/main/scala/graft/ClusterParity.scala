@@ -1,0 +1,79 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Distributed-correctness leg: runs a set of registry queries on a REAL
+  * multi-executor master (`local-cluster[2,2,2048]` — 2 separate executor
+  * JVMs, 2 cores each) and asserts bit-equality against the same queries
+  * on in-process `local[*]`. One JVM (`local[32]`, where everything else
+  * runs) never exercises Aggregator buffer serialization across the wire,
+  * broadcast transport, or codegen classloading in an isolated executor —
+  * this main is the cheapest real-cluster datum the sandbox allows.
+  *
+  * The default query list pins every custom-serialization surface:
+  * TopK/CMS/Bloom `Aggregator`s (kryo/java buffer round-trips), the
+  * codegen'd kernels (DHash64, Int8RoundTrip via sim_quantized_topk,
+  * the 64-bit simhash + bucketedPairs grid), pointer-jumping CC with
+  * lineage cuts (localCheckpoint on real executors), and a windowed
+  * streaming-family batch twin.
+  *
+  * Equality is over the canonicalized result: sorted `toJSON` lines,
+  * md5-folded — textual JSON makes double bit-inequality visible.
+  * Prints one table line per query and exits nonzero on any mismatch.
+  * Usage: `sbt "runMain graft.ClusterParity [query...]"`
+  * (SPARK_GRAFT_SF_DIR selects the data, default sf0.01). */
+object ClusterParity {
+  val defaultQueries: Seq[String] = Seq(
+    "sim_topk_aggregator",    // custom TopK Aggregator
+    "stats_heavy_hitters",    // CMS Aggregator
+    "dedup_bloom_delta",      // Bloom Aggregator
+    "multimodal_phash_neardup", // DHash64 codegen kernel + band sharding
+    "sim_quantized_topk",     // Int8RoundTrip kernel
+    "dedup_simhash",          // 64-bit simhash + bucketedPairs grid
+    "dedup_cluster_sizes",    // connected components + lineage cuts
+    "events_tumbling_hourly") // streaming-family windowed agg (batch twin)
+
+  private def fingerprint(spark: SparkSession, sfDir: String,
+                          name: String): (Long, String) = {
+    val rows = SparkEntry.queries(name)(spark, sfDir).toJSON.collect().sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach(r => md.update(r.getBytes("UTF-8")))
+    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  private def runLeg(master: String, names: Seq[String], sfDir: String,
+                     extra: Map[String, String]): Map[String, (Long, String)] = {
+    val b = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try names.map(n => n -> fingerprint(spark, sfDir, n)).toMap
+    finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else defaultQueries
+    // executors are forked JVMs: they need the application classes (this
+    // repo's target dirs) and the Spark jars on their own classpath
+    val cp = sys.props("java.class.path")
+    val cluster = runLeg("local-cluster[2,2,2048]", names, sfDir, Map(
+      "spark.executor.extraClassPath" -> cp,
+      "spark.driver.extraClassPath" -> cp))
+    val local = runLeg("local[8]", names, sfDir, Map.empty)
+    var bad = 0
+    println(f"${"query"}%-28s ${"rows"}%6s  ${"local[8]"}%-32s ${"local-cluster[2,2]"}%-32s verdict")
+    names.foreach { n =>
+      val (lr, lh) = local(n)
+      val (cr, ch) = cluster(n)
+      val ok = lr == cr && lh == ch
+      if (!ok) bad += 1
+      println(f"$n%-28s $lr%6d  $lh%-32s $ch%-32s ${if (ok) "IDENTICAL" else "MISMATCH"}")
+    }
+    if (bad > 0) { System.err.println(s"$bad parity mismatches"); sys.exit(1) }
+  }
+}
