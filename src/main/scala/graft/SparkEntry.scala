@@ -35,9 +35,29 @@ object SparkEntry {
   /** Data-dependent oracle twins (see [[graft.queries.Q.oracleFor]]):
     * SQL that embeds values derived from the data dir — e.g. the seeded
     * PQ codebooks as literal tables. Verify merges these into its
-    * oracle_sql.json dump so the driver compares them like any other. */
+    * oracle_sql.json dump so the driver compares them like any other.
+    *
+    * A builder that throws (bad embeddings dir, failed codebook fit) must
+    * NOT silently drop its query from the compare — that would degrade
+    * verification coverage with no artifact-visible signal. Instead the
+    * failure becomes a sentinel oracle: a SELECT whose single
+    * `dynamic_oracle_error` column can never match the real result, so
+    * the driver's correctness artifact records a loud FAIL naming the
+    * query, with the builder's exception in the row itself. */
   def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] =
-    registry.flatMap(q => q.oracleFor.map(f => q.name -> f(spark, dir))).toMap
+    dynamicOracleSqlFor(registry, spark, dir)
+
+  private[graft] def dynamicOracleSqlFor(qs: Seq[Q], spark: SparkSession,
+                                         dir: String): Map[String, String] =
+    qs.flatMap(q => q.oracleFor.map { f =>
+      q.name -> (try f(spark, dir) catch {
+        case e: Throwable =>
+          val msg = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").linesIterator.mkString(" "))
+            .take(300).replace("'", "''")
+          s"SELECT 'dynamic oracle builder failed — $msg' AS dynamic_oracle_error"
+      })
+    }).toMap
 
   /** Headline queries timed by Bench. */
   def headline: Seq[Q] = registry.filter(_.headline)

@@ -41,13 +41,11 @@ object Verify {
     } + "\""
     // static twins plus the data-dependent ones (PQ codebook literals
     // etc.) evaluated against THIS sf dir — merged so the driver's DuckDB
-    // compare treats them identically
-    val dynamic =
-      try SparkEntry.dynamicOracleSql(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
-        Map.empty[String, String]
-      }
+    // compare treats them identically. Per-builder failures surface as
+    // sentinel oracles (guaranteed FAIL rows in the correctness artifact,
+    // never a silent coverage drop); anything thrown past that is a bug
+    // in the merge itself and must crash Verify, not be swallowed.
+    val dynamic = SparkEntry.dynamicOracleSql(spark, sfDir)
     val json = (SparkEntry.oracleSql ++ dynamic)
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -236,6 +236,19 @@ object MultimodalOps {
       dhash(col(payloadCol), col(widthCol), col(heightCol)).as("h")),
       maxHamming)
 
+  /** The md5 EXACT-duplicate media key groups (the pre-decode gate real
+    * pipelines run before any perceptual work): byte-identical payloads
+    * group on [[phash]] (an md5 prefix — exact-equality key, nothing
+    * perceptual); groups of n > 1 survive with their min-id
+    * representative as `keep_id`. One hash-aggregate shuffle on the
+    * 16-char key — payloads never shuffle. */
+  def exactKeyGroups(media: DataFrame, idCol: String,
+                     payloadCol: String = "media.payload"): DataFrame =
+    media.select(col(idCol).as("gid"), phash(col(payloadCol)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), min(col("gid")).as("keep_id"))
+      .filter(col("n") > 1)
+
   /** Banding + hamming-verify core over any 64-bit hash rendered as a
     * 16-char hex string. `hashed` must have columns (id, h).
     *

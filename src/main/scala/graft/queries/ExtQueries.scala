@@ -169,11 +169,7 @@ object ExtQueries {
     (s, dir) => {
       import s.implicits._
       val media = MultimodalOps.fakeMediaFromDocuments(Tables(s, dir).documents)
-      media.select($"doc_id", MultimodalOps.phash($"media.payload").as("k"))
-        .groupBy($"k")
-        .agg(count(lit(1)).as("n"), min($"doc_id").as("keep_id"))
-        .filter($"n" > 1)
-        .orderBy($"k")
+      MultimodalOps.exactKeyGroups(media, "doc_id").orderBy($"k")
     },
     Some("""SELECT k, n, keep_id FROM (
            |  SELECT substr(md5(text), 1, 16) k, count(*) n, min(doc_id) keep_id

@@ -125,7 +125,8 @@ final class BokStatConnector(fixtureDir: String) extends Connector {
   * the real ECOS API — connector code identical. */
 final class HttpBokStatConnector(baseUrl: String, statCode: String,
                                  intervalCode: String, batchSize: Int = 100,
-                                 retries: Int = 3, retryDelayMs: Long = 0)
+                                 retries: Int = 3, retryDelayMs: Long = 0,
+                                 includeFinalPartialPage: Boolean = false)
     extends Connector {
   val name = "economic_indicators_http"
 
@@ -149,11 +150,19 @@ final class HttpBokStatConnector(baseUrl: String, statCode: String,
       .getOrElse(throw new IllegalStateException(
         s"$name: no list_total_count in response"))
 
+  /** Pagination stop is the reference's `offset < total` by default —
+    * deliberate parity, but when `list_total_count ≡ 1 (mod batchSize)`
+    * that guard skips the final partial page: silent data loss in a
+    * production-shaped connector. Deployments opt into the corrected
+    * `<=` guard via `includeFinalPartialPage = true`; on the parity
+    * default the skip is at least LOGGED, never silent. */
   def fetchRaw(logicalDate: String): Seq[String] = {
     val pages = Seq.newBuilder[String]
     var offset = 1
     var total: Option[Int] = None
-    while (total.isEmpty || offset < total.get) {
+    def more(t: Int): Boolean =
+      if (includeFinalPartialPage) offset <= t else offset < t
+    while (total.isEmpty || more(total.get)) {
       val body = Retry.withRetries(retries, retryDelayMs)(get(
         s"$baseUrl/$offset/${offset + batchSize - 1}/$statCode/" +
           s"$intervalCode/$logicalDate/$logicalDate"))
@@ -161,6 +170,11 @@ final class HttpBokStatConnector(baseUrl: String, statCode: String,
       pages += body
       offset += batchSize
       total = Some(listTotalCount(body))
+    }
+    if (!includeFinalPartialPage && total.exists(t => offset == t)) {
+      System.err.println(s"[$name] reference-parity stop (offset < total) " +
+        s"skipped the final row at offset ${total.get} of ${total.get} — " +
+        "pass includeFinalPartialPage=true for the corrected <= guard")
     }
     pages.result()
   }

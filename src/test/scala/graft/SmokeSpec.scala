@@ -36,4 +36,20 @@ class SmokeSpec extends SparkSpec {
       s"duplicate query names: ${names.diff(names.distinct)}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("a throwing dynamic-oracle builder yields a loud sentinel, not a silent drop") {
+    val boom = graft.queries.Q("fake_dyn", (_, _) => spark.emptyDataFrame,
+      None, oracleFor = Some((_, _) =>
+        throw new IllegalStateException("codebook fit failed\nsecond line")))
+    val ok = graft.queries.Q("fake_ok", (_, _) => spark.emptyDataFrame,
+      None, oracleFor = Some((_, _) => "SELECT 1 AS one"))
+    val out = SparkEntry.dynamicOracleSqlFor(Seq(boom, ok), spark, "/nope")
+    assert(out("fake_ok") === "SELECT 1 AS one")
+    // the sentinel is valid SQL naming the failure — it runs in DuckDB and
+    // can never hash-match the real result, so the driver records a FAIL
+    assert(out("fake_dyn").startsWith("SELECT 'dynamic oracle builder failed"))
+    assert(out("fake_dyn").contains("IllegalStateException"))
+    assert(out("fake_dyn").contains("codebook fit failed second line"))
+    assert(!out("fake_dyn").contains("\n"))
+  }
 }

@@ -188,6 +188,25 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(sharded.forall { case (a, b, d) => a < b && d === 0 })
   }
 
+  test("exactKeyGroups: byte-identical payloads group, min id kept, " +
+       "uniques drop") {
+    // the sf fixtures have no byte-identical texts, so the registry query
+    // passes vacuously (0 rows both engines) — this constructed corpus is
+    // where the n>1 grouping and min-doc_id keeper are actually asserted
+    val dup = "same bytes".getBytes("UTF-8")
+    val dup2 = "other dup".getBytes("UTF-8")
+    val media = Seq(
+      (7L, dup), (3L, dup), (9L, dup),          // triple → keep 3
+      (5L, dup2), (4L, dup2),                   // pair → keep 4
+      (6L, "unique".getBytes("UTF-8"))          // singleton → dropped
+    ).toDF("doc_id", "payload").select($"doc_id",
+      MultimodalOps.asMedia($"payload", lit("application/octet-stream"),
+        lit(0), lit(0), lit(0L), lit("raw")).as("media"))
+    val got = MultimodalOps.exactKeyGroups(media, "doc_id")
+      .select($"n", $"keep_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 3L), (2L, 4L)))
+  }
+
   test("frame sampling: stride-2 keeps every other 256-byte block") {
     val df = Seq(("x" * 1000)).toDF("t")
       .select(MultimodalOps.sampleFrames(to_binary($"t", lit("utf-8")), 2).as("frames"))

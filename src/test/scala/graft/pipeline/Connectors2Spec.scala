@@ -134,6 +134,13 @@ class Connectors2Spec extends SparkSpec {
       val raw5 = c5.fetchRaw("2025-01-06")
       assert(raw5.length === 1)
       assert(c5.toBronze(spark, raw5).count() === 5)
+      // ...and the conscious opt-OUT of that parity: the corrected `<=`
+      // guard fetches the final partial page, recovering row 6
+      val c5fix = new HttpBokStatConnector(base, "902Y006", "M", batchSize = 5,
+        includeFinalPartialPage = true)
+      val raw5fix = c5fix.fetchRaw("2025-01-06")
+      assert(raw5fix.length === 2)
+      assert(c5fix.toBronze(spark, raw5fix).count() === 6)
       // RESULT envelope from the live API raises mid-loop
       val eEmpty = intercept[IllegalStateException] {
         new HttpBokStatConnector(base, "EMPTY", "M", 2).fetchRaw("2025-01-06")
