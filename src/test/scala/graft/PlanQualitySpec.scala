@@ -538,6 +538,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(plain === salted)
   }
 
+  test("chooseJoinPlan: measured skew selects salted, uniform keeps plain, " +
+       "results identical") {
+    // skewed fixture: one hot key holds 5000 rows, 200 cold keys ~10 each
+    // → skewRatio max/p50 = 500; uniform fixture: every key 10 rows → 1.0
+    val hot = (1 to 5000).map(i => (0L, i))
+    val cold = for (k <- 1 to 200; i <- 1 to 10) yield (k.toLong, i)
+    val skewed = (hot ++ cold).toDF("k", "v")
+    val uniform = cold.toDF("k", "v")
+    val dim = (0 to 200).map(k => (k.toLong, s"d$k")).toDF("k", "name")
+
+    val pSkew = SkewOps.profileKey(skewed, "k")
+    assert(pSkew.skewRatio >= 100.0, s"fixture skew ratio ${pSkew.skewRatio}")
+    val pUni = SkewOps.profileKey(uniform, "k")
+    assert(pUni.skewRatio <= 2.0, s"uniform ratio ${pUni.skewRatio}")
+
+    val (chosenSkew, planSkew) = SkewOps.chooseJoinPlan(skewed, dim, "k", pSkew)
+    val (chosenUni, planUni) = SkewOps.chooseJoinPlan(uniform, dim, "k", pUni)
+    assert(chosenSkew === "salted")
+    assert(chosenUni === "plain")
+    // both chosen plans reproduce the plain join exactly
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"v", $"name").as[(Long, Int, String)].collect()
+        .sorted.toSeq
+    assert(canon(planSkew) === canon(skewed.join(dim, Seq("k"))))
+    assert(canon(planUni) === canon(uniform.join(dim, Seq("k"))))
+  }
+
   test("sparse retrieval: query side broadcasts, top-k is a bounded heap, no pair scan") {
     val q = SparkEntry.queries("sim_sparse_tfidf_topk")(spark, TestSpark.sfDir)
     val plan = physicalPlan(q)
