@@ -30,11 +30,41 @@ object ClusterParity {
     "sim_quantized_topk",     // Int8RoundTrip kernel
     "dedup_simhash",          // 64-bit simhash + bucketedPairs grid
     "dedup_cluster_sizes",    // connected components + lineage cuts
-    "events_tumbling_hourly") // streaming-family windowed agg (batch twin)
+    "events_tumbling_hourly", // streaming-family windowed agg (batch twin)
+    "streaming_funnel_fsm")   // REAL flatMapGroupsWithState run (below)
+
+  /** The one non-registry entry: an actual Structured Streaming run of
+    * the funnel FSM (`StreamingOps.funnelProgress`) — custom case-class
+    * state (`FunnelState`) and output encoders must round-trip through
+    * the state store and executor boundary, which no batch query
+    * exercises. File source over a staged events dir, AvailableNow,
+    * memory sink. */
+  private def streamingFunnel(spark: SparkSession, sfDir: String): Array[String] = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft-cp-funnel")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(stage.toString).schema
+    val streamed = graft.core.Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(stage.toString))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[graft.streaming.StreamingOps.Event]
+    val qn = s"cp_funnel_${System.nanoTime()}"
+    val q = graft.streaming.StreamingOps
+      .funnelProgress(streamed, Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).toJSON.collect()
+  }
 
   private def fingerprint(spark: SparkSession, sfDir: String,
                           name: String): (Long, String) = {
-    val rows = SparkEntry.queries(name)(spark, sfDir).toJSON.collect().sorted
+    val rows = (if (name == "streaming_funnel_fsm") streamingFunnel(spark, sfDir)
+      else SparkEntry.queries(name)(spark, sfDir).toJSON.collect()).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.foreach(r => md.update(r.getBytes("UTF-8")))
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)

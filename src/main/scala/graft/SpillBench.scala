@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Memory-pressure evidence: runs the heaviest registry queries under a
@@ -49,6 +49,17 @@ object SpillBench {
           tasks += 1
         }
       }
+      // GRAFT_STAGE_DETAIL=1: one line per spilling stage, with the stage
+      // name — locates WHICH operator pays the spill
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        if (sys.env.contains("GRAFT_STAGE_DETAIL")) {
+          val m = s.stageInfo.taskMetrics
+          if (m != null && (m.memoryBytesSpilled > 0 || m.diskBytesSpilled > 0))
+            System.err.println(f"[stage ${s.stageInfo.stageId}%4d] " +
+              f"spill mem=${m.memoryBytesSpilled / 1048576.0}%9.1f MB " +
+              f"disk=${m.diskBytesSpilled / 1048576.0}%7.1f MB  " +
+              s.stageInfo.name.linesIterator.next().take(120))
+        }
     }
     spark.sparkContext.addSparkListener(listener)
     val mb = 1024.0 * 1024.0

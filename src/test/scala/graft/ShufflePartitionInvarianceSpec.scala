@@ -34,7 +34,8 @@ class ShufflePartitionInvarianceSpec extends SparkSpec {
     "mix_epoch_shuffle",
     "agg_skew_salted",
     "join_skew_salted",
-    "stats_heavy_hitters")
+    "stats_heavy_hitters",
+    "dedup_simhash") // r8: rebuilt 64-bit form, sharded band join
 
   test("results are bit-identical at shuffle.partitions = 8 / 32 / 200") {
     val key = "spark.sql.shuffle.partitions"
