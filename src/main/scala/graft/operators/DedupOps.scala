@@ -523,9 +523,15 @@ object DedupOps {
     * nothing. Same pairs, different task keys — exactness is unchanged
     * (block-invariance is property-tested). Block assignment hashes the
     * id (`xxhash64`) so any id type shards, and shards uniformly even
-    * when ids are clustered. */
+    * when ids are clustered.
+    *
+    * `carry` names extra columns of `banded` (each a function of the id —
+    * a hash, a signature) to ship through the pair join as `<c>_a`/`<c>_b`,
+    * oriented with id_a/id_b. Carrying a narrow hash beats joining the
+    * (id → hash) table back onto the pairs twice: the verify predicate
+    * runs inside this plan and two join shuffles disappear. */
   def bucketedPairs(banded: DataFrame, skewThreshold: Int = 1024,
-                    blocks: Int = 8): DataFrame = {
+                    blocks: Int = 8, carry: Seq[String] = Nil): DataFrame = {
     // size each (band, bucket) once; oversized buckets get `blocks`-way
     // id blocks, the rest collapse to a single block (nb = 1 → blk = 0).
     // Lazily checkpointed: the tagged postings feed BOTH self-join sides.
@@ -540,12 +546,19 @@ object DedupOps {
       explode(sequence(col("blk"), col("nb") - 1)))
     val rhs = tagged.withColumn("bi",
       explode(sequence(lit(0), col("blk"))))
+    // cross-block pairs arrive in grid order, not id order — orient every
+    // output (ids AND carried columns) by the id comparison
+    val flip = col("l.id") > col("r.id")
     lhs.as("l").join(rhs.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.blk") === col("r.bi") && col("l.bj") === col("r.blk") &&
           (col("l.blk") =!= col("r.blk") || col("l.id") < col("r.id")))
-      .select(least(col("l.id"), col("r.id")).as("id_a"),
-        greatest(col("l.id"), col("r.id")).as("id_b"))
+      .select((Seq(
+        when(flip, col("r.id")).otherwise(col("l.id")).as("id_a"),
+        when(flip, col("l.id")).otherwise(col("r.id")).as("id_b")) ++
+        carry.flatMap(c => Seq(
+          when(flip, col(s"r.$c")).otherwise(col(s"l.$c")).as(s"${c}_a"),
+          when(flip, col(s"l.$c")).otherwise(col(s"r.$c")).as(s"${c}_b")))): _*)
       .distinct()
   }
 

@@ -257,24 +257,21 @@ object MultimodalOps {
     * (solid/black frames, shared intro frames — thousands of members in
     * ONE (band_idx, band) bucket), and without sharding that bucket's
     * |bucket|² candidate scan serializes into a single task at 100 TB.
-    * The (id, hash) table is lazily cut first so the hash computes once —
-    * it feeds the banding AND both hamming join-back sides. */
+    * The 16-char hash rides the band postings (`carry`), so the hamming
+    * verify runs inside the pair plan — no (id → hash) join-backs, and
+    * payloads never shuffle: only (id, hash) band rows do. */
   def hashBandPairs(hashed: DataFrame, maxHamming: Int,
                     skewThreshold: Int = 1024, blocks: Int = 8): DataFrame = {
-    import graft.core.Lineage.LineageOps
-    val hs = hashed.cut(eager = false)
-    val bands = hs.select(col("id"),
+    val bands = hashed.select(col("id"), col("h"),
         posexplode(array((0 to 3).map(i =>
           substring(col("h"), 1 + 4 * i, 4)): _*)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+      .select(col("id"), col("h"), col("pos").as("band"), col("col").as("bucket"))
     def half(c: org.apache.spark.sql.Column, off: Int) =
       conv(substring(c, off, 8), 16, 10).cast("long")
-    DedupOps.bucketedPairs(bands, skewThreshold, blocks)
-      .join(hs.select(col("id").as("id_a"), col("h").as("ha")), "id_a")
-      .join(hs.select(col("id").as("id_b"), col("h").as("hb")), "id_b")
+    DedupOps.bucketedPairs(bands, skewThreshold, blocks, carry = Seq("h"))
       .withColumn("hamming",
-        (bit_count(half(col("ha"), 1).bitwiseXOR(half(col("hb"), 1))) +
-          bit_count(half(col("ha"), 9).bitwiseXOR(half(col("hb"), 9))))
+        (bit_count(half(col("h_a"), 1).bitwiseXOR(half(col("h_b"), 1))) +
+          bit_count(half(col("h_a"), 9).bitwiseXOR(half(col("h_b"), 9))))
           .cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -241,13 +241,11 @@ object DedupQueries {
     (s, dir) => {
       import s.implicits._
       val sim = DedupOps.simhashes64(docs(s, dir), "doc_id", TextOps.tokens($"text"))
-      val banded = sim.select($"id", posexplode($"bands"))
-        .select($"id", $"pos".as("band"), $"col".as("bucket"))
-      DedupOps.bucketedPairs(banded)
-        .join(sim.select($"id".as("id_a"), $"bands".as("ba")), "id_a")
-        .join(sim.select($"id".as("id_b"), $"bands".as("bb")), "id_b")
+      val banded = sim.select($"id", $"bands", posexplode($"bands"))
+        .select($"id", $"bands", $"pos".as("band"), $"col".as("bucket"))
+      DedupOps.bucketedPairs(banded, carry = Seq("bands"))
         .select($"id_a", $"id_b",
-          DedupOps.hammingBands($"ba", $"bb").cast("int").as("hamming"))
+          DedupOps.hammingBands($"bands_a", $"bands_b").cast("int").as("hamming"))
         .filter($"hamming" <= 3)
         .orderBy($"id_a", $"id_b")
     },

@@ -98,7 +98,7 @@ class PlanQualitySpec extends SparkSpec {
     // itself is the blocked equi-join, spec-asserted by block invariance)
     for (name <- Seq("dedup_ppjoin_jaccard", "dedup_inverted_index_pairs",
         "dedup_minhash_lsh", "sim_lsh_rp_auto", "dedup_substring_spans",
-        "multimodal_phash_neardup")) {
+        "multimodal_phash_neardup", "dedup_simhash")) {
       val plan = physicalPlan(SparkEntry.queries(name)(spark, TestSpark.sfDir))
       assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$name must generate candidates via equi-join:\n${plan.take(800)}")
