@@ -81,8 +81,19 @@ object ClusterParity {
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try names.map(n => n -> fingerprint(spark, sfDir, n)).toMap
-    finally spark.stop()
+    try {
+      val out = names.map(n => n -> fingerprint(spark, sfDir, n)).toMap
+      // the cluster leg must have actually run on remote executors — a
+      // silent fallback to in-process execution would make the whole
+      // parity check vacuous. getExecutorMemoryStatus lists driver +
+      // registered executor block managers.
+      if (master.startsWith("local-cluster")) {
+        val n = spark.sparkContext.getExecutorMemoryStatus.size
+        require(n >= 3, s"expected 2 remote executors + driver, saw $n " +
+          "block managers — the cluster leg did not run distributed")
+      }
+      out
+    } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
