@@ -38,6 +38,70 @@ object HygieneOps {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Span-level decontamination (the Dolma/RefinedWeb EXCISION shape):
+    * instead of dropping a contaminated document wholesale
+    * ([[contaminationHits]] + filter), remove ONLY the token windows that
+    * reproduce a benchmark n-gram and reassemble the rest — the policy
+    * real curation pipelines prefer when a long document quotes one
+    * benchmark item. A token is excised iff ANY matching n-window covers
+    * it (overlapping hits merge naturally through the position set).
+    * Returns every train doc: (doc_id, clean_text, n_tokens, n_removed);
+    * fully-excised docs come back with empty text, not dropped — the
+    * keep-or-drop policy composes downstream.
+    *
+    * Scale: benchmark n-grams broadcast (tiny vs the corpus, the same
+    * 100 TB shape as [[contaminationHits]]); windows and covered
+    * positions are scan-local explodes over the scan+broadcast join.
+    * UNTOUCHED documents (the overwhelming majority of a real corpus)
+    * never explode into tokens or shuffle — they pass through with their
+    * text verbatim after one anti-join on the tiny hit-id set; only
+    * contaminated docs pay the (id, pos) anti-join and the reassembly
+    * aggregate, so the token-level shuffle is ∝ contaminated tokens,
+    * not corpus tokens. Never a pair join. */
+  def exciseContaminatedSpans(train: DataFrame, benchmark: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int): DataFrame = {
+    import graft.core.Lineage.LineageOps
+    val benchGrams = benchmark.select(
+      explode(array_distinct(TextOps.shingles(col(textCol), n))).as("sh"))
+      .distinct()
+    val wins = train
+      .select(col(idCol).as("id"), posexplode(TextOps.shingles(col(textCol), n)))
+      .select(col("id"), col("pos").as("start"), col("col").as("sh"))
+    // lazily cut: covered feeds the hit-id split AND the position
+    // anti-join — materialize the (small) hit set once
+    val covered = wins.join(broadcast(benchGrams), "sh")
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .distinct()
+      .cut(eager = false)
+    val hitIds = covered.select(col("id")).distinct()
+    val untouched = train.join(hitIds, col(idCol) === col("id"), "left_anti")
+      .select(col(idCol).as("doc_id"), col(textCol).as("clean_text"),
+        TextOps.tokenCount(col(textCol)).cast("int").as("n_tokens"),
+        lit(0).as("n_removed"))
+    val touchedDocs = train.join(hitIds, col(idCol) === col("id"), "left_semi")
+    val toks = touchedDocs
+      .select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))))
+      .select(col("id"), col("pos"), col("col").as("tok"))
+    val reassembled = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            _.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .withColumnRenamed("id", "doc_id")
+    val touched = touchedDocs.select(col(idCol).as("doc_id"),
+        TextOps.tokenCount(col(textCol)).as("n_tokens"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("int").as("n_removed"))
+    untouched.unionByName(touched)
+  }
+
   /** Duplicate-n-gram fraction: 1 − distinct/total word n-grams — the
     * Gopher repetition signal. Documents shorter than n tokens score 0.
     * The shingle HOF (interpreted — CodegenFallback) appears exactly ONCE

@@ -72,6 +72,46 @@ object HygieneQueries {
             |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin),
     headline = true)
 
+  /** Span-level decontamination: same fixture benchmark (every 50th doc)
+    * and word-3-grams as text_decontaminate, but the EXCISION policy —
+    * matching windows are cut out of the train docs (corpus = the
+    * non-benchmark docs) and the remainder reassembled; overlapping hits
+    * merge through the covered-position set. Every train doc returns. */
+  private val decontamSpans = Q(
+    "text_decontaminate_spans",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      HygieneOps.exciseContaminatedSpans(
+          d.filter($"doc_id" % 50 =!= 0), d.filter($"doc_id" % 50 === 0),
+          "doc_id", "text", 3)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+           |bg AS (SELECT DISTINCT unnest([array_to_string(toks[i:i+2],' ')
+           |                               FOR i IN generate_series(1, len(toks)-2)]) sh
+           |       FROM d WHERE doc_id % 50 = 0),
+           |tr AS (SELECT doc_id, toks FROM d WHERE doc_id % 50 <> 0),
+           |winsall AS (SELECT doc_id,
+           |              unnest(generate_series(1, len(toks)-2)) wstart,
+           |              unnest([array_to_string(toks[i:i+2],' ')
+           |                      FOR i IN generate_series(1, len(toks)-2)]) g
+           |            FROM tr),
+           |wins AS (SELECT doc_id, wstart FROM winsall
+           |         WHERE g IN (SELECT sh FROM bg)),
+           |cov AS (SELECT DISTINCT doc_id,
+           |          unnest([wstart, wstart+1, wstart+2]) pos
+           |        FROM wins),
+           |cl AS (SELECT doc_id, list(pos) cps FROM cov GROUP BY doc_id)
+           |SELECT tr.doc_id,
+           |       array_to_string([toks[i] FOR i IN generate_series(1, len(toks))
+           |                        IF NOT list_contains(coalesce(cps, []), i)],
+           |                       ' ') AS clean_text,
+           |       len(toks)::INT AS n_tokens,
+           |       len(coalesce(cps, []))::INT AS n_removed
+           |FROM tr LEFT JOIN cl USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
+
   /** Gopher-style quality gate (Rae et al. 2021 §A1.1 shape): doc length,
     * mean word length, duplicate-2-gram fraction, top-token dominance,
     * and the conjunction verdict. Thresholds fixed: 20 ≤ tokens ≤ 1000,
@@ -606,7 +646,7 @@ object HygieneQueries {
            |WHERE pos <= 20 ORDER BY pos""".stripMargin))
 
   def all: Seq[Q] =
-    Seq(decontam, gopher, semdedup, mix, pack, trainingCorpus, importance,
-      domainCap, weighted, semdedupCorpus, semanticDecontam, pplBuckets,
-      tokenBudget, tempWeights, epochShuffle)
+    Seq(decontam, decontamSpans, gopher, semdedup, mix, pack, trainingCorpus,
+      importance, domainCap, weighted, semdedupCorpus, semanticDecontam,
+      pplBuckets, tokenBudget, tempWeights, epochShuffle)
 }

@@ -18,6 +18,28 @@ class HygieneOpsSpec extends SparkSpec {
     assert(hits.toSeq === Seq((1L, 10L, 3L)))
   }
 
+  test("exciseContaminatedSpans: overlapping hits merge, clean docs " +
+       "untouched, full match empties but keeps the row") {
+    val bench = Seq((100L, "b c d e")).toDF("doc_id", "text")
+    val train = Seq(
+      // windows "b c d" and "c d e" both hit → covered positions 1..5
+      // merge (overlap counted once): keep "a" and "f"
+      (1L, "a b c d e f"),
+      (2L, "x y z w"),        // clean — returned verbatim
+      (3L, "b c d e"),        // fully excised — empty text, row kept
+      (4L, "b c")             // shorter than n=3: no windows, untouched
+    ).toDF("doc_id", "text")
+    val out = HygieneOps.exciseContaminatedSpans(train, bench,
+        "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a f", 6, 4),
+      (2L, "x y z w", 4, 0),
+      (3L, "", 4, 4),
+      (4L, "b c", 2, 0)))
+  }
+
   test("repetitionRatio: 0 for all-distinct, rises with repeats, 0 when too short") {
     val r = Seq("a b c d", "a b a b a b", "x").toDF("t")
       .select(HygieneOps.repetitionRatio($"t", 2).as("r")).as[Double].collect()
