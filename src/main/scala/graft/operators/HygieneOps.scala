@@ -61,26 +61,72 @@ object HygieneOps {
   def exciseContaminatedSpans(train: DataFrame, benchmark: DataFrame,
                               idCol: String, textCol: String,
                               n: Int): DataFrame = {
-    import graft.core.Lineage.LineageOps
     val benchGrams = benchmark.select(
       explode(array_distinct(TextOps.shingles(col(textCol), n))).as("sh"))
       .distinct()
     val wins = train
       .select(col(idCol).as("id"), posexplode(TextOps.shingles(col(textCol), n)))
       .select(col("id"), col("pos").as("start"), col("col").as("sh"))
-    // lazily cut: covered feeds the hit-id split AND the position
-    // anti-join — materialize the (small) hit set once
     val covered = wins.join(broadcast(benchGrams), "sh")
       .select(col("id"),
         explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .distinct()
+    exciseCovered(train, idCol, textCol, covered)
+  }
+
+  /** Corpus-internal duplicate-SPAN excision (the ExactSubstr dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", as a relational plan): every k-token window occurring ≥ 2
+    * times ANYWHERE in the corpus keeps its FIRST occurrence (min
+    * (doc_id, start) — the deterministic cross-engine tiebreak) and has
+    * every other occurrence's positions excised; overlapping duplicated
+    * windows merge through the covered-position set, so a long repeated
+    * passage is cut once as a span, not window-by-window. Completes the
+    * substring family: [[graft.operators.DedupOps.substringDupProfile]]
+    * MEASURES duplication, this REMOVES it.
+    *
+    * Scale: one hash aggregate on the window (min-struct keeper — no
+    * corpus-wide window sort), join-back on the same key (AQE reuses the
+    * partitioning), then the same touched-docs-only reassembly as
+    * [[exciseContaminatedSpans]] — linear, never a pair join. At 100 TB
+    * group on xxhash64(win) to cut shuffle bytes; the text key is kept
+    * so the DuckDB twin pins the arithmetic (collision-free). */
+  def exciseDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame = {
+    import graft.core.Lineage.LineageOps
+    // lazily cut: the posting feeds the keeper aggregate AND the
+    // join-back — the (interpreted) shingle build runs once, not twice
+    val wins = docs
+      .select(col(idCol).as("id"), posexplode(TextOps.shingles(col(textCol), k)))
+      .select(col("id"), col("pos").as("start"), col("col").as("win"))
       .cut(eager = false)
+    val keepers = wins.groupBy(col("win"))
+      .agg(min(struct(col("id"), col("start"))).as("keeper"))
+    val covered = wins.join(keepers, "win")
+      .filter(struct(col("id"), col("start")) =!= col("keeper"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .distinct()
+    exciseCovered(docs, idCol, textCol, covered)
+  }
+
+  /** Shared excision core: given the (id, pos) covered-position set,
+    * return every doc as (doc_id, clean_text, n_tokens, n_removed).
+    * Untouched docs (no covered positions) pass through scan-local with
+    * their text verbatim after one anti-join on the tiny hit-id set;
+    * only touched docs explode into tokens and pay the (id, pos)
+    * anti-join + ordered reassembly aggregate. */
+  private def exciseCovered(docs: DataFrame, idCol: String, textCol: String,
+                            coveredPositions: DataFrame): DataFrame = {
+    import graft.core.Lineage.LineageOps
+    // lazily cut: covered feeds the hit-id split AND the position anti-join
+    val covered = coveredPositions.cut(eager = false)
     val hitIds = covered.select(col("id")).distinct()
-    val untouched = train.join(hitIds, col(idCol) === col("id"), "left_anti")
+    val untouched = docs.join(hitIds, col(idCol) === col("id"), "left_anti")
       .select(col(idCol).as("doc_id"), col(textCol).as("clean_text"),
         TextOps.tokenCount(col(textCol)).cast("int").as("n_tokens"),
         lit(0).as("n_removed"))
-    val touchedDocs = train.join(hitIds, col(idCol) === col("id"), "left_semi")
+    val touchedDocs = docs.join(hitIds, col(idCol) === col("id"), "left_semi")
     val toks = touchedDocs
       .select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))))
       .select(col("id"), col("pos"), col("col").as("tok"))

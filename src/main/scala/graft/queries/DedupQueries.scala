@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Lineage.LineageOps
-import graft.operators.{DedupOps, TextOps}
+import graft.operators.{DedupOps, HygieneOps, TextOps}
 
 /** [EXT] Deduplication queries over `documents` (SURVEY §2E): exact
   * hash-groupBy, inverted-index n-gram Jaccard, MinHash+LSH, SimHash.
@@ -374,6 +374,42 @@ object DedupQueries {
            |SELECT doc_id, n_windows, n_dup_windows,
            |       round(n_dup_windows / n_windows::DOUBLE, 6) AS dup_frac
            |FROM p ORDER BY doc_id""".stripMargin))
+
+  /** Duplicate-SPAN excision over the same rolling 8-token windows as
+    * dedup_substring_spans (Lee et al. 2022 ExactSubstr dedup): each
+    * window occurring ≥2 times corpus-wide keeps only its first
+    * occurrence (min (doc_id, start)); later occurrences' positions are
+    * cut and the docs reassembled. The profile query MEASURES, this one
+    * REMOVES. Every doc returns (fully-excised docs with empty text). */
+  private val exciseSpans = Q(
+    "dedup_excise_spans",
+    (s, dir) => {
+      import s.implicits._
+      HygieneOps.exciseDuplicateSpans(docs(s, dir), "doc_id", "text", 8)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+           |wall AS (SELECT doc_id,
+           |           unnest(generate_series(1, len(toks)-7)) wstart,
+           |           unnest([array_to_string(toks[i:i+7],' ')
+           |                   FOR i IN generate_series(1, len(toks)-7)]) g
+           |         FROM d),
+           |ranked AS (SELECT *, row_number()
+           |             OVER (PARTITION BY g ORDER BY doc_id, wstart) rn
+           |           FROM wall),
+           |cov AS (SELECT DISTINCT doc_id,
+           |          unnest([wstart+j FOR j IN generate_series(0,7)]) pos
+           |        FROM ranked WHERE rn > 1),
+           |cl AS (SELECT doc_id, list(pos) cps FROM cov GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       coalesce(array_to_string(
+           |         [toks[i] FOR i IN generate_series(1, len(toks))
+           |          IF NOT list_contains(coalesce(cps, []), i)],
+           |         ' '), '') AS clean_text,
+           |       len(toks)::INT AS n_tokens,
+           |       len(coalesce(cps, []))::INT AS n_removed
+           |FROM d LEFT JOIN cl USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
 
   /** Asymmetric containment at t=0.8 over 2-gram shingles: catches
     * quote/superset pairs whose symmetric Jaccard is tiny. The oracle
@@ -815,7 +851,7 @@ object DedupQueries {
 
   def all: Seq[Q] =
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
-      minhash, simhashQ, lines, bloomDelta, fuzzy, substring, containment,
-      containmentSketch, clusterSizes, keepBest, curated, minhashDelta,
-      containmentVerified)
+      minhash, simhashQ, lines, bloomDelta, fuzzy, substring, exciseSpans,
+      containment, containmentSketch, clusterSizes, keepBest, curated,
+      minhashDelta, containmentVerified)
 }

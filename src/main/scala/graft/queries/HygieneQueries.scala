@@ -104,9 +104,10 @@ object HygieneQueries {
            |        FROM wins),
            |cl AS (SELECT doc_id, list(pos) cps FROM cov GROUP BY doc_id)
            |SELECT tr.doc_id,
-           |       array_to_string([toks[i] FOR i IN generate_series(1, len(toks))
-           |                        IF NOT list_contains(coalesce(cps, []), i)],
-           |                       ' ') AS clean_text,
+           |       coalesce(array_to_string(
+           |         [toks[i] FOR i IN generate_series(1, len(toks))
+           |          IF NOT list_contains(coalesce(cps, []), i)],
+           |         ' '), '') AS clean_text,
            |       len(toks)::INT AS n_tokens,
            |       len(coalesce(cps, []))::INT AS n_removed
            |FROM tr LEFT JOIN cl USING (doc_id)

@@ -40,6 +40,25 @@ class HygieneOpsSpec extends SparkSpec {
       (4L, "b c", 2, 0)))
   }
 
+  test("exciseDuplicateSpans: first occurrence kept, later cut, " +
+       "within-doc repeats collapse") {
+    val span = "q w e r t y u i" // 8 tokens
+    val docs = Seq(
+      (2L, s"c1 c2 $span c3"), // later occurrence → span excised
+      (1L, s"a1 $span a2"),    // first occurrence (min doc_id) → untouched
+      (3L, "z1 z2 z3"),        // clean, shorter than k
+      (4L, "s s s s s s s s s s") // within-doc: 3 identical windows →
+                                  // keeper at start 0, positions 1-9 cut
+    ).toDF("doc_id", "text")
+    val out = HygieneOps.exciseDuplicateSpans(docs, "doc_id", "text", 8)
+      .orderBy($"doc_id").as[(Long, String, Int, Int)].collect().toSeq
+    assert(out === Seq(
+      (1L, s"a1 $span a2", 10, 0),
+      (2L, "c1 c2 c3", 11, 8),
+      (3L, "z1 z2 z3", 3, 0),
+      (4L, "s", 10, 9)))
+  }
+
   test("repetitionRatio: 0 for all-distinct, rises with repeats, 0 when too short") {
     val r = Seq("a b c d", "a b a b a b", "x").toDF("t")
       .select(HygieneOps.repetitionRatio($"t", 2).as("r")).as[Double].collect()
