@@ -127,9 +127,13 @@ object Bench {
     }
     val prior = loadPrior(priorPath)
     val anchor = loadPrior(anchorPath)
+    // headline queries get a tighter trigger (1.5×): an r8 ×1.7 headline
+    // drift slipped under the uniform 2× and cost a round of diagnosis
+    val headlines = SparkEntry.headline.map(_.name).toSet
     def movers(ref: Map[String, Double]) = results.collect { case (n, v)
-      if !errors.contains(n) && ref.get(n).exists(p =>
-        v > 2 * p || v < p / 2) => n }
+      if !errors.contains(n) && ref.get(n).exists { p =>
+        val f = if (headlines(n)) 1.5 else 2.0
+        v > f * p || v < p / f } => n }
     val flagged = movers(prior)
     val flaggedAnchor = movers(anchor)
     val rerunMin = (flagged ++ flaggedAnchor).distinct.map { n =>

@@ -476,35 +476,94 @@ object DedupOps {
     * equi-joins the history's banded postings on (band, bucket) — no
     * batch×batch and no history×history pair is ever generated, which is
     * the whole point of incremental dedup on a continuously-crawled
-    * corpus. At 100 TB the history's banded postings are a STORED table
-    * (partitioned by band, bucket-bucketed) appended per increment; the
-    * per-increment candidate cost is |batch| × bucket occupancy,
+    * corpus. This overload re-bands an in-memory history each call; at
+    * 100 TB use the STORED form — [[writeBandedIndex]] persists each
+    * increment's postings (partitioned by band, bucket-sorted files) and
+    * [[lshProbeCandidatesStored]] probes them with scan-level pruning, so
+    * the per-increment candidate cost is |batch| × bucket occupancy,
     * independent of total corpus size. Completes the incremental-dedup
     * family: bloom delta (exact keys), this (batch near-dup),
     * lshCandidatesStream (streaming near-dup). */
   def lshProbeCandidates(index: DataFrame, batch: DataFrame, idCol: String,
                          sigCol: String, bands: Int,
-                         rowsPerBand: Int): DataFrame = {
-    def banded(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+                         rowsPerBand: Int): DataFrame =
+    bandedPostings(batch, idCol, sigCol, bands, rowsPerBand, "batch_id")
+      .join(bandedPostings(index, idCol, sigCol, bands, rowsPerBand, "hist_id"),
+        Seq("band", "bucket"))
+      .select(col("batch_id"), col("hist_id")).distinct()
+
+  /** LSH banded postings `(id, band, bucket)` for a signature column —
+    * the shared explode shape behind the self-join, the probe join, and
+    * the stored index. */
+  private[graft] def bandedPostings(df: DataFrame, idCol: String,
+      sigCol: String, bands: Int, rowsPerBand: Int,
+      idAs: String = "id"): DataFrame =
+    df.select(col(idCol).as(idAs),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select(col(as), col("pos").as("band"),
+      .select(col(idAs), col("pos").as("band"),
         concat_ws(",", col("col").cast("array<string>")).as("bucket"))
-    banded(batch, "batch_id")
-      .join(banded(index, "hist_id"), Seq("band", "bucket"))
+
+  /** Persist a corpus increment's banded postings into the STORED index
+    * that [[lshProbeCandidatesStored]] probes — the production shape of
+    * incremental near-dup at 100 TB, where the history's signatures are
+    * never re-banded per probe. Layout: parquet partitioned by `band`
+    * (one directory per band), files within a band range-partitioned AND
+    * sorted on `bucket` (`repartitionByRange` + `sortWithinPartitions`),
+    * so every row group carries tight bucket min/max stats and a probe's
+    * bucket IN-list prunes at the parquet-footer level — the read cost of
+    * a probe is the occupied row groups, not the corpus. `append = true`
+    * adds an increment's postings without touching prior files; pair it
+    * with an [[graft.io.PartitionLedger]] mark per increment so re-runs
+    * are idempotent (spec'd in BandedIndexSpec). */
+  def writeBandedIndex(increment: DataFrame, idCol: String, sigCol: String,
+                       bands: Int, rowsPerBand: Int, path: String,
+                       filesPerBand: Int = 8, append: Boolean = false): Unit =
+    bandedPostings(increment, idCol, sigCol, bands, rowsPerBand)
+      .repartitionByRange(bands * filesPerBand, col("band"), col("bucket"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("band")
+      .parquet(path)
+
+  /** [[lshProbeCandidates]] against the STORED index at `path` instead of
+    * an in-memory history — per-increment cost is now genuinely
+    * independent of corpus size: the history side is read pre-banded
+    * (no signature re-explode), and it is pruned BEFORE any shuffle.
+    * Two pruning regimes, chosen by the batch's distinct-bucket count:
+    * a small batch (≤ `maxPushdownBuckets` keys) becomes a literal
+    * `bucket IN (...)` filter that reaches the parquet scan and skips
+    * row groups via the sorted-bucket min/max stats the writer laid
+    * down; a large batch becomes a broadcast semi-join on
+    * (band, bucket) — history rows stream past the broadcast filter
+    * without shuffling, and only survivors (|batch| × bucket occupancy
+    * rows) enter the final equi-join. The IN-list over-selects across
+    * bands by construction; the exact (band, bucket) join restores
+    * exactness. */
+  def lshProbeCandidatesStored(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int,
+      maxPushdownBuckets: Int = 10000): DataFrame = {
+    val bp = bandedPostings(batch, idCol, sigCol, bands, rowsPerBand,
+      "batch_id").cut(eager = false)
+    val hist = spark.read.parquet(path)
+      .select(col("id").as("hist_id"), col("band"), col("bucket"))
+    val keys = bp.select(col("band"), col("bucket")).distinct()
+    val probeKeys = keys.limit(maxPushdownBuckets + 1).collect()
+    val pruned =
+      if (probeKeys.length <= maxPushdownBuckets)
+        hist.filter(col("bucket").isInCollection(
+          probeKeys.map(_.getString(1)).distinct.toSeq))
+      else hist.join(broadcast(keys), Seq("band", "bucket"), "leftsemi")
+    bp.join(pruned, Seq("band", "bucket"))
       .select(col("batch_id"), col("hist_id")).distinct()
   }
 
   def lshCandidatePairs(docs: DataFrame, idCol: String, sigCol: String,
                         bands: Int, rowsPerBand: Int,
-                        skewThreshold: Int = 1024, blocks: Int = 8): DataFrame = {
-    val banded = docs.select(col(idCol).as("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select(col("id"), col("pos").as("band"),
-        concat_ws(",", col("col").cast("array<string>")).as("bucket"))
-    bucketedPairs(banded, skewThreshold, blocks)
-  }
+                        skewThreshold: Int = 1024, blocks: Int = 8): DataFrame =
+    bucketedPairs(bandedPostings(docs, idCol, sigCol, bands, rowsPerBand),
+      skewThreshold, blocks)
 
   /** Distinct unordered candidate pairs from any banded posting table
     * with columns (id, band, bucket) — the shared pair-generation core

@@ -784,6 +784,50 @@ object DedupQueries {
          |ORDER BY batch_id, hist_id""".stripMargin
     })
 
+  /** [[minhashDelta]] routed through the STORED banded-postings index —
+    * the production shape: the history is written in TWO increments
+    * ([[DedupOps.writeBandedIndex]] overwrite then append, so the append
+    * path runs in the deployed query, not just a spec), and the probe
+    * ([[DedupOps.lshProbeCandidatesStored]]) reads postings back with
+    * scan-level bucket pruning instead of re-banding raw signatures.
+    * Same candidates, same verified pairs, same oracle as the in-memory
+    * form — what changes is WHERE the history's banding cost is paid:
+    * once at index-build time, never again per probe. */
+  private val minhashDeltaStored = Q(
+    "dedup_minhash_delta_stored",
+    (s, dir) => {
+      import s.implicits._
+      val withShingles = docs(s, dir)
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+        .select($"doc_id", array_distinct($"shingles").as("shingles"))
+        .cut(eager = false)
+      val signed = DedupOps.minhashSignatures(withShingles, "doc_id",
+          "shingles", 16)
+        .withColumnRenamed("id", "doc_id")
+        .cut(eager = false)
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_banded_index",
+        Integer.toHexString(dir.hashCode)).toString
+      DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === 1),
+        "doc_id", "sig", 4, 4, idx)
+      DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === 2),
+        "doc_id", "sig", 4, 4, idx, append = true)
+      val cands = DedupOps.lshProbeCandidatesStored(s, idx,
+        signed.filter($"doc_id" % 3 === 0), "doc_id", "sig", 4, 4)
+      val sets = withShingles.select($"doc_id".as("id"), $"shingles".as("ss"))
+      cands
+        .join(sets.withColumnRenamed("id", "batch_id")
+          .withColumnRenamed("ss", "s_a"), "batch_id")
+        .join(sets.withColumnRenamed("id", "hist_id")
+          .withColumnRenamed("ss", "s_b"), "hist_id")
+        .withColumn("raw", size(array_intersect($"s_a", $"s_b")).cast("double") /
+          size(array_union($"s_a", $"s_b")))
+        .filter($"raw" >= 0.8)
+        .select($"batch_id", $"hist_id", round($"raw", 6).as("jaccard"))
+        .orderBy($"batch_id", $"hist_id")
+    },
+    minhashDelta.oracle)
+
   /** The DEPLOYED two-stage containment path as one plan — exactly the
     * 100 TB order the round-6 per-branch scaling table prescribes:
     * bottom-k sketch candidates at a LOOSE threshold (0.5, recall
@@ -853,5 +897,5 @@ object DedupQueries {
     Seq(exact, keepFirst, jaccard, ppjoin, inverted, components,
       minhash, simhashQ, lines, bloomDelta, fuzzy, substring, exciseSpans,
       containment, containmentSketch, clusterSizes, keepBest, curated,
-      minhashDelta, containmentVerified)
+      minhashDelta, minhashDeltaStored, containmentVerified)
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.io.PartitionLedger
+
+/** The STORED banded-postings index behind incremental near-dup
+  * ([[DedupOps.writeBandedIndex]] / [[DedupOps.lshProbeCandidatesStored]]):
+  * equivalence with the in-memory probe, the append path, ledger-driven
+  * idempotence, and both pruning regimes (scan-level IN pushdown vs
+  * broadcast semi-join). */
+class BandedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val signed = {
+    val docs = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .select($"doc_id", array_distinct(TextOps.shingles($"text", 2)).as("sh"))
+    docs.withColumn("sig", DedupOps.minhashSignature($"sh", 16))
+      .select($"doc_id", $"sig")
+  }
+
+  test("stored probe == in-memory probe; appended increments both count; " +
+       "ledger makes re-appends no-ops") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-bidx").toString
+    val ledger = new PartitionLedger(
+      java.nio.file.Files.createTempDirectory("graft-bidx-ledger")
+        .resolve("ledger.tsv").toString)
+    // two history increments, appended only when the ledger says so —
+    // the production incremental loop
+    val increments = Seq("inc1" -> 1, "inc2" -> 2)
+    for ((name, m) <- increments
+         if !ledger.isProcessed("banded_index", name)) {
+      DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === m),
+        "doc_id", "sig", 4, 4, idx, append = m != 1)
+      ledger.markProcessed("banded_index", name)
+    }
+    def files() = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val nFiles = files()
+    // re-running the loop appends nothing: both increments are marked
+    assert(ledger.unprocessed("banded_index", increments.map(_._1)).isEmpty)
+    val batch = signed.filter($"doc_id" % 3 === 0)
+    val stored = DedupOps.lshProbeCandidatesStored(spark, idx, batch,
+      "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+    val mem = DedupOps.lshProbeCandidates(signed.filter($"doc_id" % 3 =!= 0),
+      batch, "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+    assert(stored === mem)
+    assert(stored.nonEmpty)
+    assert(files() === nFiles)
+    // layout: one hive partition dir per band
+    val bandDirs = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+      .filter(p => p.getFileName.toString.startsWith("band="))
+      .count()
+    assert(bandDirs === 4)
+  }
+
+  test("small batch pushes a bucket IN-list to the parquet scan; the " +
+       "semi-join regime (maxPushdownBuckets=0) returns the same pairs") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-bidx2").toString
+    DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 =!= 0),
+      "doc_id", "sig", 4, 4, idx)
+    val batch = signed.filter($"doc_id" % 3 === 0).limit(20)
+    val pushed = DedupOps.lshProbeCandidatesStored(spark, idx, batch,
+      "doc_id", "sig", 4, 4)
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("In(bucket"),
+      s"expected a bucket IN-list in PushedFilters, plan:\n$plan")
+    val semi = DedupOps.lshProbeCandidatesStored(spark, idx, batch,
+      "doc_id", "sig", 4, 4, maxPushdownBuckets = 0)
+    assert(pushed.as[(Long, Long)].collect().toSet ===
+      semi.as[(Long, Long)].collect().toSet)
+  }
+}
