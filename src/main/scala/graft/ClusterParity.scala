@@ -31,6 +31,10 @@ object ClusterParity {
     "dedup_simhash",          // 64-bit simhash + bucketedPairs grid
     "dedup_cluster_sizes",    // connected components + lineage cuts
     "events_tumbling_hourly", // streaming-family windowed agg (batch twin)
+    "sim_lsh_rp",             // RpSignature codegen kernel
+    "dedup_containment_verified", // SortedLongOverlapCount + OptimizerBarrier
+    "text_quality_score",     // StringSetCount codegen kernel
+    "dedup_minhash_delta_stored", // stored banded index: executor-side write+pruned read
     "streaming_funnel_fsm")   // REAL flatMapGroupsWithState run (below)
 
   /** The one non-registry entry: an actual Structured Streaming run of
@@ -43,8 +47,37 @@ object ClusterParity {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("graft-cp-funnel")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+    // dir-aware staging (sf dirs may hold single-file OR directory
+    // parquet), and the stage is deleted after the run — two legs per
+    // main() would otherwise leak a copy of events each
+    copyRecursive(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stage.resolve("events.parquet"))
+    try streamingFunnelOn(spark, stage.toString)
+    finally deleteRecursive(stage)
+  }
+
+  private def copyRecursive(src: java.nio.file.Path,
+                            dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
+
+  private def deleteRecursive(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  private def streamingFunnelOn(spark: SparkSession,
+                                stageDir: String): Array[String] = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val stage = java.nio.file.Paths.get(stageDir)
     val schema = spark.read.parquet(stage.toString).schema
     val streamed = graft.core.Tables.normalizeTs(
         spark.readStream.schema(schema).parquet(stage.toString))

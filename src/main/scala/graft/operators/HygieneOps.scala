@@ -121,12 +121,14 @@ object HygieneOps {
     import graft.core.Lineage.LineageOps
     // lazily cut: covered feeds the hit-id split AND the position anti-join
     val covered = coveredPositions.cut(eager = false)
-    val hitIds = covered.select(col("id")).distinct()
-    val untouched = docs.join(hitIds, col(idCol) === col("id"), "left_anti")
+    // reserved join-key name: a caller passing idCol = "id" would make
+    // col(idCol) === col("id") ambiguous at analysis time
+    val hitIds = covered.select(col("id").as("__hit_id")).distinct()
+    val untouched = docs.join(hitIds, col(idCol) === col("__hit_id"), "left_anti")
       .select(col(idCol).as("doc_id"), col(textCol).as("clean_text"),
         TextOps.tokenCount(col(textCol)).cast("int").as("n_tokens"),
         lit(0).as("n_removed"))
-    val touchedDocs = docs.join(hitIds, col(idCol) === col("id"), "left_semi")
+    val touchedDocs = docs.join(hitIds, col(idCol) === col("__hit_id"), "left_semi")
     val toks = touchedDocs
       .select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))))
       .select(col("id"), col("pos"), col("col").as("tok"))

@@ -68,7 +68,10 @@ object SkewOps {
         expr("approx_percentile(sz, 0.5)").as("p50_sz"),
         max(col("sz")).as("max_sz"))
       .head()
-    SkewProfile(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // empty input: the 1-row aggregate yields NULL sum/percentile/max —
+    // return the zero profile instead of NPEing on getLong
+    if (r.isNullAt(1)) SkewProfile(0L, 0L, 0L, 0L)
+    else SkewProfile(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
   /** Profile-driven equi-join plan choice — closes the loop between the

@@ -126,7 +126,7 @@ final class BokStatConnector(fixtureDir: String) extends Connector {
 final class HttpBokStatConnector(baseUrl: String, statCode: String,
                                  intervalCode: String, batchSize: Int = 100,
                                  retries: Int = 3, retryDelayMs: Long = 0,
-                                 includeFinalPartialPage: Boolean = false)
+                                 includeFinalPartialPage: Boolean = true)
     extends Connector {
   val name = "economic_indicators_http"
 
@@ -150,12 +150,12 @@ final class HttpBokStatConnector(baseUrl: String, statCode: String,
       .getOrElse(throw new IllegalStateException(
         s"$name: no list_total_count in response"))
 
-  /** Pagination stop is the reference's `offset < total` by default —
-    * deliberate parity, but when `list_total_count ≡ 1 (mod batchSize)`
-    * that guard skips the final partial page: silent data loss in a
-    * production-shaped connector. Deployments opt into the corrected
-    * `<=` guard via `includeFinalPartialPage = true`; on the parity
-    * default the skip is at least LOGGED, never silent. */
+  /** Pagination stop: the corrected `offset <= total` guard by DEFAULT —
+    * the reference's strict `offset < total` (bank_of_korea_operator.py:85)
+    * silently drops the final row whenever `list_total_count ≡ 1 (mod
+    * batchSize)`, which is production-shaped data loss, so reference
+    * parity is the conscious OPT-IN (`includeFinalPartialPage = false`)
+    * and the skip it causes is LOGGED, never silent. */
   def fetchRaw(logicalDate: String): Seq[String] = {
     val pages = Seq.newBuilder[String]
     var offset = 1

@@ -124,20 +124,20 @@ class Connectors2Spec extends SparkSpec {
         "HTTP bronze shape == fixture-backed bronze shape")
       assert(bronze.select($"ITEM_CODE1").as[String].collect().sorted ===
         (1 to 6).map(i => s"SA$i").sorted.toArray)
-      // reference boundary parity (bank_of_korea_operator.py:85): when
-      // total ≡ 1 (mod batch) the strict `<` stops BEFORE the last
-      // offset — total=6 at batch 5 fetches offset 1 (rows 1-5), then
-      // offset 6 fails `6 < 6` and row 6 is never requested. Faithful
-      // reproduction of the reference's stop condition, asserted so a
-      // future "fix" is a conscious divergence, not an accident.
-      val c5 = new HttpBokStatConnector(base, "902Y006", "M", batchSize = 5)
+      // reference boundary parity (bank_of_korea_operator.py:85) is the
+      // conscious OPT-IN: when total ≡ 1 (mod batch) the strict `<`
+      // stops BEFORE the last offset — total=6 at batch 5 fetches
+      // offset 1 (rows 1-5), then offset 6 fails `6 < 6` and row 6 is
+      // never requested. Asserted so the divergence stays deliberate.
+      val c5 = new HttpBokStatConnector(base, "902Y006", "M", batchSize = 5,
+        includeFinalPartialPage = false)
       val raw5 = c5.fetchRaw("2025-01-06")
       assert(raw5.length === 1)
       assert(c5.toBronze(spark, raw5).count() === 5)
-      // ...and the conscious opt-OUT of that parity: the corrected `<=`
-      // guard fetches the final partial page, recovering row 6
-      val c5fix = new HttpBokStatConnector(base, "902Y006", "M", batchSize = 5,
-        includeFinalPartialPage = true)
+      // ...and the DEFAULT is the corrected `<=` guard: the final
+      // partial page is fetched, recovering row 6 (data loss requires
+      // opting into parity, not the other way around)
+      val c5fix = new HttpBokStatConnector(base, "902Y006", "M", batchSize = 5)
       val raw5fix = c5fix.fetchRaw("2025-01-06")
       assert(raw5fix.length === 2)
       assert(c5fix.toBronze(spark, raw5fix).count() === 6)
