@@ -1003,6 +1003,45 @@ object RelationalQueries {
            |JOIN nation ON s_nationkey = n_nationkey
            |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
+  /** The profiler→plan loop DEPLOYED ([[graft.operators.SkewOps]]):
+    * before the enrichment join runs, `profileKey` measures the fact
+    * side's key distribution in one pre-flight aggregate (the same
+    * posture as the reference's pre-flight row counts) and
+    * `chooseJoinPlan` picks salted vs plain from the measured skewRatio
+    * against the 32× threshold — on this corpus suppkey is uniform, so
+    * the measured decision is the PLAIN join (salting would pay 8×
+    * dim replication for nothing); on a skewed corpus the same code
+    * flips to the salted plan (branch spec'd on a skewed fixture in
+    * PlanQualitySpec). The decision and the measured ratio are logged.
+    * Output is plan-invariant, so the oracle is [[skewJoin]]'s. */
+  private val skewProfiled = Q(
+    "join_skew_profiled",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      val big = tt.lineitem.select($"l_suppkey".as("suppkey"),
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+      val dim = tt.supplier.join(tt.nation,
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey".as("suppkey"), $"n_name")
+      val profile = graft.operators.SkewOps.profileKey(big, "suppkey")
+      val (plan, joined) =
+        graft.operators.SkewOps.chooseJoinPlan(big, dim, "suppkey", profile)
+      System.err.println(f"[join_skew_profiled] nKeys=${profile.nKeys} " +
+        f"maxSz=${profile.maxSz} skewRatio=${profile.skewRatio}%.2f " +
+        f"-> $plan join")
+      joined.groupBy($"n_name")
+        .agg(round(sum($"rev"), 2).as("revenue"), count(lit(1)).as("n"))
+        .orderBy($"n_name")
+    },
+    Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+           |         AS revenue,
+           |       count(*) AS n
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
   /** Salted two-phase aggregation, oracle-pinned: groupBy(key + salt)
     * partial then groupBy(key) final caps any single reducer's share of a
     * hot key at 1/8 — the explicit fix when one group holds a large share
@@ -1492,7 +1531,7 @@ object RelationalQueries {
     f1, f1Quarantine, f4, pivotQ, f11, f13, f14, f8,
     setExcept, setIntersect, setUnion, topk, topkWindowForm, fullOuter,
     firstLast, q7, q8,
-    reconDiff, notInNull, skewJoin, skewAgg)
+    reconDiff, notInNull, skewJoin, skewProfiled, skewAgg)
 
   def all: Seq[Q] = all0
 }
