@@ -526,6 +526,37 @@ object DedupOps {
       .partitionBy("band")
       .parquet(path)
 
+  /** Maintenance for the stored index: every append lays down its OWN
+    * bucket-range file set, so after many increments a band holds
+    * k-increments × filesPerBand files whose bucket ranges all overlap —
+    * row-group pruning still works per file, but a probe touches every
+    * increment's files. Compaction reads the whole index and rewrites it
+    * as ONE bucket-range-partitioned, bucket-sorted file set (the same
+    * layout [[writeBandedIndex]] produces for a single increment),
+    * restoring disjoint per-file bucket ranges. Write-to-sibling then
+    * swap via the Hadoop FileSystem API (works on HDFS/S3A/local alike);
+    * the swap is not atomic — run it from the maintenance job that also
+    * holds the [[graft.io.PartitionLedger]], exactly like Spark's own
+    * non-atomic overwrites. */
+  def compactBandedIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, filesPerBand: Int = 8): Unit = {
+    val postings = spark.read.parquet(path)
+      .select(col("id"), col("band"), col("bucket"))
+    val bands = postings.agg(countDistinct(col("band"))).head().getLong(0).toInt
+    val tmp = path.stripSuffix("/") + ".__compact__"
+    postings
+      .repartitionByRange(bands * filesPerBand, col("band"), col("bucket"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode("overwrite").partitionBy("band").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+  }
+
   /** [[lshProbeCandidates]] against the STORED index at `path` instead of
     * an in-memory history — per-increment cost is now genuinely
     * independent of corpus size: the history side is read pre-banded

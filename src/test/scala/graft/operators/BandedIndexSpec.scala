@@ -54,6 +54,31 @@ class BandedIndexSpec extends SparkSpec {
     assert(bandDirs === 4)
   }
 
+  test("compaction collapses per-increment file sets into one bucket-" +
+       "range layout; probe results unchanged") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-bidx3").toString
+    // 4 increments -> 4 overlapping bucket-range file sets per band
+    for (m <- 0 to 3)
+      DedupOps.writeBandedIndex(signed.filter($"doc_id" % 4 === m),
+        "doc_id", "sig", 4, 4, idx, filesPerBand = 2, append = m != 0)
+    def files() = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val batch = signed.limit(50)
+    val before = DedupOps.lshProbeCandidatesStored(spark, idx, batch,
+      "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+    val nBefore = files()
+    DedupOps.compactBandedIndex(spark, idx, filesPerBand = 2)
+    val after = DedupOps.lshProbeCandidatesStored(spark, idx, batch,
+      "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+    assert(after === before)
+    assert(after.nonEmpty)
+    assert(files() < nBefore,
+      s"compaction did not reduce the file count (${files()} vs $nBefore)")
+    // the temp sibling is gone after the swap
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx + ".__compact__")))
+  }
+
   test("small batch pushes a bucket IN-list to the parquet scan; the " +
        "semi-join regime (maxPushdownBuckets=0) returns the same pairs") {
     val idx = java.nio.file.Files.createTempDirectory("graft-bidx2").toString
