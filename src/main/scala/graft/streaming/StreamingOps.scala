@@ -157,9 +157,28 @@ object StreamingOps {
                           tsCol: String, shingleN: Int = 2, k: Int = 16,
                           bands: Int = 4, rowsPerBand: Int = 4,
                           watermark: String = "10 minutes",
-                          stateTtlMs: Long = 3600000L): Dataset[StreamCandPair] = {
+                          stateTtlMs: Long = 3600000L,
+                          warmStart: Option[(DataFrame, Long)] = None)
+      : Dataset[StreamCandPair] = {
     import docs.sparkSession.implicits._
     require(bands * rowsPerBand <= k, s"bands*rowsPerBand must be <= k=$k")
+    // warm start: seed the per-bucket state from a batch-built banded
+    // postings table — e.g. the STORED index `DedupOps.writeBandedIndex`
+    // maintains (`spark.read.parquet(indexPath)`), which uses the same
+    // comma-joined band-slice bucket encoding. The stream then dedups new
+    // arrivals AGAINST the backfilled history, not just against itself —
+    // the restart-from-backfill contract the bucket encoding was designed
+    // for. `asOfMs` anchors the seeded buckets' TTL: history idle past
+    // `stateTtlMs` after it expires as usual.
+    val initialState = warmStart.map { case (postings, asOfMs) =>
+      postings
+        .groupBy(col("band"), col("bucket"))
+        .agg(sort_array(collect_set(col("id").cast("long"))).as("ids"))
+        .select(col("band").cast("int"), col("bucket"), col("ids"))
+        .as[(Int, String, Array[Long])]
+        .groupByKey(r => (r._1, r._2))
+        .mapValues(r => BucketState(r._3, asOfMs))
+    }
     val sig = graft.operators.DedupOps.minhashSignature(
       graft.operators.TextOps.shingles(col(textCol), shingleN), k)
     val banded = docs
@@ -171,13 +190,10 @@ object StreamingOps {
       .select(col("id"), col("ts"), col("pos").cast("int").as("band"),
         concat_ws(",", col("col").cast("array<string>")).as("bucket"))
       .as[(Long, Timestamp, Int, String)]
-    banded
-      .groupByKey(r => (r._3, r._4))
-      .flatMapGroupsWithState[BucketState, StreamCandPair](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+    val fold =
         (key: (Int, String), rows: Iterator[(Long, Timestamp, Int, String)],
          state: GroupState[BucketState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty[StreamCandPair] }
           else {
             val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
             var lastMs = 0L
@@ -203,7 +219,13 @@ object StreamingOps {
               state.getCurrentWatermarkMs() + 1L))
             out.result().iterator
           }
-      }
+    val grouped = banded.groupByKey(r => (r._3, r._4))
+    initialState match {
+      case Some(init) => grouped.flatMapGroupsWithState[BucketState, StreamCandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout, init)(fold)
+      case None => grouped.flatMapGroupsWithState[BucketState, StreamCandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+    }
   }
 
   /** Stream-stream interval join: each left event joins right events of

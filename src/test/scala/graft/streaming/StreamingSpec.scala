@@ -125,6 +125,51 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
   }
 
+  test("streaming LSH warm-started from the STORED batch index: new " +
+       "arrivals pair against the backfilled history == batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .filter(size(split($"text", "\\s+")) >= 5)
+      .select($"doc_id", graft.operators.DedupOps.minhashSignature(
+        graft.operators.TextOps.shingles($"text", 2), 16).as("sig"))
+    val hist = all.filter($"doc_id" % 3 =!= 0)
+    // the batch side of the restart: history postings persisted by the
+    // stored-index writer, read back as the warm-start seed
+    val idx = java.nio.file.Files.createTempDirectory("graft-warm-idx").toString
+    graft.operators.DedupOps.writeBandedIndex(hist, "doc_id", "sig", 4, 4, idx)
+    val postings = spark.read.parquet(idx)
+    val t0 = ts("2024-01-01 10:00:00").getTime
+    val newDocs = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .filter(size(split($"text", "\\s+")) >= 5 && $"doc_id" % 3 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(40)
+      .zipWithIndex.map { case ((id, text), i) =>
+        Doc(id, text, new Timestamp(t0 + i * 1000L)) }
+    val input = MemoryStream[Doc]
+    val q = lshCandidatesStream(input.toDF(), "doc_id", "text", "ts",
+        warmStart = Some((postings, t0)))
+      .writeStream.format("memory").queryName("lsh_warm_out")
+      .outputMode(OutputMode.Append).start()
+    newDocs.grouped(20).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("lsh_warm_out")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // cross-boundary slice of the stream == the batch incremental probe
+    val streamedCross = streamed.filter { case (a, b) =>
+      (a % 3 == 0) != (b % 3 == 0) }
+    val batchIds = newDocs.map(_.doc_id).toSet
+    val probe = graft.operators.DedupOps.lshProbeCandidatesStored(spark, idx,
+        all.filter($"doc_id" % 3 === 0)
+          .join(batchIds.toSeq.toDF("doc_id"), "doc_id"),
+        "doc_id", "sig", 4, 4)
+      .select(least($"batch_id", $"hist_id"), greatest($"batch_id", $"hist_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamedCross === probe,
+      s"missing=${(probe -- streamedCross).take(5)} " +
+        s"extra=${(streamedCross -- probe).take(5)}")
+    assert(streamedCross.nonEmpty, "no cross-boundary pairs — vacuous")
+  }
+
   test("streaming LSH bucket state is reclaimed after the TTL horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
