@@ -30,6 +30,13 @@ def canon(df):
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
+# Optional per-oracle wall-clock cap (seconds) for large-SF sweeps: the
+# ENGINE result is already on disk — a timeout marks the DuckDB twin as
+# infeasible at this SF (reported separately, never a FAIL). 0 = no cap.
+import threading
+TIMEOUT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+timeouts = []
+
 fails, passes, skips = [], [], []
 for n in missing:
     fails.append((n, "no result directory (Verify failed or stale outDir)"))
@@ -43,7 +50,26 @@ for name in sorted(os.listdir(out)):
         skips.append((name, len(got)))
         continue
     try:
-        exp = con.sql(oracle[name]).df()
+        if TIMEOUT > 0:
+            res = {}
+            def work():
+                try:
+                    res["df"] = con.sql(oracle[name]).df()
+                except Exception as e:
+                    res["err"] = e
+            th = threading.Thread(target=work, daemon=True)
+            th.start()
+            th.join(TIMEOUT)
+            if th.is_alive():
+                con.interrupt()
+                th.join(30)
+                timeouts.append(name)
+                continue
+            if "err" in res:
+                raise res["err"]
+            exp = res["df"]
+        else:
+            exp = con.sql(oracle[name]).df()
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
         continue
@@ -71,6 +97,9 @@ for name in sorted(os.listdir(out)):
 
 print(f"PASS {len(passes)}: {' '.join(passes)}")
 print(f"ROWS-ONLY {len(skips)}: {' '.join(n for n, _ in skips)}")
+if TIMEOUT > 0:
+    print(f"ORACLE-TIMEOUT {len(timeouts)} (> {TIMEOUT:.0f}s in DuckDB at "
+          f"this SF): {' '.join(timeouts)}")
 print(f"FAIL {len(fails)}")
 for n, m in fails:
     print(f"  {n}: {m}")

@@ -168,7 +168,13 @@ object EventQueries {
     headline = true)
 
   /** Gold analytics (SURVEY §7.6 backtesting shapes): per-user event-value
-    * returns (lag) and 5-row moving average. */
+    * returns (lag) and 5-row moving average. Outputs are scaled integers
+    * built with `floor(x*scale + 0.5)` — IEEE double ops are deterministic
+    * across engines, so there is no decimal-round tie surface (the sf0.1
+    * sweep caught `round(x, 6)` splitting a half-way double 1 ulp apart
+    * between Spark's shortest-decimal HALF_UP and DuckDB's binary round).
+    * ma5 averages exact integer cents, so window summation order is
+    * irrelevant too. */
   private val returns = Q(
     "gold_returns_moving_avg",
     (s, dir) => {
@@ -177,20 +183,26 @@ object EventQueries {
       val ma = byUser.rowsBetween(-4, Window.currentRow)
       ev(s, dir)
         .withColumn("prev_value", lag($"value", 1).over(byUser))
-        .select($"event_id", $"user_id",
-          round($"value", 2).as("value"),
-          round($"value" / nullif($"prev_value", lit(0.0)) - 1, 6).as("ret"),
-          round(avg($"value").over(ma), 6).as("ma5"))
+        .withColumn("value_c2", floor($"value" * 100 + 0.5))
+        .select($"event_id", $"user_id", $"value_c2",
+          floor(($"value" / nullif($"prev_value", lit(0.0)) - 1) * 1e6 + 0.5)
+            .as("ret_e6"),
+          avg($"value_c2").over(ma).as("ma5_c2"))
         .orderBy($"event_id")
     },
-    Some("""SELECT event_id, user_id, round(value, 2) AS value,
-           |  round(value / nullif(lag(value) OVER w, 0) - 1, 6) AS ret,
-           |  round(avg(value) OVER
+    Some("""WITH base AS (
+           |  SELECT event_id, user_id, ts, value,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c2,
+           |    lag(value) OVER
+           |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+           |  FROM events)
+           |SELECT event_id, user_id, value_c2,
+           |  CAST(floor((value / nullif(prev_value, 0) - 1) * 1000000 + 0.5)
+           |       AS BIGINT) AS ret_e6,
+           |  avg(value_c2) OVER
            |    (PARTITION BY user_id ORDER BY ts, event_id
-           |     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5
-           |FROM events
-           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-           |ORDER BY event_id""".stripMargin),
+           |     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5_c2
+           |FROM base ORDER BY event_id""".stripMargin),
     headline = true)
 
   /** SCD Type-2 dimension history: each user's event_type change log,

@@ -378,9 +378,12 @@ object VectorQueries {
     *                      reconstruction distance — ADC *is* that
     *                      distance, so banding/heap/rank bugs break this
     *                      regardless of data distribution,
-    *   recall10_ok      — ≥ 2 of the exact-L2 top-10 survive in the ADC
-    *                      top-10 (quality floor; measured 3–6 for these
-    *                      query ids at both oracle SFs, m=16),
+    *   recall10_n       — MEASURED recall: |ADC top-10 ∩ exact-L2
+    *                      top-10|, hash-pinned against a full SQL replay
+    *                      of both searches (an asserted "≥ N" floor is
+    *                      not an invariant — the sf0.1 sweep caught the
+    *                      IVF-PQ variant legitimately at 0 on one query
+    *                      at 10× the fixture size),
     *   n_total          — exact corpus count, hash-comparable.
     * Search cost posture: codebooks are literal, encode is scan-local,
     * queries broadcast, finish is the bounded-heap TopKAggregator. */
@@ -437,15 +440,12 @@ object VectorQueries {
           (size($"adc_d") === 10 &&
             forall(zip_with($"adc_d", $"recon_d", (a, b) => abs(a - b) <= 1e-9),
               x => x)).as("adc_topk_ok"),
-          (size(array_intersect($"adc_ids", $"exact_ids")) >= 2).as("recall10_ok"),
+          size(array_intersect($"adc_ids", $"exact_ids")).as("recall10_n"),
           $"n_total")
         .orderBy($"query_id")
     },
-    Some("""SELECT vec_id AS query_id, true AS codes_in_range,
-           |       true AS lut_identity_ok, true AS adc_topk_ok,
-           |       true AS recall10_ok,
-           |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
-           |FROM embeddings WHERE vec_id < 4 ORDER BY query_id""".stripMargin),
+    None,
+    oracleFor = Some((s, dir) => pqRecallOracle(pqCbs(s, dir))),
     gate = true)
 
   /** Render the nested codebooks as a DuckDB literal table
@@ -466,7 +466,11 @@ object VectorQueries {
     * array_position-of-min), adc2 = Σ_s ‖q_sub − cb[s][code_s]‖² — the
     * LUT-sum ≡ reconstruction-distance identity sim_pq_invariants pins —
     * ranked (adc2 asc, neighbor_id asc), the TopKAggregator order. */
-  private def pqTopkOracle(cbs: Seq[Seq[Seq[Double]]]): String = {
+  /** The shared PQ replay CTE chain (codebook literal → encode → ADC
+    * sums for queries `vec_id < nq`), ending at `adc(query_id,
+    * neighbor_id, adc2)`. Finishers below rank it (topk twin) or
+    * intersect it with exact search (recall twin). */
+  private def pqAdcCtes(cbs: Seq[Seq[Seq[Double]]], nq: Int): String = {
     val m = cbs.size
     val sub = cbs.head.head.size
     s"""WITH cb(s, code, c) AS (VALUES ${cbValues(cbs)}),
@@ -487,14 +491,49 @@ object VectorQueries {
        |  FROM sl q
        |  JOIN enc en ON en.s = q.s AND en.vec_id <> q.vec_id
        |  JOIN cb ON cb.s = en.s AND cb.code = en.code
-       |  WHERE q.vec_id < 5),
+       |  WHERE q.vec_id < $nq),
        |adc AS (SELECT query_id, neighbor_id, sum(sd2) adc2
-       |        FROM pairsub GROUP BY 1, 2)
+       |        FROM pairsub GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def pqTopkOracle(cbs: Seq[Seq[Seq[Double]]]): String =
+    s"""${pqAdcCtes(cbs, 5)}
        |SELECT query_id, rank, neighbor_id, round(adc2, 6) adc2 FROM (
        |  SELECT *, (row_number() OVER
        |    (PARTITION BY query_id ORDER BY adc2, neighbor_id))::INT rank
        |  FROM adc)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Recall twin for sim_pq_invariants: replay the ADC top-10 AND the
+    * exact-L2 top-10, intersect — `recall10_n` is a MEASURED, hash-pinned
+    * count, not an asserted floor. (The sf0.1 sweep showed why: "≥ N
+    * survivors" is an empirical observation about one SF's data, not an
+    * invariant — IVF-PQ recall legitimately hit 0 on one query at 10×
+    * the fixture size. Both top-10 legs break distance ties by id, the
+    * same order TopKAggregator uses: (score desc, id asc).) */
+  private def pqRecallOracle(cbs: Seq[Seq[Seq[Double]]]): String = {
+    val d = cbs.size * cbs.head.head.size
+    s"""${pqAdcCtes(cbs, 4)},
+       |adcids AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY adc2, neighbor_id) rank
+       |    FROM adc) WHERE rank <= 10),
+       |exact AS (SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id query_id, t.vec_id, row_number() OVER
+       |      (PARTITION BY q.vec_id ORDER BY
+       |        list_sum([(q.v[i+1]-t.v[i+1])*(q.v[i+1]-t.v[i+1])
+       |                  FOR i IN generate_series(0, ${d - 1})]), t.vec_id) rn
+       |    FROM e q CROSS JOIN e t
+       |    WHERE q.vec_id < 4 AND t.vec_id <> q.vec_id) WHERE rn <= 10),
+       |recall AS (SELECT a.query_id, count(*) n FROM adcids a
+       |  JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.vec_id AS query_id, true AS codes_in_range,
+       |       true AS lut_identity_ok, true AS adc_topk_ok,
+       |       coalesce(r.n, 0)::INT AS recall10_n,
+       |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
+       |FROM e q LEFT JOIN recall r ON r.query_id = q.vec_id
+       |WHERE q.vec_id < 4 ORDER BY query_id""".stripMargin
   }
 
   /** The PQ search surface itself. Driver-checked at full rows+schema+
@@ -534,8 +573,12 @@ object VectorQueries {
     *                         distances equal (as multisets) a brute-force
     *                         top-k over the reconstruction distance
     *                         restricted to the probed lists,
-    *   recall10_ok         — ≥ 1 of the exact-L2 top-10 survives
-    *                         (measured 1–6 at both oracle SFs),
+    *   recall10_n          — MEASURED recall |ADC top-10 ∩ exact-L2
+    *                         top-10|, hash-pinned against full replay
+    *                         (legitimately 0 for query 0 at sf0.1 —
+    *                         nprobe=3 over 8 lists misses all exact
+    *                         neighbors there; measuring, not asserting,
+    *                         is the scale-honest gate),
     *   n_total             — exact corpus count, hash-comparable. */
   private val ivfPqInv = Q(
     "sim_ivfpq_invariants",
@@ -613,15 +656,12 @@ object VectorQueries {
           (size($"adc_d") === 10 &&
             forall(zip_with($"adc_d", $"restr_d", (a, b) => abs(a - b) <= 1e-9),
               x => x)).as("restricted_exact_ok"),
-          (size(array_intersect($"adc_ids", $"exact_ids")) >= 1).as("recall10_ok"),
+          size(array_intersect($"adc_ids", $"exact_ids")).as("recall10_n"),
           $"n_total")
         .orderBy($"query_id")
     },
-    Some("""SELECT vec_id AS query_id, true AS codes_in_range,
-           |       true AS adc_identity_ok, true AS probed_ok,
-           |       true AS restricted_exact_ok, true AS recall10_ok,
-           |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
-           |FROM embeddings WHERE vec_id < 4 ORDER BY query_id""".stripMargin),
+    None,
+    oracleFor = Some((s, dir) => ivfPqRecallOracle(ivfPqCbs(s, dir))),
     gate = true)
 
   /** DuckDB twin for sim_ivfpq_topk: residual codebooks as a literal
@@ -631,7 +671,10 @@ object VectorQueries {
     * candidates restricted to probed lists, adc2 =
     * Σ_s ‖(q−c)_sub − cb[s][code_s]‖² (the reconstruction identity
     * sim_ivfpq_invariants pins), ranked (adc2 asc, neighbor_id asc). */
-  private def ivfPqTopkOracle(cbs: Seq[Seq[Seq[Double]]]): String = {
+  /** The shared IVF-PQ replay CTE chain (coarse assign → residual encode
+    * → probe sets for queries `vec_id < nq` → list-restricted ADC sums),
+    * ending at `adc(query_id, neighbor_id, adc2)`. */
+  private def ivfPqAdcCtes(cbs: Seq[Seq[Seq[Double]]], nq: Int): String = {
     val m = cbs.size
     val sub = cbs.head.head.size
     val d = m * sub
@@ -665,7 +708,7 @@ object VectorQueries {
        |    SELECT q.vec_id query_id, c.centroid_id, row_number() OVER
        |      (PARTITION BY q.vec_id ORDER BY ${l2("q.v", "c.cv")},
        |       c.centroid_id) pr
-       |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE pr <= 3),
+       |    FROM e q CROSS JOIN cent c WHERE q.vec_id < $nq) WHERE pr <= 3),
        |qres AS (SELECT p.query_id, p.centroid_id,
        |    [q.v[i+1]-c.cv[i+1] FOR i IN generate_series(0, ${d - 1})] rv
        |  FROM probes p JOIN e q ON q.vec_id = p.query_id
@@ -681,12 +724,47 @@ object VectorQueries {
        |             AND en.vec_id <> q.query_id
        |  JOIN cb ON cb.s = en.s AND cb.code = en.code),
        |adc AS (SELECT query_id, neighbor_id, sum(sd2) adc2
-       |        FROM pairsub GROUP BY 1, 2)
+       |        FROM pairsub GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def ivfPqTopkOracle(cbs: Seq[Seq[Seq[Double]]]): String =
+    s"""${ivfPqAdcCtes(cbs, 5)}
        |SELECT query_id, rank, neighbor_id, round(adc2, 6) adc2 FROM (
        |  SELECT *, (row_number() OVER
        |    (PARTITION BY query_id ORDER BY adc2, neighbor_id))::INT rank
        |  FROM adc)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Recall twin for sim_ivfpq_invariants — same shape as
+    * [[pqRecallOracle]]: both searches fully replayed, `recall10_n`
+    * hash-pinned. This is the query whose "≥ 1 survivor" floor the
+    * sf0.1 sweep falsified (query 0 at 2000 vectors, nprobe=3: the
+    * probed lists simply don't contain any exact top-10 member — real
+    * ANN behavior, so the gate now measures it instead of asserting). */
+  private def ivfPqRecallOracle(cbs: Seq[Seq[Seq[Double]]]): String = {
+    val d = cbs.size * cbs.head.head.size
+    s"""${ivfPqAdcCtes(cbs, 4)},
+       |adcids AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY adc2, neighbor_id) rank
+       |    FROM adc) WHERE rank <= 10),
+       |exact AS (SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id query_id, t.vec_id, row_number() OVER
+       |      (PARTITION BY q.vec_id ORDER BY
+       |        list_sum([(q.v[i+1]-t.v[i+1])*(q.v[i+1]-t.v[i+1])
+       |                  FOR i IN generate_series(0, ${d - 1})]), t.vec_id) rn
+       |    FROM e q CROSS JOIN e t
+       |    WHERE q.vec_id < 4 AND t.vec_id <> q.vec_id) WHERE rn <= 10),
+       |recall AS (SELECT a.query_id, count(*) n FROM adcids a
+       |  JOIN exact x ON x.query_id = a.query_id AND x.vec_id = a.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.vec_id AS query_id, true AS codes_in_range,
+       |       true AS adc_identity_ok, true AS probed_ok,
+       |       true AS restricted_exact_ok,
+       |       coalesce(r.n, 0)::INT AS recall10_n,
+       |       (SELECT count(*) FROM embeddings)::BIGINT AS n_total
+       |FROM e q LEFT JOIN recall r ON r.query_id = q.vec_id
+       |WHERE q.vec_id < 4 ORDER BY query_id""".stripMargin
   }
 
   /** The IVF-PQ search surface itself. Driver-checked at full
