@@ -103,4 +103,28 @@ if TIMEOUT > 0:
 print(f"FAIL {len(fails)}")
 for n, m in fails:
     print(f"  {n}: {m}")
+
+# Optional driver-shaped JSON artifact (GRAFT_CHECK_JSON=<path>): one
+# entry per query, same keys as CORRECTNESS_r{N}.json, with
+# "oracle_timeout" marking an infeasible DuckDB twin at this SF.
+if os.environ.get("GRAFT_CHECK_JSON"):
+    fail_map = dict(fails)
+    entries = {}
+    for n in passes:
+        entries[n] = {"rows_match": True, "schema_match": True,
+                      "hash_match": True, "err": None}
+    for n, rows in skips:
+        entries[n] = {"rows_match": rows > 0, "schema_match": None,
+                      "hash_match": None, "err": None, "rows_only": True}
+    for n in timeouts:
+        entries[n] = {"rows_match": None, "schema_match": None,
+                      "hash_match": None, "err": None, "oracle_timeout": True}
+    for n, m in fails:
+        entries[n] = {"rows_match": False, "schema_match": False,
+                      "hash_match": False, "err": m}
+    with open(os.environ["GRAFT_CHECK_JSON"], "w") as f:
+        json.dump({"sf": sf, "oracle_timeout_sec": TIMEOUT or None,
+                   "pass": len(passes), "rows_only": len(skips),
+                   "oracle_timeout": len(timeouts), "fail": len(fails),
+                   "queries": dict(sorted(entries.items()))}, f, indent=1)
 sys.exit(1 if fails else 0)
