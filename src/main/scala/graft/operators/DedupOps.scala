@@ -113,8 +113,8 @@ object DedupOps {
         (col("a.sz") + col("b.sz")).as("szsum"))
       .filter(graft.functions.OptimizerBarrier(
         col("common").cast("double") / (col("szsum") - col("common")) >= threshold))
-      .select(col("id_a"), col("id_b"), round(col("common").cast("double") /
-        (col("szsum") - col("common")), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), (floor((col("common").cast("double") /
+        (col("szsum") - col("common"))) * 1e6 + 0.5) / 1e6).as("jaccard"))
   }
 
   /** Candidate pairs via inverted index: explode each doc's distinct
@@ -194,7 +194,7 @@ object DedupOps {
         graft.functions.SortedLongOverlapCount(col("s_a"), col("s_b")).cast("double"))
       .withColumn("raw", col("common") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("raw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("raw"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), (floor((col("raw")) * 1e6 + 0.5) / 1e6).as("jaccard"))
   }
 
   /** Cost-based exact pair generator: [[jaccardPairsDense]] and
@@ -265,7 +265,7 @@ object DedupOps {
         sum(when(col("n_occ") >= 2, 1).otherwise(0)).cast("int")
           .as("n_dup_windows"))
       .withColumn("dup_frac",
-        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+        (floor((col("n_dup_windows").cast("double") / col("n_windows")) * 1e6 + 0.5) / 1e6))
   }
 
   /** Asymmetric containment join: C(A→B) = |A∩B| / |A| — finds docs
@@ -345,8 +345,8 @@ object DedupOps {
         greatest(col("common") / col("sz_a"),
           col("common") / col("sz_b")) >= threshold))
       .select(col("id_a"), col("id_b"),
-        round(col("common") / col("sz_a"), 6).as("containment_ab"),
-        round(col("common") / col("sz_b"), 6).as("containment_ba"))
+        (floor((col("common") / col("sz_a")) * 1e6 + 0.5) / 1e6).as("containment_ab"),
+        (floor((col("common") / col("sz_b")) * 1e6 + 0.5) / 1e6).as("containment_ba"))
 
   /** Cost-based containment generator — same decision shape as
     * [[jaccardPairsAuto]] (one column-pruned count against the measured
@@ -418,8 +418,8 @@ object DedupOps {
         coalesce(max(col("eba")), lit(0.0)).as("rba"))
       .filter(greatest(col("rab"), col("rba")) >= threshold)
       .select(col("id_a"), col("id_b"),
-        round(col("rab"), 6).as("containment_ab_est"),
-        round(col("rba"), 6).as("containment_ba_est"))
+        (floor((col("rab")) * 1e6 + 0.5) / 1e6).as("containment_ab_est"),
+        (floor((col("rba")) * 1e6 + 0.5) / 1e6).as("containment_ba_est"))
   }
 
   /** MinHash signature: k permutation-min values over the shingle set.

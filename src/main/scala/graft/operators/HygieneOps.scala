@@ -158,8 +158,8 @@ object HygieneOps {
   def repetitionRatio(text: Column, n: Int): Column = {
     val total = TextOps.tokenCount(text) - (n - 1)
     when(total <= 0, lit(0.0)).otherwise(
-      round(lit(1.0) - size(array_distinct(TextOps.shingles(text, n)))
-        .cast("double") / total, 6))
+      (floor((lit(1.0) - size(array_distinct(TextOps.shingles(text, n)))
+        .cast("double") / total) * 1e6 + 0.5) / 1e6))
   }
 
   /** Top-token dominance: most frequent token's share of all tokens.
@@ -169,7 +169,7 @@ object HygieneOps {
     docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
       .groupBy(col(idCol))
-      .agg(round(max(col("n")).cast("double") / sum(col("n")), 6)
+      .agg((floor((max(col("n")).cast("double") / sum(col("n"))) * 1e6 + 0.5) / 1e6)
         .as("top_token_ratio"))
 
   /** Gopher-style quality gate: per-doc metrics plus the conjunction
@@ -214,8 +214,8 @@ object HygieneOps {
     val b = benchmark.select(VectorOps.toDouble(col(vecCol)).as("bv"))
       .withColumn("bnrm", VectorOps.norm(col("bv")))
     c.crossJoin(broadcast(b))
-      .withColumn("cos", round(
-        VectorOps.cosinePrenormed(col("v"), col("bv"), col("nrm"), col("bnrm")), 6))
+      .withColumn("cos", (floor((
+        VectorOps.cosinePrenormed(col("v"), col("bv"), col("nrm"), col("bnrm"))) * 1e6 + 0.5) / 1e6))
       .groupBy(col("id"))
       .agg(max(col("cos")).as("max_cos"))
       .withColumn("contaminated", col("max_cos") >= threshold)

@@ -125,7 +125,7 @@ object SamplingOps {
                      k: Int): DataFrame = {
     val u = (TextOps.hash32(concat(col(keyCol).cast("string"), lit(":ws")))
       + 1.0) / 4294967296.0
-    df.withColumn("__wkey", round(log(u) / col(weightCol), 12))
+    df.withColumn("__wkey", (floor((log(u) / col(weightCol)) * 1e12 + 0.5) / 1e12))
       .orderBy(col("__wkey").desc, col(keyCol))
       .limit(k)
       .drop("__wkey")
@@ -153,11 +153,11 @@ object SamplingOps {
       .agg(count(lit(1)).as("n_docs"))
     val totals = counts.agg(
       sum(col("n_docs")).cast("double").as("tot"),
-      round(sum(pow(col("n_docs").cast("double"), alpha)), 6).as("pa"))
+      (floor((sum(pow(col("n_docs").cast("double"), alpha))) * 1e6 + 0.5) / 1e6).as("pa"))
     counts.crossJoin(broadcast(totals))
       .select(col(domainCol), col("n_docs"),
-        round(col("n_docs") / col("tot"), 6).as("p_raw"),
-        round(pow(col("n_docs").cast("double"), alpha) / col("pa"), 6)
+        (floor((col("n_docs") / col("tot")) * 1e6 + 0.5) / 1e6).as("p_raw"),
+        (floor((pow(col("n_docs").cast("double"), alpha) / col("pa")) * 1e6 + 0.5) / 1e6)
           .as("w_temp"))
   }
 

@@ -41,18 +41,18 @@ object TextOps {
     * `size(filter(toks, isin))` runs interpreted and re-splits the text
     * per element. */
   def stopwordRatio(text: Column): Column =
-    round(graft.functions.StringSetCount(tokens(text), stopwords)
-      .cast("double") / size(tokens(text)), 6)
+    (floor((graft.functions.StringSetCount(tokens(text), stopwords)
+      .cast("double") / size(tokens(text))) * 1e6 + 0.5) / 1e6)
 
   /** Ratio of non-alphanumeric, non-space chars to total length. */
   def punctRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
-      .cast("double") / length(text), 6)
+    (floor((length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+      .cast("double") / length(text)) * 1e6 + 0.5) / 1e6)
 
   /** Mean token length — a crude fluency signal. */
   def meanTokenLength(text: Column): Column = {
     val toks = tokens(text)
-    round((length(text) - size(toks) + 1).cast("double") / size(toks), 6)
+    (floor(((length(text) - size(toks) + 1).cast("double") / size(toks)) * 1e6 + 0.5) / 1e6)
   }
 
   /** Composite quality score in [0,1]: long enough, low punctuation,
@@ -62,7 +62,7 @@ object TextOps {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    round(lenScore * 0.5 + punctPenalty * 0.3 + stopScore * 0.2, 6)
+    (floor((lenScore * 0.5 + punctPenalty * 0.3 + stopScore * 0.2) * 1e6 + 0.5) / 1e6)
   }
 
   /** Per-language marker tokens for the n-gram-ish language heuristic. */
@@ -156,7 +156,7 @@ object TextOps {
       .crossJoin(n)
       .filter(col("df") <= lit(dfCapFrac) * col("__n"))
       .select(col("id"), col("token"),
-        round(col("tf_idf"), 6).cast("decimal(18,6)").as("w"))
+        (floor((col("tf_idf")) * 1e6 + 0.5) / 1e6).cast("decimal(18,6)").as("w"))
       .cut(eager = false)
     val norms = w.groupBy(col("id"))
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
@@ -172,7 +172,7 @@ object TextOps {
       .groupBy(col("qid"), col("id"), col("qn"), col("nrm"))
       .agg(sum(col("qw") * col("w")).as("dot"))
       .select(col("qid"),
-        round(col("dot").cast("double") / (col("qn") * col("nrm")), 6)
+        (floor((col("dot").cast("double") / (col("qn") * col("nrm"))) * 1e6 + 0.5) / 1e6)
           .as("cos"),
         col("id"))
       .groupBy(col("qid"))
@@ -520,7 +520,7 @@ object TextOps {
     toks.join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(when(col("__in_vocab"), 0.0).otherwise(1.0)), 6)
+        (floor((avg(when(col("__in_vocab"), 0.0).otherwise(1.0))) * 1e6 + 0.5) / 1e6)
           .as("oov_rate"))
   }
 }

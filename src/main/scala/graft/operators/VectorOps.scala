@@ -50,8 +50,8 @@ object VectorOps {
       .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(
-        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+      .withColumn("cos", (floor((
+        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"))) * 1e6 + 0.5) / 1e6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -193,8 +193,8 @@ object VectorOps {
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.blk") === col("b.bi") && col("a.bj") === col("b.blk") &&
           (col("a.blk") =!= col("b.blk") || col("a.id") < col("b.id")))
-      .withColumn("cos", round(cosinePrenormed(col("a.v"), col("b.v"),
-        col("a.nrm"), col("b.nrm")), 6))
+      .withColumn("cos", (floor((cosinePrenormed(col("a.v"), col("b.v"),
+        col("a.nrm"), col("b.nrm"))) * 1e6 + 0.5) / 1e6))
       .filter(col("cos") >= threshold)
       .select(col("a.centroid_id").as("cluster"),
         least(col("a.id"), col("b.id")).as("id_a"),
@@ -228,8 +228,8 @@ object VectorOps {
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("centroid_id"))
     val probes = q.crossJoin(broadcast(cent))
-      .withColumn("pcos", round(
-        cosinePrenormed(col("qv"), col("pv"), col("qn"), col("pn")), 6))
+      .withColumn("pcos", (floor((
+        cosinePrenormed(col("qv"), col("pv"), col("qn"), col("pn"))) * 1e6 + 0.5) / 1e6))
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
@@ -240,8 +240,8 @@ object VectorOps {
     val topk = udaf(new graft.functions.TopKAggregator(k))
     lists.join(broadcast(probes), "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(
-        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+      .withColumn("cos", (floor((
+        cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn"))) * 1e6 + 0.5) / 1e6))
       .groupBy(col("query_id"))
       .agg(topk(col("cos"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -459,8 +459,8 @@ object VectorOps {
       toDouble(col(centroidVecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
     v.crossJoin(broadcast(c))
-      .withColumn("cos", round(
-        cosinePrenormed(col("v"), col("cv"), col("vn"), col("cn")), 6))
+      .withColumn("cos", (floor((
+        cosinePrenormed(col("v"), col("cv"), col("vn"), col("cn"))) * 1e6 + 0.5) / 1e6))
       .groupBy(col(idCol))
       .agg(max_by(struct(col("centroid_id"), col("cos")),
         struct(col("cos"), -col("centroid_id"))).as("best"))

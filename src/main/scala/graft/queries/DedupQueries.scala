@@ -62,8 +62,8 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
        |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id)
        |SELECT a AS id_a, b AS id_b,
-       |       round(len(list_intersect(sa.s, sb.s))::DOUBLE
-       |             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+       |       (floor((len(list_intersect(sa.s, sb.s))::DOUBLE
+       |             / len(list_distinct(list_concat(sa.s, sb.s)))) * 1e6 + 0.5) / 1e6) AS jaccard
        |FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
        |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
        |      / len(list_distinct(list_concat(sa.s, sb.s))) >= $t
@@ -197,7 +197,7 @@ object DedupQueries {
         .withColumn("raw", size(array_intersect($"s_a", $"s_b")).cast("double") /
           size(array_union($"s_a", $"s_b")))
         .filter($"raw" >= 0.8)
-        .select($"id_a", $"id_b", round($"raw", 6).as("jaccard"))
+        .select($"id_a", $"id_b", (floor(($"raw") * 1e6 + 0.5) / 1e6).as("jaccard"))
         .orderBy($"id_a", $"id_b")
     },
     Some {
@@ -216,8 +216,8 @@ object DedupQueries {
          |         FROM banded l JOIN banded r
          |           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
          |SELECT a AS id_a, b AS id_b,
-         |       round(len(list_intersect(sa.s, sb.s))::DOUBLE
-         |             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+         |       (floor((len(list_intersect(sa.s, sb.s))::DOUBLE
+         |             / len(list_distinct(list_concat(sa.s, sb.s)))) * 1e6 + 0.5) / 1e6) AS jaccard
          |FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
          |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
          |      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
@@ -372,7 +372,7 @@ object DedupQueries {
            |        sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)::INT AS n_dup_windows
            |      FROM w JOIN g USING (win) GROUP BY doc_id)
            |SELECT doc_id, n_windows, n_dup_windows,
-           |       round(n_dup_windows / n_windows::DOUBLE, 6) AS dup_frac
+           |       (floor((n_dup_windows / n_windows::DOUBLE) * 1e6 + 0.5) / 1e6) AS dup_frac
            |FROM p ORDER BY doc_id""".stripMargin))
 
   /** Duplicate-SPAN excision over the same rolling 8-token windows as
@@ -434,8 +434,8 @@ object DedupQueries {
             |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             |      WHERE len(a.s) > 0 AND len(b.s) > 0)
             |SELECT ia AS id_a, ib AS id_b,
-            |       round(shared/sa, 6) AS containment_ab,
-            |       round(shared/sb, 6) AS containment_ba
+            |       (floor((shared/sa) * 1e6 + 0.5) / 1e6) AS containment_ab,
+            |       (floor((shared/sb) * 1e6 + 0.5) / 1e6) AS containment_ba
             |FROM c WHERE greatest(shared/sa, shared/sb) >= 0.8
             |ORDER BY id_a, id_b""".stripMargin))
 
@@ -487,8 +487,8 @@ object DedupQueries {
             |          coalesce(max(CASE WHEN a > b THEN est END), 0) rba
             |        FROM dir GROUP BY 1, 2)
             |SELECT id_a, id_b,
-            |       round(rab, 6) AS containment_ab_est,
-            |       round(rba, 6) AS containment_ba_est
+            |       (floor((rab) * 1e6 + 0.5) / 1e6) AS containment_ab_est,
+            |       (floor((rba) * 1e6 + 0.5) / 1e6) AS containment_ba_est
             |FROM und WHERE greatest(rab, rba) >= 0.8
             |ORDER BY id_a, id_b""".stripMargin))
 
@@ -593,18 +593,18 @@ object DedupQueries {
             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
             |q AS (
             |  SELECT doc_id,
-            |    round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-            |          / length(text), 6) AS punct_ratio,
-            |    round(len(list_filter(string_split(text,' '),
+            |    (floor((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+            |          / length(text)) * 1e6 + 0.5) / 1e6) AS punct_ratio,
+            |    (floor((len(list_filter(string_split(text,' '),
             |              t -> t IN ('the','a','of','and','to','in')))::DOUBLE
-            |          / len(string_split(text,' ')), 6) AS stopword_ratio,
+            |          / len(string_split(text,' '))) * 1e6 + 0.5) / 1e6) AS stopword_ratio,
             |    length(text) AS n
             |  FROM documents),
             |qual AS (
             |  SELECT doc_id,
-            |    round(least(n::DOUBLE/500.0, 1.0)*0.5
+            |    (floor((least(n::DOUBLE/500.0, 1.0)*0.5
             |          + (1.0 - least(punct_ratio*5.0, 1.0))*0.3
-            |          + least(stopword_ratio*4.0, 1.0)*0.2, 6) AS quality
+            |          + least(stopword_ratio*4.0, 1.0)*0.2) * 1e6 + 0.5) / 1e6) AS quality
             |  FROM q),
             |labeled AS (
             |  SELECT d2.doc_id, coalesce(min(reach.r), d2.doc_id) AS rep
@@ -669,8 +669,8 @@ object DedupQueries {
           sum($"n_tokens".cast("bigint")).as("total_tokens"),
           // round BEFORE the bigint cast: Spark casts truncate where
           // DuckDB casts round — both sides round explicitly
-          round((sum(round($"quality" * 1e6, 0).cast("bigint")) /
-            (count(lit(1)) * lit(1e6))), 6).as("avg_quality"))
+          (floor(((sum((floor(($"quality" * 1e6) * 1e0 + 0.5) / 1e0).cast("bigint")) /
+            (count(lit(1)) * lit(1e6)))) * 1e6 + 0.5) / 1e6).as("avg_quality"))
         .orderBy($"lang")
     },
     Some(s"""WITH RECURSIVE g0 AS (
@@ -704,12 +704,12 @@ object DedupQueries {
             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
             |qual AS (
             |  SELECT doc_id, lang,
-            |    round(least(length(text)::DOUBLE/500.0, 1.0)*0.5
-            |      + (1.0 - least(round(length(regexp_replace(text,'[a-zA-Z0-9 ]','','g'))::DOUBLE
-            |                           / length(text), 6)*5.0, 1.0))*0.3
-            |      + least(round(len(list_filter(string_split(text,' '),
+            |    (floor((least(length(text)::DOUBLE/500.0, 1.0)*0.5
+            |      + (1.0 - least((floor((length(regexp_replace(text,'[a-zA-Z0-9 ]','','g'))::DOUBLE
+            |                           / length(text)) * 1e6 + 0.5) / 1e6)*5.0, 1.0))*0.3
+            |      + least((floor((len(list_filter(string_split(text,' '),
             |                        t -> t IN ('the','a','of','and','to','in')))::DOUBLE
-            |                    / len(string_split(text,' ')), 6)*4.0, 1.0)*0.2, 6) AS quality,
+            |                    / len(string_split(text,' '))) * 1e6 + 0.5) / 1e6)*4.0, 1.0)*0.2) * 1e6 + 0.5) / 1e6) AS quality,
             |    len(string_split(text,' '))::INT AS n_tokens
             |  FROM gate),
             |labeled AS (
@@ -723,7 +723,7 @@ object DedupQueries {
             |  FROM labeled l JOIN qual q ON q.doc_id = l.doc_id)
             |SELECT lang, count(*)::BIGINT AS n_docs,
             |       sum(n_tokens::BIGINT)::BIGINT AS total_tokens,
-            |       round(sum(round(quality*1e6, 0)::BIGINT) / (count(*) * 1e6), 6)
+            |       (floor((sum((floor((quality*1e6) * 1e0 + 0.5) / 1e0)::BIGINT) / (count(*) * 1e6)) * 1e6 + 0.5) / 1e6)
             |         AS avg_quality
             |FROM ranked WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin))
 
@@ -756,7 +756,7 @@ object DedupQueries {
         .withColumn("raw", size(array_intersect($"s_a", $"s_b")).cast("double") /
           size(array_union($"s_a", $"s_b")))
         .filter($"raw" >= 0.8)
-        .select($"batch_id", $"hist_id", round($"raw", 6).as("jaccard"))
+        .select($"batch_id", $"hist_id", (floor(($"raw") * 1e6 + 0.5) / 1e6).as("jaccard"))
         .orderBy($"batch_id", $"hist_id")
     },
     Some {
@@ -776,8 +776,8 @@ object DedupQueries {
          |           ON l.band = r.band AND l.bucket = r.bucket
          |          AND l.doc_id % 3 = 0 AND r.doc_id % 3 <> 0)
          |SELECT batch_id, hist_id,
-         |       round(len(list_intersect(sa.s, sb.s))::DOUBLE
-         |             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+         |       (floor((len(list_intersect(sa.s, sb.s))::DOUBLE
+         |             / len(list_distinct(list_concat(sa.s, sb.s)))) * 1e6 + 0.5) / 1e6) AS jaccard
          |FROM cand JOIN sh sa ON sa.doc_id = batch_id JOIN sh sb ON sb.doc_id = hist_id
          |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
          |      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
@@ -823,7 +823,7 @@ object DedupQueries {
         .withColumn("raw", size(array_intersect($"s_a", $"s_b")).cast("double") /
           size(array_union($"s_a", $"s_b")))
         .filter($"raw" >= 0.8)
-        .select($"batch_id", $"hist_id", round($"raw", 6).as("jaccard"))
+        .select($"batch_id", $"hist_id", (floor(($"raw") * 1e6 + 0.5) / 1e6).as("jaccard"))
         .orderBy($"batch_id", $"hist_id")
     },
     minhashDelta.oracle)
@@ -859,8 +859,8 @@ object DedupQueries {
         .withColumn("cba", $"inter" / size($"s_b"))
         .filter(greatest($"cab", $"cba") >= 0.8)
         .select($"id_a", $"id_b",
-          round($"cab", 6).as("containment_ab"),
-          round($"cba", 6).as("containment_ba"))
+          (floor(($"cab") * 1e6 + 0.5) / 1e6).as("containment_ab"),
+          (floor(($"cba") * 1e6 + 0.5) / 1e6).as("containment_ba"))
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
@@ -888,8 +888,8 @@ object DedupQueries {
             |        FROM cand JOIN sh sa ON sa.doc_id = id_a
             |                  JOIN sh sb ON sb.doc_id = id_b)
             |SELECT id_a, id_b,
-            |       round(inter / la, 6) AS containment_ab,
-            |       round(inter / lb, 6) AS containment_ba
+            |       (floor((inter / la) * 1e6 + 0.5) / 1e6) AS containment_ab,
+            |       (floor((inter / lb) * 1e6 + 0.5) / 1e6) AS containment_ba
             |FROM ver WHERE greatest(inter / la, inter / lb) >= 0.8
             |ORDER BY id_a, id_b""".stripMargin))
 

@@ -30,14 +30,14 @@ object EventQueries {
       import s.implicits._
       ev(s, dir)
         .groupBy(window($"ts", "1 hour"), $"event_type")
-        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), (floor((sum($"value")) * 1e2 + 0.5) / 1e2).as("sum_value"))
         .select(date_format($"window.start", fmt).as("window_start"),
           $"event_type", $"n", $"sum_value")
         .orderBy($"window_start", $"event_type")
     },
     Some("""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
            |         AS window_start,
-           |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |       event_type, count(*) AS n, (floor((sum(value)) * 1e2 + 0.5) / 1e2) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
     headline = true)
 
@@ -50,7 +50,7 @@ object EventQueries {
         // avg rounded at 6dp, not 4: sum(2dp values)/n has ≤5 exact decimal
         // digits for the common n, so 6dp is never a tie — 4dp hit an exact
         // midpoint where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree.
-        .agg(count(lit(1)).as("n"), round(avg($"value"), 6).as("avg_value"))
+        .agg(count(lit(1)).as("n"), (floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("avg_value"))
         .select(date_format($"window.start", fmt).as("window_start"), $"n", $"avg_value")
         .orderBy($"window_start")
     },
@@ -60,7 +60,7 @@ object EventQueries {
            |           AS window_start, value
            |  FROM events)
            |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-           |       count(*) AS n, round(avg(value), 6) AS avg_value
+           |       count(*) AS n, (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS avg_value
            |FROM w GROUP BY w.window_start ORDER BY window_start""".stripMargin))
 
   /** Session windows with a 10-minute gap, batch gaps-and-islands form:
@@ -84,7 +84,7 @@ object EventQueries {
         .agg(date_format(min($"ts"), fmt).as("session_start"),
           date_format(max($"ts"), fmt).as("session_end"),
           count(lit(1)).as("n_events"),
-          round(sum($"value"), 2).as("sum_value"))
+          (floor((sum($"value")) * 1e2 + 0.5) / 1e2).as("sum_value"))
         .orderBy($"user_id", $"session_seq")
     },
     Some("""WITH flagged AS (
@@ -103,7 +103,7 @@ object EventQueries {
            |SELECT user_id, session_seq,
            |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-           |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+           |       count(*) AS n_events, (floor((sum(value)) * 1e2 + 0.5) / 1e2) AS sum_value
            |FROM sessions GROUP BY user_id, session_seq
            |ORDER BY user_id, session_seq""".stripMargin))
 
@@ -115,11 +115,11 @@ object EventQueries {
         .withColumn("k", get_json_object($"props", "$.k").cast("int"))
         // floor, not int-cast: Spark's cast truncates, DuckDB's rounds
         .groupBy(floor($"k" / 10).cast("int").as("k_bucket"))
-        .agg(count(lit(1)).as("n"), round(avg($"value"), 6).as("avg_value"))
+        .agg(count(lit(1)).as("n"), (floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("avg_value"))
         .orderBy($"k_bucket")
     },
     Some("""SELECT floor(json_extract_string(props, '$.k')::INT / 10)::INT AS k_bucket,
-           |       count(*) AS n, round(avg(value), 6) AS avg_value
+           |       count(*) AS n, (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS avg_value
            |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin))
 
   /** As-of enrichment: each purchase picks up the same user's most recent
@@ -149,9 +149,9 @@ object EventQueries {
         .filter($"side" === 1)
         .select($"event_id", $"user_id",
           date_format($"ts", fmt).as("ts"),
-          round($"value", 2).as("purchase_value"),
+          (floor(($"value") * 1e2 + 0.5) / 1e2).as("purchase_value"),
           date_format($"last_view.ts", fmt).as("last_view_ts"),
-          round($"last_view.view_value", 2).as("last_view_value"))
+          (floor(($"last_view.view_value") * 1e2 + 0.5) / 1e2).as("last_view_value"))
         .orderBy($"event_id")
     },
     Some("""WITH v AS (SELECT user_id, ts, max(value) AS view_value
@@ -160,9 +160,9 @@ object EventQueries {
            |      WHERE event_type = 'purchase')
            |SELECT p.event_id, p.user_id,
            |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-           |       round(p.value, 2) AS purchase_value,
+           |       (floor((p.value) * 1e2 + 0.5) / 1e2) AS purchase_value,
            |       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS last_view_ts,
-           |       round(v.view_value, 2) AS last_view_value
+           |       (floor((v.view_value) * 1e2 + 0.5) / 1e2) AS last_view_value
            |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
            |ORDER BY p.event_id""".stripMargin),
     headline = true)
@@ -256,7 +256,7 @@ object EventQueries {
           feed, "user_id", "ts", "event_id", "op")
         .select($"user_id", $"op".as("last_op"),
           unix_micros($"ts").as("as_of_us"),
-          round($"value", 2).as("value"))
+          (floor(($"value") * 1e2 + 0.5) / 1e2).as("value"))
         .orderBy($"user_id")
     },
     Some("""WITH feed AS (
@@ -270,7 +270,7 @@ object EventQueries {
            |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            |    FROM feed) WHERE rn = 1)
            |SELECT user_id, op AS last_op, epoch_us(ts) AS as_of_us,
-           |       round(value, 2) AS value
+           |       (floor((value) * 1e2 + 0.5) / 1e2) AS value
            |FROM latest WHERE op <> 'D' ORDER BY user_id""".stripMargin))
 
   /** Merge overlapping 5-minute activity intervals per user (gaps-and-
@@ -344,14 +344,14 @@ object EventQueries {
           count($"t3").as("n3"))
       wide.select(explode(array(
           struct(lit(1).as("step"), lit("view").as("event_type"),
-            $"n1".as("n_users"), round(lit(1.0), 6).as("conv_from_prev")),
+            $"n1".as("n_users"), (floor((lit(1.0)) * 1e6 + 0.5) / 1e6).as("conv_from_prev")),
           struct(lit(2).as("step"), lit("click").as("event_type"),
             $"n2".as("n_users"),
-            round(when($"n1" > 0, $"n2".cast("double") / $"n1"), 6)
+            (floor((when($"n1" > 0, $"n2".cast("double") / $"n1")) * 1e6 + 0.5) / 1e6)
               .as("conv_from_prev")),
           struct(lit(3).as("step"), lit("purchase").as("event_type"),
             $"n3".as("n_users"),
-            round(when($"n2" > 0, $"n3".cast("double") / $"n2"), 6)
+            (floor((when($"n2" > 0, $"n3".cast("double") / $"n2")) * 1e6 + 0.5) / 1e6)
               .as("conv_from_prev")))))
         .select($"col.*")
         .orderBy($"step")
@@ -374,13 +374,13 @@ object EventQueries {
            |  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
            |SELECT step, event_type, n_users, conv_from_prev FROM (
            |  SELECT 1::INT AS step, 'view' AS event_type, n1 AS n_users,
-           |         round(1.0::DOUBLE, 6) AS conv_from_prev FROM wide
+           |         (floor((1.0::DOUBLE) * 1e6 + 0.5) / 1e6) AS conv_from_prev FROM wide
            |  UNION ALL
            |  SELECT 2::INT, 'click', n2,
-           |         round(CASE WHEN n1 > 0 THEN n2::DOUBLE / n1 END, 6) FROM wide
+           |         (floor((CASE WHEN n1 > 0 THEN n2::DOUBLE / n1 END) * 1e6 + 0.5) / 1e6) FROM wide
            |  UNION ALL
            |  SELECT 3::INT, 'purchase', n3,
-           |         round(CASE WHEN n2 > 0 THEN n3::DOUBLE / n2 END, 6) FROM wide)
+           |         (floor((CASE WHEN n2 > 0 THEN n3::DOUBLE / n2 END) * 1e6 + 0.5) / 1e6) FROM wide)
            |ORDER BY step""".stripMargin))
 
   /** Daily retention cohorts: users grouped by first-activity date, count
@@ -475,7 +475,7 @@ object EventQueries {
         .filter($"src".isNotNull)
         .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       graft.operators.GraphOps.pageRank(edges, "src", "dst", "w", 3)
-        .select($"id".as("page"), round($"rank", 6).as("rank"))
+        .select($"id".as("page"), (floor(($"rank") * 1e6 + 0.5) / 1e6).as("rank"))
         .orderBy($"page")
     },
     Some {
@@ -508,7 +508,7 @@ object EventQueries {
          |         WHERE id NOT IN (SELECT DISTINCT src FROM edges)),
          |r0 AS (SELECT id, 1.0/n AS rank FROM nodes CROSS JOIN nn),
          |$iters
-         |SELECT id AS page, round(rank, 6) AS rank FROM r3 ORDER BY page""".stripMargin
+         |SELECT id AS page, (floor((rank) * 1e6 + 0.5) / 1e6) AS rank FROM r3 ORDER BY page""".stripMargin
     })
 
   /** Per-node triangle counts over the (undirected, simplified)
@@ -879,8 +879,8 @@ object EventQueries {
       val p99 = quant.filter($"ge99").agg(min($"sz").as("p99_sz"))
       tot.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
         .select($"n_keys", $"n_rows", $"p50_sz", $"p99_sz", $"max_sz",
-          round($"max_sz".cast("double") / $"p50_sz", 4).as("skew_ratio"),
-          round($"max_sz".cast("double") / $"n_rows", 6).as("top_key_share"))
+          (floor(($"max_sz".cast("double") / $"p50_sz") * 1e4 + 0.5) / 1e4).as("skew_ratio"),
+          (floor(($"max_sz".cast("double") / $"n_rows") * 1e6 + 0.5) / 1e6).as("top_key_share"))
     },
     Some("""WITH sizes AS (
            |  SELECT user_id, count(*) AS sz FROM events GROUP BY user_id),
@@ -898,8 +898,8 @@ object EventQueries {
            |        WHERE ckeys * 100 >= n_keys * 99)
            |SELECT n_keys::BIGINT AS n_keys, n_rows::BIGINT AS n_rows,
            |       p50_sz, p99_sz, max_sz,
-           |       round(max_sz::DOUBLE / p50_sz, 4) AS skew_ratio,
-           |       round(max_sz::DOUBLE / n_rows, 6) AS top_key_share
+           |       (floor((max_sz::DOUBLE / p50_sz) * 1e4 + 0.5) / 1e4) AS skew_ratio,
+           |       (floor((max_sz::DOUBLE / n_rows) * 1e6 + 0.5) / 1e6) AS top_key_share
            |FROM tot CROSS JOIN p50 CROSS JOIN p99""".stripMargin))
 
   /** Top-10 3-click path prefixes — "how do sessions start": each
@@ -975,7 +975,7 @@ object EventQueries {
         .partitionBy($"src").orderBy($"p".desc, $"dst")
       trans.join(rowTotals, "src").crossJoin(broadcast(v))
         .withColumn("p",
-          round(($"c" + 1).cast("double") / ($"row_total" + $"v"), 6))
+          (floor((($"c" + 1).cast("double") / ($"row_total" + $"v")) * 1e6 + 0.5) / 1e6))
         .withColumn("rank", row_number().over(byProb))
         .filter($"rank" <= 3)
         .select($"src", $"rank", $"dst", $"c", $"p")
@@ -991,7 +991,7 @@ object EventQueries {
            |v AS (SELECT count(DISTINCT dst) AS v FROM trans),
            |rt AS (SELECT src, sum(c) AS row_total FROM trans GROUP BY src),
            |p AS (SELECT src, dst, c,
-           |        round((c + 1)::DOUBLE / (row_total + v), 6) AS p
+           |        (floor(((c + 1)::DOUBLE / (row_total + v)) * 1e6 + 0.5) / 1e6) AS p
            |      FROM trans JOIN rt USING (src) CROSS JOIN v)
            |SELECT src, rank, dst, c, p FROM (
            |  SELECT *, (row_number() OVER
@@ -1017,8 +1017,8 @@ object EventQueries {
         .agg(sum($"n").as("tot"), count(lit(1)).as("days"))
       daily.join(broadcast(base), Seq("dow", "event_type"))
         .withColumn("baseline",
-          round($"tot".cast("double") / $"days", 6))
-        .withColumn("ratio", round($"n" * $"days" / $"tot".cast("double"), 6))
+          (floor(($"tot".cast("double") / $"days") * 1e6 + 0.5) / 1e6))
+        .withColumn("ratio", (floor(($"n" * $"days" / $"tot".cast("double")) * 1e6 + 0.5) / 1e6))
         .select(date_format($"day", "yyyy-MM-dd").as("day"), $"event_type",
           $"dow", $"n", $"baseline", $"ratio",
           ($"ratio" < 0.5 || $"ratio" > 2.0).as("is_unusual"))
@@ -1033,10 +1033,10 @@ object EventQueries {
            |         FROM d2 GROUP BY dow, event_type)
            |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.event_type,
            |       d.dow::INT AS dow, d.n,
-           |       round(tot / days::DOUBLE, 6) AS baseline,
-           |       round(d.n * days / tot::DOUBLE, 6) AS ratio,
-           |       (round(d.n * days / tot::DOUBLE, 6) < 0.5 OR
-           |        round(d.n * days / tot::DOUBLE, 6) > 2.0) AS is_unusual
+           |       (floor((tot / days::DOUBLE) * 1e6 + 0.5) / 1e6) AS baseline,
+           |       (floor((d.n * days / tot::DOUBLE) * 1e6 + 0.5) / 1e6) AS ratio,
+           |       ((floor((d.n * days / tot::DOUBLE) * 1e6 + 0.5) / 1e6) < 0.5 OR
+           |        (floor((d.n * days / tot::DOUBLE) * 1e6 + 0.5) / 1e6) > 2.0) AS is_unusual
            |FROM d2 d JOIN base USING (dow, event_type)
            |ORDER BY day, event_type""".stripMargin))
 
@@ -1153,7 +1153,7 @@ object EventQueries {
         .filter($"event_type" === "purchase")
         .groupBy(coalesce($"touch", lit(-1)).as("campaign"))
         .agg(count(lit(1)).as("n_purchases"),
-          round(sum($"value"), 2).as("revenue"))
+          (floor((sum($"value")) * 1e2 + 0.5) / 1e2).as("revenue"))
         .orderBy($"campaign")
     },
     Some("""WITH tagged AS (
@@ -1169,7 +1169,7 @@ object EventQueries {
            |           AS touch
            |  FROM tagged)
            |SELECT coalesce(touch, -1) AS campaign,
-           |       count(*) AS n_purchases, round(sum(value), 2) AS revenue
+           |       count(*) AS n_purchases, (floor((sum(value)) * 1e2 + 0.5) / 1e2) AS revenue
            |FROM touched WHERE event_type = 'purchase'
            |GROUP BY campaign ORDER BY campaign""".stripMargin))
 

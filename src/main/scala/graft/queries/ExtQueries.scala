@@ -27,7 +27,7 @@ object ExtQueries {
       c.crossJoin(broadcast(q))
         .filter($"query_id" =!= $"neighbor_id")
         .select($"query_id",
-          round(VectorOps.cosinePrenormed($"qv", $"cv", $"qn", $"cn"), 6).as("cos"),
+          (floor((VectorOps.cosinePrenormed($"qv", $"cv", $"qn", $"cn")) * 1e6 + 0.5) / 1e6).as("cos"),
           $"neighbor_id")
         .groupBy($"query_id")
         .agg(topk($"cos", $"neighbor_id").as("top"))
@@ -39,7 +39,7 @@ object ExtQueries {
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
             |scored AS (
             |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
-            |         round(list_dot_product(q.v,c.v)/(sqrt(list_dot_product(q.v,q.v))*sqrt(list_dot_product(c.v,c.v))), 6) cos
+            |         (floor((list_dot_product(q.v,c.v)/(sqrt(list_dot_product(q.v,q.v))*sqrt(list_dot_product(c.v,c.v)))) * 1e6 + 0.5) / 1e6) cos
             |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
             |SELECT query_id, rank, neighbor_id, cos FROM (
             |  SELECT *, (row_number() OVER
@@ -58,7 +58,7 @@ object ExtQueries {
       MultimodalOps.extractFeatures(media)
         .toDF()
         .select($"doc_id", $"mime", $"n_bytes",
-          round($"byte_mean", 4).as("byte_mean"))
+          (floor(($"byte_mean") * 1e4 + 0.5) / 1e4).as("byte_mean"))
         .orderBy($"doc_id")
     },
     // documents.text is pure ASCII (verified: octet_length == length for
@@ -67,8 +67,8 @@ object ExtQueries {
     Some("""SELECT doc_id,
            |  'application/x-fake-' || regexp_extract(source, '([0-9]+)$', 1) AS mime,
            |  octet_length(text::BLOB)::INT AS n_bytes,
-           |  round(list_sum([ascii(text[i]) FOR i IN generate_series(1, length(text))])::DOUBLE
-           |        / length(text), 4) AS byte_mean
+           |  (floor((list_sum([ascii(text[i]) FOR i IN generate_series(1, length(text))])::DOUBLE
+           |        / length(text)) * 1e4 + 0.5) / 1e4) AS byte_mean
            |FROM documents
            |ORDER BY doc_id""".stripMargin))
 

@@ -17,14 +17,14 @@ object GoldQueries {
     (s, dir) => {
       import s.implicits._
       GoldOps.withDrawdown(Tables(s, dir).events, "user_id", "ts", "value")
-        .select($"event_id", $"user_id", round($"value", 2).as("value"),
-          round($"drawdown", 6).as("drawdown"))
+        .select($"event_id", $"user_id", (floor(($"value") * 1e2 + 0.5) / 1e2).as("value"),
+          (floor(($"drawdown") * 1e6 + 0.5) / 1e6).as("drawdown"))
         .orderBy($"event_id")
     },
-    Some("""SELECT event_id, user_id, round(value, 2) AS value,
-           |       round(1.0 - value / max(value) OVER
+    Some("""SELECT event_id, user_id, (floor((value) * 1e2 + 0.5) / 1e2) AS value,
+           |       (floor((1.0 - value / max(value) OVER
            |         (PARTITION BY user_id ORDER BY ts
-           |          ROWS UNBOUNDED PRECEDING), 6) AS drawdown
+           |          ROWS UNBOUNDED PRECEDING)) * 1e6 + 0.5) / 1e6) AS drawdown
            |FROM events ORDER BY event_id""".stripMargin))
 
   /** As-of alignment oracle-checked: each user's click series aligned onto
@@ -44,7 +44,7 @@ object GoldQueries {
         .join(spine, Seq("user_id", "ts"))
         .select($"event_id", $"user_id",
           date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts"),
-          round($"click_value", 2).as("click_value"))
+          (floor(($"click_value") * 1e2 + 0.5) / 1e2).as("click_value"))
         .orderBy($"event_id")
     },
     Some("""WITH c AS (SELECT user_id, ts, max(value) AS click_value
@@ -53,7 +53,7 @@ object GoldQueries {
            |      WHERE event_type = 'purchase')
            |SELECT p.event_id, p.user_id,
            |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-           |       round(c.click_value, 2) AS click_value
+           |       (floor((c.click_value) * 1e2 + 0.5) / 1e2) AS click_value
            |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
            |ORDER BY p.event_id""".stripMargin))
 
@@ -92,12 +92,12 @@ object GoldQueries {
       s"""WITH q AS (
          |  SELECT * FROM (
          |    SELECT d.*,
-         |      round(least(length(text)::DOUBLE/500.0, 1.0)*0.5
-         |        + (1.0 - least(round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-         |                      / length(text), 6)*5.0, 1.0))*0.3
-         |        + least(round(len(list_filter(string_split(text,' '),
+         |      (floor((least(length(text)::DOUBLE/500.0, 1.0)*0.5
+         |        + (1.0 - least((floor((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+         |                      / length(text)) * 1e6 + 0.5) / 1e6)*5.0, 1.0))*0.3
+         |        + least((floor((len(list_filter(string_split(text,' '),
          |                  t -> t IN ($stopIn)))::DOUBLE
-         |                / len(string_split(text,' ')), 6)*4.0, 1.0)*0.2, 6) AS quality
+         |                / len(string_split(text,' '))) * 1e6 + 0.5) / 1e6)*4.0, 1.0)*0.2) * 1e6 + 0.5) / 1e6) AS quality
          |    FROM documents d)
          |  WHERE quality >= 0.5),
          |exact_kept AS (
@@ -181,8 +181,8 @@ object GoldQueries {
       GoldOps.ohlcResample(Tables(s, dir).events, "user_id", "ts", "event_id",
           "value", date_format($"ts", "yyyyMM"))
         .select($"user_id", $"bucket".as("month"),
-          round($"open", 2).as("open"), round($"high", 2).as("high"),
-          round($"low", 2).as("low"), round($"close", 2).as("close"), $"n")
+          (floor(($"open") * 1e2 + 0.5) / 1e2).as("open"), (floor(($"high") * 1e2 + 0.5) / 1e2).as("high"),
+          (floor(($"low") * 1e2 + 0.5) / 1e2).as("low"), (floor(($"close") * 1e2 + 0.5) / 1e2).as("close"), $"n")
         .orderBy($"user_id", $"month")
     },
     Some("""WITH o AS (
@@ -193,10 +193,10 @@ object GoldQueries {
            |                       ORDER BY ts DESC, event_id DESC) AS rn_d
            |  FROM events)
            |SELECT user_id, m AS month,
-           |       round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
-           |       round(max(value), 2) AS high,
-           |       round(min(value), 2) AS low,
-           |       round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           |       (floor((max(CASE WHEN rn_a = 1 THEN value END)) * 1e2 + 0.5) / 1e2) AS open,
+           |       (floor((max(value)) * 1e2 + 0.5) / 1e2) AS high,
+           |       (floor((min(value)) * 1e2 + 0.5) / 1e2) AS low,
+           |       (floor((max(CASE WHEN rn_d = 1 THEN value END)) * 1e2 + 0.5) / 1e2) AS close,
            |       count(*) AS n
            |FROM o GROUP BY user_id, m ORDER BY user_id, month""".stripMargin))
 
@@ -255,10 +255,10 @@ object GoldQueries {
         .withColumn("ret_krw", ret($"close_krw"))
         .withColumn("ret_usd", ret($"close_usd"))
         .select($"symbol", date_format($"date", "yyyy-MM-dd").as("date"),
-          round($"close_krw", 2).as("close_krw"),
-          round($"close_usd", 6).as("close_usd"),
-          round($"ret_krw", 6).as("ret_krw"),
-          round($"ret_usd", 6).as("ret_usd"))
+          (floor(($"close_krw") * 1e2 + 0.5) / 1e2).as("close_krw"),
+          (floor(($"close_usd") * 1e6 + 0.5) / 1e6).as("close_usd"),
+          (floor(($"ret_krw") * 1e6 + 0.5) / 1e6).as("ret_krw"),
+          (floor(($"ret_usd") * 1e6 + 0.5) / 1e6).as("ret_usd"))
         .orderBy($"symbol", $"date")
     },
     Some {
@@ -281,12 +281,12 @@ object GoldQueries {
          |         p.close_krw / (1300.0::DOUBLE + wd.dom) AS close_usd
          |  FROM px p JOIN wd ON p.date = wd.date)
          |SELECT symbol, strftime(date, '%Y-%m-%d') AS date,
-         |       round(close_krw, 2) AS close_krw,
-         |       round(close_usd, 6) AS close_usd,
-         |       round(CASE WHEN lag(close_krw) OVER w <> 0
-         |             THEN close_krw / lag(close_krw) OVER w - 1 END, 6) AS ret_krw,
-         |       round(CASE WHEN lag(close_usd) OVER w <> 0
-         |             THEN close_usd / lag(close_usd) OVER w - 1 END, 6) AS ret_usd
+         |       (floor((close_krw) * 1e2 + 0.5) / 1e2) AS close_krw,
+         |       (floor((close_usd) * 1e6 + 0.5) / 1e6) AS close_usd,
+         |       (floor((CASE WHEN lag(close_krw) OVER w <> 0
+         |             THEN close_krw / lag(close_krw) OVER w - 1 END) * 1e6 + 0.5) / 1e6) AS ret_krw,
+         |       (floor((CASE WHEN lag(close_usd) OVER w <> 0
+         |             THEN close_usd / lag(close_usd) OVER w - 1 END) * 1e6 + 0.5) / 1e6) AS ret_usd
          |FROM j
          |WINDOW w AS (PARTITION BY symbol ORDER BY date)
          |ORDER BY symbol, date""".stripMargin
@@ -308,7 +308,7 @@ object GoldQueries {
         .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
       GoldOps.denseForwardFill(daily, "user_id", "date", "close")
         .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
-          round($"close", 2).as("close"), $"filled")
+          (floor(($"close") * 1e2 + 0.5) / 1e2).as("close"), $"filled")
         .orderBy($"user_id", $"date")
     },
     Some("""WITH px AS (
@@ -323,9 +323,9 @@ object GoldQueries {
            |  FROM (SELECT user_id, min(date) AS lo, max(date) AS hi
            |        FROM px GROUP BY user_id))
            |SELECT g.user_id, strftime(g.date, '%Y-%m-%d') AS date,
-           |       round(last_value(p.close IGNORE NULLS) OVER
+           |       (floor((last_value(p.close IGNORE NULLS) OVER
            |         (PARTITION BY g.user_id ORDER BY g.date
-           |          ROWS UNBOUNDED PRECEDING), 2) AS close,
+           |          ROWS UNBOUNDED PRECEDING)) * 1e2 + 0.5) / 1e2) AS close,
            |       p.close IS NULL AS filled
            |FROM grid g LEFT JOIN px p
            |  ON g.user_id = p.user_id AND g.date = p.date
@@ -345,7 +345,7 @@ object GoldQueries {
         .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
       GoldOps.withRollingMedian(daily, "user_id", "date", "close", 20)
         .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
-          round($"close", 2).as("close"), round($"med20", 6).as("med20"))
+          (floor(($"close") * 1e2 + 0.5) / 1e2).as("close"), (floor(($"med20") * 1e6 + 0.5) / 1e6).as("med20"))
         .orderBy($"user_id", $"date")
     },
     Some("""WITH px AS (
@@ -356,10 +356,10 @@ object GoldQueries {
            |        FROM events)
            |  WHERE rn = 1)
            |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
-           |       round(close, 2) AS close,
-           |       round(median(close) OVER
+           |       (floor((close) * 1e2 + 0.5) / 1e2) AS close,
+           |       (floor((median(close) OVER
            |         (PARTITION BY user_id ORDER BY date
-           |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS med20
+           |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) / 1e6) AS med20
            |FROM px ORDER BY user_id, date""".stripMargin))
 
   /** Rolling 20-day correlation of each user's daily close against the
@@ -386,7 +386,7 @@ object GoldQueries {
         .groupBy($"user_id", $"date")
         .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
       val market = daily.groupBy($"date")
-        .agg(round(avg($"close"), 6).as("mkt"))
+        .agg((floor((avg($"close")) * 1e6 + 0.5) / 1e6).as("mkt"))
       val w = Window.partitionBy($"user_id").orderBy($"date")
         .rowsBetween(-19, Window.currentRow)
       daily.join(broadcast(market), "date")
@@ -394,7 +394,7 @@ object GoldQueries {
           covar_samp($"close", $"mkt").over(w),
           stddev_samp($"close").over(w) * stddev_samp($"mkt").over(w)))
         .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
-          round($"close", 2).as("close"), round($"corr20", 6).as("corr20"))
+          (floor(($"close") * 1e2 + 0.5) / 1e2).as("close"), (floor(($"corr20") * 1e6 + 0.5) / 1e6).as("corr20"))
         .orderBy($"user_id", $"date")
     },
     Some("""WITH px AS (
@@ -404,13 +404,13 @@ object GoldQueries {
            |                 ORDER BY ts DESC, event_id DESC) AS rn
            |        FROM events)
            |  WHERE rn = 1),
-           |mkt AS (SELECT date, round(avg(close), 6) AS mkt
+           |mkt AS (SELECT date, (floor((avg(close)) * 1e6 + 0.5) / 1e6) AS mkt
            |        FROM px GROUP BY date)
            |SELECT p.user_id, strftime(p.date, '%Y-%m-%d') AS date,
-           |       round(p.close, 2) AS close,
-           |       round(corr(p.close, m.mkt) OVER
+           |       (floor((p.close) * 1e2 + 0.5) / 1e2) AS close,
+           |       (floor((corr(p.close, m.mkt) OVER
            |         (PARTITION BY p.user_id ORDER BY p.date
-           |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS corr20
+           |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) / 1e6) AS corr20
            |FROM px p JOIN mkt m USING (date)
            |ORDER BY p.user_id, date""".stripMargin))
 
@@ -435,7 +435,7 @@ object GoldQueries {
         .join(spine, Seq("user_id", "ts"))
         .select($"event_id", $"user_id",
           date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts"),
-          round($"click_value", 2).as("click_value"), $"matched_delta_us")
+          (floor(($"click_value") * 1e2 + 0.5) / 1e2).as("click_value"), $"matched_delta_us")
         .orderBy($"event_id")
     },
     Some("""WITH c AS (SELECT user_id, ts, max(value) AS v
@@ -479,7 +479,7 @@ object GoldQueries {
            |          FROM w WHERE side = 1)))
            |SELECT e.event_id, e.user_id,
            |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-           |       round(m.click_value, 2) AS click_value, m.matched_delta_us
+           |       (floor((m.click_value) * 1e2 + 0.5) / 1e2) AS click_value, m.matched_delta_us
            |FROM events e JOIN m ON e.user_id = m.user_id AND e.ts = m.ts
            |WHERE e.event_type = 'purchase'
            |ORDER BY e.event_id""".stripMargin))
@@ -502,10 +502,10 @@ object GoldQueries {
       val w = Window.partitionBy($"user_id").orderBy($"day_no")
         .rangeBetween(-6, Window.currentRow)
       daily
-        .withColumn("avg_7d", round(avg($"close").over(w), 6))
+        .withColumn("avg_7d", (floor((avg($"close").over(w)) * 1e6 + 0.5) / 1e6))
         .withColumn("n_days_7d", count(lit(1)).over(w))
         .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
-          round($"close", 2).as("close"), $"avg_7d", $"n_days_7d")
+          (floor(($"close") * 1e2 + 0.5) / 1e2).as("close"), $"avg_7d", $"n_days_7d")
         .orderBy($"user_id", $"date")
     },
     Some("""WITH px AS (
@@ -517,8 +517,8 @@ object GoldQueries {
            |        FROM events)
            |  WHERE rn = 1)
            |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
-           |       round(close, 2) AS close,
-           |       round(avg(close) OVER w, 6) AS avg_7d,
+           |       (floor((close) * 1e2 + 0.5) / 1e2) AS close,
+           |       (floor((avg(close) OVER w) * 1e6 + 0.5) / 1e6) AS avg_7d,
            |       count(*) OVER w AS n_days_7d
            |FROM px
            |WINDOW w AS (PARTITION BY user_id ORDER BY day_no
@@ -546,12 +546,12 @@ object GoldQueries {
         .rowsBetween(-19, Window.currentRow)
       daily
         .withColumn("lst", collect_list($"close").over(w))
-        .withColumn("ewma", round(
+        .withColumn("ewma", (floor((
           aggregate(slice($"lst", lit(2), size($"lst") - 1),
             element_at($"lst", 1),
-            (acc, x) => acc * 0.9 + x * 0.1), 6))
+            (acc, x) => acc * 0.9 + x * 0.1)) * 1e6 + 0.5) / 1e6))
         .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
-          round($"close", 2).as("close"), $"ewma")
+          (floor(($"close") * 1e2 + 0.5) / 1e2).as("close"), $"ewma")
         .orderBy($"user_id", $"date")
     },
     Some("""WITH px AS (
@@ -562,11 +562,11 @@ object GoldQueries {
            |        FROM events)
            |  WHERE rn = 1)
            |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
-           |       round(close, 2) AS close,
-           |       round(list_reduce(list(close) OVER
+           |       (floor((close) * 1e2 + 0.5) / 1e2) AS close,
+           |       (floor((list_reduce(list(close) OVER
            |         (PARTITION BY user_id ORDER BY date
            |          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-           |         (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ewma
+           |         (acc, x) -> acc * 0.9 + x * 0.1)) * 1e6 + 0.5) / 1e6) AS ewma
            |FROM px ORDER BY user_id, date""".stripMargin))
 
   /** Daily TWAP per user: each observation holds until the next one (or
@@ -591,7 +591,7 @@ object GoldQueries {
             unix_micros(date_add($"date", 1).cast("timestamp")))
             - unix_micros($"ts"))
       withDur.groupBy($"user_id", $"date")
-        .agg(round(sum($"value" * $"dur_us") / sum($"dur_us"), 6).as("twap"),
+        .agg((floor((sum($"value" * $"dur_us") / sum($"dur_us")) * 1e6 + 0.5) / 1e6).as("twap"),
           count(lit(1)).as("n_ticks"))
         .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
           $"twap", $"n_ticks")
@@ -609,7 +609,7 @@ object GoldQueries {
            |      - epoch_us(ts) AS dur_us
            |  FROM e)
            |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
-           |       round(sum(value * dur_us) / sum(dur_us), 6) AS twap,
+           |       (floor((sum(value * dur_us) / sum(dur_us)) * 1e6 + 0.5) / 1e6) AS twap,
            |       count(*) AS n_ticks
            |FROM d GROUP BY user_id, date ORDER BY user_id, date""".stripMargin))
 
@@ -644,17 +644,17 @@ object GoldQueries {
       hist.unionByName(delta)
         .groupBy($"l_returnflag")
         .agg(sum($"n").as("n"),
-          round(sum($"s_qty"), 2).as("sum_qty"),
-          round(sum($"s_price") / sum($"n"), 6).as("avg_price"),
-          round(min($"mn"), 2).as("min_price"),
-          round(max($"mx"), 2).as("max_price"))
+          (floor((sum($"s_qty")) * 1e2 + 0.5) / 1e2).as("sum_qty"),
+          (floor((sum($"s_price") / sum($"n")) * 1e6 + 0.5) / 1e6).as("avg_price"),
+          (floor((min($"mn")) * 1e2 + 0.5) / 1e2).as("min_price"),
+          (floor((max($"mx")) * 1e2 + 0.5) / 1e2).as("max_price"))
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*) AS n,
-           |       round(sum(l_quantity), 2) AS sum_qty,
-           |       round(sum(l_extendedprice) / count(*), 6) AS avg_price,
-           |       round(min(l_extendedprice), 2) AS min_price,
-           |       round(max(l_extendedprice), 2) AS max_price
+           |       (floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2) AS sum_qty,
+           |       (floor((sum(l_extendedprice) / count(*)) * 1e6 + 0.5) / 1e6) AS avg_price,
+           |       (floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS min_price,
+           |       (floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS max_price
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** Rolling z-score anomaly screen: each user's daily close against its
@@ -687,7 +687,7 @@ object GoldQueries {
         .withColumn("z", try_divide($"close" - avg($"close").over(w),
           stddev_samp($"close").over(w)))
         .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
-          round($"close", 2).as("close"), round($"z", 6).as("z"),
+          (floor(($"close") * 1e2 + 0.5) / 1e2).as("close"), (floor(($"z") * 1e6 + 0.5) / 1e6).as("z"),
           coalesce(abs($"z") > 2.0, lit(false)).as("is_anomaly"))
         .orderBy($"user_id", $"date")
     },
@@ -706,7 +706,7 @@ object GoldQueries {
            |  WINDOW w AS (PARTITION BY user_id ORDER BY date
            |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
            |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
-           |       round(close, 2) AS close, round(z, 6) AS z,
+           |       (floor((close) * 1e2 + 0.5) / 1e2) AS close, (floor((z) * 1e6 + 0.5) / 1e6) AS z,
            |       coalesce(abs(z) > 2.0, false) AS is_anomaly
            |FROM z ORDER BY user_id, date""".stripMargin))
 
@@ -732,13 +732,13 @@ object GoldQueries {
         .agg((round(max_by($"value", struct($"ts", $"event_id")) * 100) / 100)
           .as("close"))
       val market = daily.groupBy($"date")
-        .agg(round(avg($"close"), 6).as("mkt"))
+        .agg((floor((avg($"close")) * 1e6 + 0.5) / 1e6).as("mkt"))
       daily.join(broadcast(market), "date")
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_days"),
-          round(regr_slope($"close", $"mkt"), 6).as("beta"),
-          round(regr_intercept($"close", $"mkt"), 6).as("alpha"),
-          round(regr_r2($"close", $"mkt"), 6).as("r2"))
+          (floor((regr_slope($"close", $"mkt")) * 1e6 + 0.5) / 1e6).as("beta"),
+          (floor((regr_intercept($"close", $"mkt")) * 1e6 + 0.5) / 1e6).as("alpha"),
+          (floor((regr_r2($"close", $"mkt")) * 1e6 + 0.5) / 1e6).as("r2"))
         .orderBy($"user_id")
     },
     Some("""WITH px AS (
@@ -748,12 +748,12 @@ object GoldQueries {
            |                 ORDER BY ts DESC, event_id DESC) AS rn
            |        FROM events)
            |  WHERE rn = 1),
-           |mkt AS (SELECT date, round(avg(close), 6) AS mkt
+           |mkt AS (SELECT date, (floor((avg(close)) * 1e6 + 0.5) / 1e6) AS mkt
            |        FROM px GROUP BY date)
            |SELECT user_id, count(*)::BIGINT AS n_days,
-           |       round(regr_slope(close, mkt), 6) AS beta,
-           |       round(regr_intercept(close, mkt), 6) AS alpha,
-           |       round(regr_r2(close, mkt), 6) AS r2
+           |       (floor((regr_slope(close, mkt)) * 1e6 + 0.5) / 1e6) AS beta,
+           |       (floor((regr_intercept(close, mkt)) * 1e6 + 0.5) / 1e6) AS alpha,
+           |       (floor((regr_r2(close, mkt)) * 1e6 + 0.5) / 1e6) AS r2
            |FROM px JOIN mkt USING (date)
            |GROUP BY user_id ORDER BY user_id""".stripMargin))
 
@@ -773,7 +773,7 @@ object GoldQueries {
       import s.implicits._
       val daily = Tables(s, dir).events
         .groupBy(to_date($"ts").as("day"))
-        .agg(round(avg($"value"), 6).as("x"))
+        .agg((floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("x"))
         .withColumn("xi", round($"x" * 1e6).cast("long"))
       val w = Window.orderBy($"day").rowsBetween(-3, 3)
       val trended = daily
@@ -787,15 +787,15 @@ object GoldQueries {
           .as("si"))
       trended.join(broadcast(seas), Seq("dow"), "left")
         .select(date_format($"day", "yyyy-MM-dd").as("day"),
-          round($"x", 6).as("x"),
-          round($"ti".cast("double") / 1e6, 6).as("trend"),
-          round(when($"ti".isNotNull, $"si").cast("double") / 1e6, 6)
+          (floor(($"x") * 1e6 + 0.5) / 1e6).as("x"),
+          (floor(($"ti".cast("double") / 1e6) * 1e6 + 0.5) / 1e6).as("trend"),
+          (floor((when($"ti".isNotNull, $"si").cast("double") / 1e6) * 1e6 + 0.5) / 1e6)
             .as("seasonal"),
-          round(($"di" - $"si").cast("double") / 1e6, 6).as("residual"))
+          (floor((($"di" - $"si").cast("double") / 1e6) * 1e6 + 0.5) / 1e6).as("residual"))
         .orderBy($"day")
     },
     Some("""WITH daily AS (
-           |  SELECT ts::DATE AS day, round(avg(value), 6) AS x
+           |  SELECT ts::DATE AS day, (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS x
            |  FROM events GROUP BY 1),
            |di AS (SELECT day, x, round(x * 1e6)::BIGINT AS xi FROM daily),
            |tr AS (
@@ -811,18 +811,27 @@ object GoldQueries {
            |seas AS (
            |  SELECT dow, round(sum(di)::DOUBLE / count(*))::BIGINT AS si
            |  FROM d2 WHERE di IS NOT NULL GROUP BY dow)
-           |SELECT strftime(day, '%Y-%m-%d') AS day, round(x, 6) AS x,
-           |       round(ti::DOUBLE / 1e6, 6) AS trend,
-           |       round((CASE WHEN ti IS NOT NULL THEN si END)::DOUBLE
-           |             / 1e6, 6) AS seasonal,
-           |       round((di - si)::DOUBLE / 1e6, 6) AS residual
+           |SELECT strftime(day, '%Y-%m-%d') AS day, (floor((x) * 1e6 + 0.5) / 1e6) AS x,
+           |       (floor((ti::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6) AS trend,
+           |       (floor(((CASE WHEN ti IS NOT NULL THEN si END)::DOUBLE
+           |             / 1e6) * 1e6 + 0.5) / 1e6) AS seasonal,
+           |       (floor(((di - si)::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6) AS residual
            |FROM d2 LEFT JOIN seas USING (dow) ORDER BY day""".stripMargin))
 
   /** Annualized Sharpe ratio per user over daily simple returns — the
-    * risk-adjusted-performance scalar every backtest reports. Returns
-    * 6dp-prerounded (both engines aggregate identical inputs), one
-    * lag window + one per-user aggregate; try_divide ≡ NULL for
-    * zero-vol/single-day users under ANSI (the rolling_corr lesson). */
+    * risk-adjusted-performance scalar every backtest reports. All value
+    * surfaces are exact-integer arithmetic until one final deterministic
+    * IEEE chain: returns are micro-unit BIGINTs (`floor(x*1e6 + 0.5)` —
+    * the 1cbe650 pattern; the sf0.1 sweep caught `round(avg(r), 6)`
+    * splitting a shortest-decimal half-way tie between Spark's HALF_UP
+    * and DuckDB's binary round), the mean is an exact integer sum over
+    * them, and the variance comes from exact integer moments
+    * (n·Σx² − (Σx)², summed as DECIMAL(38,0)/HUGEINT so the squares
+    * can't overflow), so no engine-side summation order can shift a
+    * bit. The closing /· /sqrt chain is written identically on both
+    * engines — IEEE ops on identical inputs are bit-deterministic.
+    * NULL semantics match the old stddev form: n=1 or zero variance →
+    * NULL (the rolling_corr lesson). */
   private val sharpe = Q(
     "gold_sharpe_ratio",
     (s, dir) => {
@@ -834,14 +843,24 @@ object GoldQueries {
         .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
       val w = Window.partitionBy($"user_id").orderBy($"date")
       val rets = daily
-        .withColumn("r",
-          round(try_divide($"close", lag($"close", 1).over(w)) - 1, 6))
-        .filter($"r".isNotNull)
+        .withColumn("r_e6",
+          floor((try_divide($"close", lag($"close", 1).over(w)) - 1) * 1e6
+            + 0.5))
+        .filter($"r_e6".isNotNull)
+      val dec = "decimal(38,0)"
       rets.groupBy($"user_id")
-        .agg(count(lit(1)).as("n_days"),
-          round(avg($"r"), 6).as("mean_ret"),
-          round(try_divide(avg($"r"), stddev_samp($"r")) *
-            math.sqrt(252.0), 4).as("sharpe_ann"))
+        .agg(count(lit(1)).as("n"),
+          sum($"r_e6").as("s1"),
+          sum($"r_e6".cast(dec) * $"r_e6").as("s2"))
+        .withColumn("a",
+          ($"n".cast(dec) * $"s2" - $"s1".cast(dec) * $"s1".cast(dec))
+            .cast("double"))
+        .select($"user_id", $"n".as("n_days"),
+          floor($"s1".cast("double") / $"n" + 0.5).as("mean_ret_e6"),
+          when($"n" > 1 && $"a" > 0,
+            floor(($"s1".cast("double") / $"n") /
+              sqrt($"a" / ($"n" * ($"n" - 1))) *
+              lit(math.sqrt(252.0)) * 1e4 + 0.5)).as("sharpe_e4"))
         .orderBy($"user_id")
     },
     Some("""WITH px AS (
@@ -853,15 +872,24 @@ object GoldQueries {
            |  WHERE rn = 1),
            |rets AS (
            |  SELECT user_id,
-           |         round(close / nullif(lag(close) OVER
-           |           (PARTITION BY user_id ORDER BY date), 0) - 1, 6) AS r
-           |  FROM px)
-           |SELECT user_id, count(*)::BIGINT AS n_days,
-           |       round(avg(r), 6) AS mean_ret,
-           |       round(avg(r) / nullif(stddev_samp(r), 0) * sqrt(252.0), 4)
-           |         AS sharpe_ann
-           |FROM rets WHERE r IS NOT NULL
-           |GROUP BY user_id ORDER BY user_id""".stripMargin))
+           |         CAST(floor((close / nullif(lag(close) OVER
+           |           (PARTITION BY user_id ORDER BY date), 0) - 1) * 1e6
+           |           + 0.5) AS BIGINT) AS r_e6
+           |  FROM px),
+           |mo AS (
+           |  SELECT user_id, count(*)::BIGINT AS n,
+           |         sum(r_e6)::HUGEINT AS s1,
+           |         sum(r_e6::HUGEINT * r_e6) AS s2
+           |  FROM rets WHERE r_e6 IS NOT NULL GROUP BY user_id),
+           |ab AS (SELECT *, (n * s2 - s1 * s1)::DOUBLE AS a FROM mo)
+           |SELECT user_id, n AS n_days,
+           |       CAST(floor(s1::DOUBLE / n + 0.5) AS BIGINT) AS mean_ret_e6,
+           |       CASE WHEN n > 1 AND a > 0 THEN
+           |         CAST(floor((s1::DOUBLE / n) /
+           |           sqrt(a / (n * (n - 1))) *
+           |           sqrt(252.0) * 1e4 + 0.5) AS BIGINT)
+           |       END AS sharpe_e4
+           |FROM ab ORDER BY user_id""".stripMargin))
 
   def all: Seq[Q] =
     Seq(drawdown, asofAlign, cleanCorpus, rangeJoin, ohlc, fxAdjusted,

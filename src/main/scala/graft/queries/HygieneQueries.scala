@@ -34,18 +34,18 @@ object HygieneQueries {
   private val gopherCteBody =
     """gtoks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
       |gcnt AS (SELECT doc_id, tok, count(*) n FROM gtoks GROUP BY 1, 2),
-      |gdom AS (SELECT doc_id, round(max(n)::DOUBLE / sum(n), 6) top_token_ratio
+      |gdom AS (SELECT doc_id, (floor((max(n)::DOUBLE / sum(n)) * 1e6 + 0.5) / 1e6) top_token_ratio
       |         FROM gcnt GROUP BY doc_id),
       |gmet AS (
       |  SELECT doc_id,
       |    len(string_split(text,' ')) AS n_tokens,
-      |    round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
-      |          / len(string_split(text,' ')), 6) AS mean_token_len,
+      |    (floor(((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+      |          / len(string_split(text,' '))) * 1e6 + 0.5) / 1e6) AS mean_token_len,
       |    CASE WHEN len(string_split(text,' ')) < 2 THEN 0.0
-      |         ELSE round(1.0 -
+      |         ELSE (floor((1.0 -
       |           len(list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
       |                              FOR i IN generate_series(1, len(string_split(text,' '))-1)]))::DOUBLE
-      |           / (len(string_split(text,' ')) - 1), 6) END AS rep_2gram
+      |           / (len(string_split(text,' ')) - 1)) * 1e6 + 0.5) / 1e6) END AS rep_2gram
       |  FROM documents),
       |gpass AS (
       |  SELECT gmet.doc_id FROM gmet JOIN gdom USING (doc_id)
@@ -149,17 +149,17 @@ object HygieneQueries {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |c AS (SELECT vec_id centroid_id, v cv FROM e WHERE vec_id < 8),
          |scored AS (SELECT e.vec_id, e.v, c.centroid_id,
-         |             round(${dcos("e.v", "c.cv")}, 6) cos
+         |             (floor((${dcos("e.v", "c.cv")}) * 1e6 + 0.5) / 1e6) cos
          |           FROM e CROSS JOIN c),
          |best AS (SELECT vec_id, v, centroid_id FROM (
          |  SELECT *, row_number() OVER
          |    (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) rn FROM scored)
          |  WHERE rn = 1)
          |SELECT a.centroid_id AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-         |       round(${dcos("a.v", "b.v")}, 6) AS cos
+         |       (floor((${dcos("a.v", "b.v")}) * 1e6 + 0.5) / 1e6) AS cos
          |FROM best a JOIN best b
          |  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-         |WHERE round(${dcos("a.v", "b.v")}, 6) >= 0.4
+         |WHERE (floor((${dcos("a.v", "b.v")}) * 1e6 + 0.5) / 1e6) >= 0.4
          |ORDER BY cluster, id_a, id_b""".stripMargin
     })
 
@@ -340,7 +340,7 @@ object HygieneQueries {
         .importanceWeights(d, "doc_id", "text", $"lang" === "en", 64)
         .join(d.select($"doc_id".as("id"), $"lang"), "id")
         .select($"id".as("doc_id"), $"lang", $"n_tokens",
-          round($"log_w", 6).as("log_w"))
+          (floor(($"log_w") * 1e6 + 0.5) / 1e6).as("log_w"))
         .orderBy($"log_w".desc, $"doc_id")
         .limit(25)
     },
@@ -362,7 +362,7 @@ object HygieneQueries {
            |  FROM stats, tot),
            |w AS (
            |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
-           |         round(sum(ln(p_tgt) - ln(p_raw)), 6) AS log_w
+           |         (floor((sum(ln(p_tgt) - ln(p_raw))) * 1e6 + 0.5) / 1e6) AS log_w
            |  FROM tok JOIN probs USING (b) GROUP BY doc_id)
            |SELECT w.doc_id, d.lang, w.n_tokens, w.log_w
            |FROM w JOIN documents d USING (doc_id)
@@ -405,8 +405,8 @@ object HygieneQueries {
     },
     Some("""SELECT doc_id, lang, n_chars FROM (
            |  SELECT doc_id, lang, n_chars,
-           |    round(ln((('0x'||substr(md5(doc_id::VARCHAR || ':ws'),1,8))::BIGINT
-           |              + 1.0) / 4294967296.0) / n_chars, 12) AS wkey
+           |    (floor((ln((('0x'||substr(md5(doc_id::VARCHAR || ':ws'),1,8))::BIGINT
+           |              + 1.0) / 4294967296.0) / n_chars) * 1e12 + 0.5) / 1e12) AS wkey
            |  FROM documents ORDER BY wkey DESC, doc_id LIMIT 25)
            |ORDER BY doc_id""".stripMargin))
 
@@ -443,7 +443,7 @@ object HygieneQueries {
          |  SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
          |c AS (SELECT vec_id centroid_id, v cv FROM e WHERE vec_id < 8),
          |scored AS (SELECT e.vec_id, e.v, c.centroid_id,
-         |             round(${dcos("e.v", "c.cv")}, 6) cos
+         |             (floor((${dcos("e.v", "c.cv")}) * 1e6 + 0.5) / 1e6) cos
          |           FROM e CROSS JOIN c),
          |best AS (SELECT vec_id, v, centroid_id FROM (
          |  SELECT *, row_number() OVER
@@ -453,7 +453,7 @@ object HygieneQueries {
          |  SELECT a.vec_id AS ia, b.vec_id AS ib
          |  FROM best a JOIN best b
          |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-         |  WHERE round(${dcos("a.v", "b.v")}, 6) >= 0.4),
+         |  WHERE (floor((${dcos("a.v", "b.v")}) * 1e6 + 0.5) / 1e6) >= 0.4),
          |edges AS (SELECT ia src, ib dst FROM prs UNION SELECT ib, ia FROM prs),
          |reach AS (
          |  SELECT src AS id, src AS r FROM edges
@@ -498,7 +498,7 @@ object HygieneQueries {
         s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
          |b AS (SELECT v AS bv FROM e WHERE label = 9 AND vec_id < 1000),
-         |s AS (SELECT e.vec_id, round(${dcos("e.v", "bv")}, 6) AS cos
+         |s AS (SELECT e.vec_id, (floor((${dcos("e.v", "bv")}) * 1e6 + 0.5) / 1e6) AS cos
          |      FROM e CROSS JOIN b WHERE e.label <> 9)
          |SELECT vec_id, max(cos) AS max_cos,
          |       max(cos) >= 0.5 AS contaminated
@@ -517,7 +517,7 @@ object HygieneQueries {
       val bits = graft.operators.TextOps
         .bigramLmBits(docs(s, dir), "doc_id", "text")
         .join(docs(s, dir).select($"doc_id".as("id"), $"lang"), "id")
-        .withColumn("bits", round($"bits_per_token", 6))
+        .withColumn("bits", (floor(($"bits_per_token") * 1e6 + 0.5) / 1e6))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"lang").orderBy($"bits", $"id")
       bits.withColumn("nt", ntile(3).over(w))
@@ -525,7 +525,7 @@ object HygieneQueries {
           when($"nt" === 1, "head").when($"nt" === 2, "middle")
             .otherwise("tail"))
         .groupBy($"lang", $"bucket")
-        .agg(count(lit(1)).as("n"), round(avg($"bits"), 6).as("avg_bits"))
+        .agg(count(lit(1)).as("n"), (floor((avg($"bits")) * 1e6 + 0.5) / 1e6).as("avg_bits"))
         .orderBy($"lang", $"bucket")
     },
     Some(s"""WITH ${TextQueries.perplexityCteBody},
@@ -537,7 +537,7 @@ object HygieneQueries {
             |SELECT lang,
             |       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
             |               ELSE 'tail' END AS bucket,
-            |       count(*) AS n, round(avg(bits), 6) AS avg_bits
+            |       count(*) AS n, (floor((avg(bits)) * 1e6 + 0.5) / 1e6) AS avg_bits
             |FROM lb GROUP BY lang, nt ORDER BY lang, bucket""".stripMargin))
 
   /** Token-budget corpus selection: take documents in quality order until
@@ -551,7 +551,7 @@ object HygieneQueries {
     (s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select($"doc_id",
-        round(graft.operators.TextOps.qualityScore($"text"), 6).as("q"),
+        (floor((graft.operators.TextOps.qualityScore($"text")) * 1e6 + 0.5) / 1e6).as("q"),
         graft.operators.TextOps.tokenCount($"text").cast("long").as("n_tokens"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy($"q".desc, $"doc_id")
@@ -565,12 +565,12 @@ object HygieneQueries {
       val stopIn = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH d AS (
          |  SELECT doc_id,
-         |    round(least(length(text)::DOUBLE/500.0, 1.0)*0.5
-         |      + (1.0 - least(round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-         |                    / length(text), 6)*5.0, 1.0))*0.3
-         |      + least(round(len(list_filter(string_split(text,' '),
+         |    (floor((least(length(text)::DOUBLE/500.0, 1.0)*0.5
+         |      + (1.0 - least((floor((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+         |                    / length(text)) * 1e6 + 0.5) / 1e6)*5.0, 1.0))*0.3
+         |      + least((floor((len(list_filter(string_split(text,' '),
          |                t -> t IN ($stopIn)))::DOUBLE
-         |              / len(string_split(text,' ')), 6)*4.0, 1.0)*0.2, 6) AS q,
+         |              / len(string_split(text,' '))) * 1e6 + 0.5) / 1e6)*4.0, 1.0)*0.2) * 1e6 + 0.5) / 1e6) AS q,
          |    len(string_split(text,' '))::BIGINT AS n_tokens
          |  FROM documents)
          |SELECT doc_id, q, n_tokens, cum_tokens FROM (
@@ -597,9 +597,9 @@ object HygieneQueries {
     Some("""WITH s AS (SELECT source, count(*)::BIGINT AS n_docs
            |          FROM documents GROUP BY source),
            |t AS (SELECT sum(n_docs)::DOUBLE AS tot,
-           |             round(sum(pow(n_docs, 0.5)), 6) AS pa FROM s)
-           |SELECT source, n_docs, round(n_docs/tot, 6) AS p_raw,
-           |       round(pow(n_docs, 0.5)/pa, 6) AS w_temp
+           |             (floor((sum(pow(n_docs, 0.5))) * 1e6 + 0.5) / 1e6) AS pa FROM s)
+           |SELECT source, n_docs, (floor((n_docs/tot) * 1e6 + 0.5) / 1e6) AS p_raw,
+           |       (floor((pow(n_docs, 0.5)/pa) * 1e6 + 0.5) / 1e6) AS w_temp
            |FROM s, t ORDER BY source""".stripMargin))
 
   /** Deterministic epoch shuffle — reproducible global permutation of

@@ -30,24 +30,24 @@ object RelationalQueries {
         .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
-          round(avg($"l_quantity"), 4).as("avg_qty"),
-          round(avg($"l_extendedprice"), 4).as("avg_price"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
+          (floor((sum($"l_quantity")) * 1e2 + 0.5) / 1e2).as("sum_qty"),
+          (floor((sum($"l_extendedprice")) * 1e2 + 0.5) / 1e2).as("sum_base_price"),
+          (floor((sum($"l_extendedprice" * (lit(1) - $"l_discount"))) * 1e2 + 0.5) / 1e2).as("sum_disc_price"),
+          (floor((sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"))) * 1e2 + 0.5) / 1e2).as("sum_charge"),
+          (floor((avg($"l_quantity")) * 1e4 + 0.5) / 1e4).as("avg_qty"),
+          (floor((avg($"l_extendedprice")) * 1e4 + 0.5) / 1e4).as("avg_price"),
+          (floor((avg($"l_discount")) * 1e4 + 0.5) / 1e4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-           | round(sum(l_quantity), 2) AS sum_qty,
-           | round(sum(l_extendedprice), 2) AS sum_base_price,
-           | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           | round(avg(l_quantity), 4) AS avg_qty,
-           | round(avg(l_extendedprice), 4) AS avg_price,
-           | round(avg(l_discount), 4) AS avg_disc,
+           | (floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2) AS sum_qty,
+           | (floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS sum_base_price,
+           | (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2) AS sum_disc_price,
+           | (floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e2 + 0.5) / 1e2) AS sum_charge,
+           | (floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4) AS avg_qty,
+           | (floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4) AS avg_price,
+           | (floor((avg(l_discount)) * 1e4 + 0.5) / 1e4) AS avg_disc,
            | count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -69,7 +69,7 @@ object RelationalQueries {
         .join(tt.orders, $"l_orderkey" === $"o_orderkey")
         .join(tt.customer, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"c_mktsegment")
-        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .agg((floor((sum($"l_extendedprice" * (lit(1) - $"l_discount"))) * 1e2 + 0.5) / 1e2).as("revenue"))
         .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
           $"c_mktsegment", $"revenue")
         .orderBy($"revenue".desc, $"l_orderkey")
@@ -77,7 +77,7 @@ object RelationalQueries {
     },
     Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            |       c_mktsegment,
-           |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |       (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2) AS revenue
            |FROM lineitem
            |JOIN orders ON l_orderkey = o_orderkey
            |JOIN customer ON o_custkey = c_custkey
@@ -98,12 +98,12 @@ object RelationalQueries {
         .join(broadcast(tt.nation), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(tt.region), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name")
-        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        .agg((floor((sum($"l_extendedprice" * (lit(1) - $"l_discount"))) * 1e2 + 0.5) / 1e2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"r_name")
     },
     Some("""SELECT r_name,
-           |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |       (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2) AS revenue,
            |       count(*) AS n_items
            |FROM lineitem
            |JOIN supplier ON l_suppkey = s_suppkey
@@ -183,13 +183,13 @@ object RelationalQueries {
     (s, dir) => {
       t(s, dir).lineitem.createOrReplaceTempView("lineitem_q17")
       s.sql(
-        """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        """SELECT (floor((sum(l_extendedprice) / 7.0) * 1e2 + 0.5) / 1e2) AS avg_yearly
           |FROM lineitem_q17 l1
           |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
           |                    FROM lineitem_q17 l2
           |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
     },
-    Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    Some("""SELECT (floor((sum(l_extendedprice) / 7.0) * 1e2 + 0.5) / 1e2) AS avg_yearly
            |FROM lineitem l1
            |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
            |                    FROM lineitem l2
@@ -414,7 +414,7 @@ object RelationalQueries {
         values = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         varName = "measure", valName = "value")
       long.groupBy($"measure")
-        .agg(round(sum($"value"), 2).as("total"), count(lit(1)).as("n"))
+        .agg((floor((sum($"value")) * 1e2 + 0.5) / 1e2).as("total"), count(lit(1)).as("n"))
         .orderBy($"measure")
     },
     Some("""WITH long AS (
@@ -422,7 +422,7 @@ object RelationalQueries {
            |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
            |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
            |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
-           |SELECT measure, round(sum(value), 2) AS total, count(*) AS n
+           |SELECT measure, (floor((sum(value)) * 1e2 + 0.5) / 1e2) AS total, count(*) AS n
            |FROM long GROUP BY measure ORDER BY measure""".stripMargin))
 
   private val pivotQ = Q(
@@ -432,13 +432,13 @@ object RelationalQueries {
       t(s, dir).lineitem
         .groupBy($"l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(round(sum($"l_quantity"), 2))
+        .agg((floor((sum($"l_quantity")) * 1e2 + 0.5) / 1e2))
         .orderBy($"l_linestatus")
     },
     Some("""SELECT l_linestatus,
-           |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
-           |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
-           |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+           |       (floor((sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)) * 1e2 + 0.5) / 1e2) AS "A",
+           |       (floor((sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END)) * 1e2 + 0.5) / 1e2) AS "N",
+           |       (floor((sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)) * 1e2 + 0.5) / 1e2) AS "R"
            |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
 
   private val f11 = Q(
@@ -467,7 +467,7 @@ object RelationalQueries {
       val statuses = o.select($"o_orderstatus").distinct()
       val grid = days.crossJoin(broadcast(statuses))
       val actual = o.groupBy(to_date($"o_orderdate").as("order_date"), $"o_orderstatus")
-        .agg(round(sum($"o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+        .agg((floor((sum($"o_totalprice")) * 1e2 + 0.5) / 1e2).as("total"), count(lit(1)).as("n"))
       RelationalOps.zeroFill(grid, actual,
         keys = Seq("order_date", "o_orderstatus"), valueCols = Seq("total", "n"))
         .withColumn("order_date", date_format($"order_date", "yyyy-MM-dd"))
@@ -477,7 +477,7 @@ object RelationalQueries {
            |statuses AS (SELECT DISTINCT o_orderstatus FROM orders),
            |actual AS (
            |  SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderstatus,
-           |         round(sum(o_totalprice), 2) AS total, count(*) AS n
+           |         (floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2) AS total, count(*) AS n
            |  FROM orders GROUP BY 1, 2)
            |SELECT strftime(d.order_date, '%Y-%m-%d') AS order_date, s.o_orderstatus,
            |       coalesce(a.total, 0) AS total, coalesce(a.n, 0) AS n
@@ -493,11 +493,11 @@ object RelationalQueries {
       t(s, dir).part
         .select(RelationalOps.normalizeKey($"p_type").as("type_key"), $"p_retailprice")
         .groupBy($"type_key")
-        .agg(count(lit(1)).as("n"), round(min($"p_retailprice"), 2).as("min_price"))
+        .agg(count(lit(1)).as("n"), (floor((min($"p_retailprice")) * 1e2 + 0.5) / 1e2).as("min_price"))
         .orderBy($"type_key")
     },
     Some("""SELECT lower(replace(trim(p_type), ' ', '_')) AS type_key,
-           |       count(*) AS n, round(min(p_retailprice), 2) AS min_price
+           |       count(*) AS n, (floor((min(p_retailprice)) * 1e2 + 0.5) / 1e2) AS min_price
            |FROM part GROUP BY 1 ORDER BY type_key""".stripMargin))
 
   private val f8 = Q(
@@ -571,7 +571,7 @@ object RelationalQueries {
   // --- Windows / top-k --------------------------------------------------
 
   private val topkOracle =
-    """SELECT c_mktsegment, rk::INT AS rk, c_custkey, round(c_acctbal, 2) AS acctbal
+    """SELECT c_mktsegment, rk::INT AS rk, c_custkey, (floor((c_acctbal) * 1e2 + 0.5) / 1e2) AS acctbal
       |FROM (SELECT *, row_number() OVER
       |        (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
       |      FROM customer)
@@ -594,7 +594,7 @@ object RelationalQueries {
         .agg(topkAgg($"c_acctbal", $"c_custkey").as("__top"))
         .select($"c_mktsegment", posexplode($"__top"))
         .select($"c_mktsegment", ($"pos" + 1).cast("int").as("rk"),
-          $"col._2".as("c_custkey"), round($"col._1", 2).as("acctbal"))
+          $"col._2".as("c_custkey"), (floor(($"col._1") * 1e2 + 0.5) / 1e2).as("acctbal"))
         .orderBy($"c_mktsegment", $"rk")
     },
     Some(topkOracle))
@@ -610,7 +610,7 @@ object RelationalQueries {
       t(s, dir).customer
         .withColumn("rk", row_number().over(w))
         .filter($"rk" <= 3)
-        .select($"c_mktsegment", $"rk", $"c_custkey", round($"c_acctbal", 2).as("acctbal"))
+        .select($"c_mktsegment", $"rk", $"c_custkey", (floor(($"c_acctbal") * 1e2 + 0.5) / 1e2).as("acctbal"))
         .orderBy($"c_mktsegment", $"rk")
     },
     Some(topkOracle))
@@ -711,14 +711,14 @@ object RelationalQueries {
             (lit(100L) - round($"l_discount" * 100).cast("long")))
         .groupBy($"supp_nation", $"cust_nation",
           year($"l_shipdate").as("l_year"))
-        .agg(round(sum($"vol_u") / 10000.0, 2).as("revenue"),
+        .agg((floor((sum($"vol_u") / 10000.0) * 1e2 + 0.5) / 1e2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"supp_nation", $"cust_nation", $"l_year")
     },
     Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            |       year(l_shipdate)::INT AS l_year,
-           |       round(sum(round(l_extendedprice*100)::BIGINT
-           |                 * (100 - round(l_discount*100)::BIGINT)) / 10000.0, 2)
+           |       (floor((sum(round(l_extendedprice*100)::BIGINT
+           |                 * (100 - round(l_discount*100)::BIGINT)) / 10000.0) * 1e2 + 0.5) / 1e2)
            |         AS revenue,
            |       count(*) AS n_items
            |FROM lineitem
@@ -762,9 +762,9 @@ object RelationalQueries {
           sum(when($"n_name" === "NATION_3", $"vol_u").otherwise(0L)).as("nvu"),
           sum($"vol_u").as("tvu"),
           count(lit(1)).as("n_items"))
-        .select($"o_year", round($"nvu" / 10000.0, 2).as("nation_vol"),
-          round($"tvu" / 10000.0, 2).as("total_vol"),
-          round($"nvu".cast("double") / $"tvu".cast("double"), 6)
+        .select($"o_year", (floor(($"nvu" / 10000.0) * 1e2 + 0.5) / 1e2).as("nation_vol"),
+          (floor(($"tvu" / 10000.0) * 1e2 + 0.5) / 1e2).as("total_vol"),
+          (floor(($"nvu".cast("double") / $"tvu".cast("double")) * 1e6 + 0.5) / 1e6)
             .as("mkt_share"), $"n_items")
         .orderBy($"o_year")
     },
@@ -778,11 +778,11 @@ object RelationalQueries {
            |  JOIN supplier ON l_suppkey = s_suppkey
            |  JOIN nation ON s_nationkey = n_nationkey)
            |SELECT o_year,
-           |       round(sum(CASE WHEN n_name = 'NATION_3' THEN vol_u ELSE 0 END)
-           |             / 10000.0, 2) AS nation_vol,
-           |       round(sum(vol_u) / 10000.0, 2) AS total_vol,
-           |       round(sum(CASE WHEN n_name = 'NATION_3' THEN vol_u ELSE 0 END)::DOUBLE
-           |             / sum(vol_u)::DOUBLE, 6) AS mkt_share,
+           |       (floor((sum(CASE WHEN n_name = 'NATION_3' THEN vol_u ELSE 0 END)
+           |             / 10000.0) * 1e2 + 0.5) / 1e2) AS nation_vol,
+           |       (floor((sum(vol_u) / 10000.0) * 1e2 + 0.5) / 1e2) AS total_vol,
+           |       (floor((sum(CASE WHEN n_name = 'NATION_3' THEN vol_u ELSE 0 END)::DOUBLE
+           |             / sum(vol_u)::DOUBLE) * 1e6 + 0.5) / 1e6) AS mkt_share,
            |       count(*) AS n_items
            |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin))
 
@@ -800,7 +800,7 @@ object RelationalQueries {
           $"o_orderstatus" =!= "P")
         .withColumn("o_totalprice",
           when($"o_orderpriority" === "1-URGENT",
-            round($"o_totalprice" * 1.1, 2)).otherwise($"o_totalprice"))
+            (floor(($"o_totalprice" * 1.1) * 1e2 + 0.5) / 1e2)).otherwise($"o_totalprice"))
       graft.operators.RelationalOps.diffByKey(snapA, snapB,
           Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
         .select($"o_orderkey", $"change_type", $"changed_cols")
@@ -812,7 +812,7 @@ object RelationalQueries {
            |b AS (
            |  SELECT o_orderkey, o_orderstatus,
            |         CASE WHEN o_orderpriority = '1-URGENT'
-           |              THEN round(o_totalprice * 1.1, 2)
+           |              THEN (floor((o_totalprice * 1.1) * 1e2 + 0.5) / 1e2)
            |              ELSE o_totalprice END AS o_totalprice
            |  FROM orders
            |  WHERE o_orderdate < DATE '1999-01-01' AND o_orderstatus <> 'P')
@@ -992,10 +992,10 @@ object RelationalQueries {
         .select($"s_suppkey".as("suppkey"), $"n_name")
       graft.operators.SkewOps.saltedJoin(big, dim, "suppkey", 8)
         .groupBy($"n_name")
-        .agg(round(sum($"rev"), 2).as("revenue"), count(lit(1)).as("n"))
+        .agg((floor((sum($"rev")) * 1e2 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
         .orderBy($"n_name")
     },
-    Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+    Some("""SELECT n_name, (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2)
            |         AS revenue,
            |       count(*) AS n
            |FROM lineitem
@@ -1031,10 +1031,10 @@ object RelationalQueries {
         f"maxSz=${profile.maxSz} skewRatio=${profile.skewRatio}%.2f " +
         f"-> $plan join")
       joined.groupBy($"n_name")
-        .agg(round(sum($"rev"), 2).as("revenue"), count(lit(1)).as("n"))
+        .agg((floor((sum($"rev")) * 1e2 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
         .orderBy($"n_name")
     },
-    Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+    Some("""SELECT n_name, (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2)
            |         AS revenue,
            |       count(*) AS n
            |FROM lineitem
@@ -1058,10 +1058,10 @@ object RelationalQueries {
       graft.operators.SkewOps
         .saltedSum(t(s, dir).lineitem, Seq("l_returnflag"), "l_quantity", 8)
         .select($"l_returnflag",
-          round($"sum_l_quantity", 2).as("sum_qty"), $"n")
+          (floor(($"sum_l_quantity") * 1e2 + 0.5) / 1e2).as("sum_qty"), $"n")
         .orderBy($"l_returnflag")
     },
-    Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+    Some("""SELECT l_returnflag, (floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2) AS sum_qty,
            |       count(*) AS n
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
@@ -1072,7 +1072,7 @@ object RelationalQueries {
     * the identical oracle text runs on DuckDB). The view registration is
     * idempotent and session-scoped. */
   private val q6Sql =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT (floor((sum(l_extendedprice * l_discount)) * 1e2 + 0.5) / 1e2) AS revenue,
       |       count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -1123,7 +1123,7 @@ object RelationalQueries {
     Some(q4Sql))
 
   private val q20Sql =
-    """SELECT s_name, round(s_acctbal, 2) AS acctbal
+    """SELECT s_name, (floor((s_acctbal) * 1e2 + 0.5) / 1e2) AS acctbal
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |WHERE n_name = 'NATION_3'
       |  AND s_suppkey IN (
@@ -1211,7 +1211,7 @@ object RelationalQueries {
   private val q15Sql =
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,
-      |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |         CAST(sum(CAST((floor((l_extendedprice * (1 - l_discount) * 100) * 1e0 + 0.5) / 1e0)
       |                       AS BIGINT)) AS BIGINT) AS total_revenue_c
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1234,8 +1234,8 @@ object RelationalQueries {
   private val q18Sql =
     """SELECT c_name, c_custkey, o_orderkey,
       |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS order_date,
-      |       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS totalprice_c,
-      |       CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty
+      |       CAST((floor((o_totalprice * 100) * 1e0 + 0.5) / 1e0) AS BIGINT) AS totalprice_c,
+      |       CAST((floor((sum(l_quantity)) * 1e0 + 0.5) / 1e0) AS BIGINT) AS sum_qty
       |FROM customer, orders, lineitem
       |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
       |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
@@ -1256,10 +1256,10 @@ object RelationalQueries {
 
   private val q22Sql =
     """SELECT c_nationkey, count(*) AS numcust,
-      |       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+      |       CAST(sum(CAST((floor((c_acctbal * 100) * 1e0 + 0.5) / 1e0) AS BIGINT)) AS BIGINT)
       |         AS totacctbal_c
       |FROM customer c
-      |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+      |WHERE c_acctbal > (SELECT (floor((avg(c_acctbal)) * 1e6 + 0.5) / 1e6) FROM customer
       |                   WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders o
       |                  WHERE o.o_custkey = c.c_custkey
@@ -1300,15 +1300,15 @@ object RelationalQueries {
   // never a cartesian (plan-asserted alongside the r5 trio).
 
   private val q2Sql =
-    """SELECT DISTINCT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+    """SELECT DISTINCT (floor((s_acctbal) * 1e2 + 0.5) / 1e2) AS acctbal, s_name, n_name,
       |                p_partkey, p_name
       |FROM part, supplier, lineitem, nation, region
       |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
       |  AND p_size = 30 AND p_type = 'LARGE'
       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
       |  AND r_name = 'EUROPE'
-      |  AND CAST(round(l_extendedprice * 100, 0) AS BIGINT) = (
-      |    SELECT min(CAST(round(l2.l_extendedprice * 100, 0) AS BIGINT))
+      |  AND CAST((floor((l_extendedprice * 100) * 1e0 + 0.5) / 1e0) AS BIGINT) = (
+      |    SELECT min(CAST((floor((l2.l_extendedprice * 100) * 1e0 + 0.5) / 1e0) AS BIGINT))
       |    FROM lineitem l2, supplier s2, nation n2, region r2
       |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
       |      AND s2.s_nationkey = n2.n_nationkey
@@ -1333,9 +1333,9 @@ object RelationalQueries {
     """SELECT nation, o_year, CAST(sum(amount_c) AS BIGINT) AS sum_profit_c
       |FROM (SELECT n_name AS nation,
       |             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-      |             CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |             CAST((floor((l_extendedprice * (1 - l_discount) * 100) * 1e0 + 0.5) / 1e0)
       |                  AS BIGINT)
-      |             - CAST(round(p_retailprice * l_quantity * 100, 0)
+      |             - CAST((floor((p_retailprice * l_quantity * 100) * 1e0 + 0.5) / 1e0)
       |                    AS BIGINT) AS amount_c
       |      FROM part, supplier, lineitem, orders, nation
       |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
@@ -1359,9 +1359,9 @@ object RelationalQueries {
 
   private val q10Sql =
     """SELECT c_custkey, c_name,
-      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |       CAST(sum(CAST((floor((l_extendedprice * (1 - l_discount) * 100) * 1e0 + 0.5) / 1e0)
       |                     AS BIGINT)) AS BIGINT) AS revenue_c,
-      |       round(c_acctbal, 2) AS acctbal, n_name
+      |       (floor((c_acctbal) * 1e2 + 0.5) / 1e2) AS acctbal, n_name
       |FROM customer, orders, lineitem, nation
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
@@ -1396,20 +1396,20 @@ object RelationalQueries {
   // (the same documented bound as the other money-in-cents outputs).
   private val q11Sql =
     """SELECT l_partkey,
-      |       CAST(sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-      |                     * CAST(round(l_quantity, 0) AS BIGINT)
+      |       CAST(sum(CAST(CAST((floor((l_extendedprice * 100) * 1e0 + 0.5) / 1e0) AS BIGINT)
+      |                     * CAST((floor((l_quantity) * 1e0 + 0.5) / 1e0) AS BIGINT)
       |                     AS DECIMAL(38,0))) AS BIGINT)
       |         AS value_c
       |FROM lineitem, supplier, nation
       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       |  AND n_name = 'NATION_5'
       |GROUP BY l_partkey
-      |HAVING sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-      |                * CAST(round(l_quantity, 0) AS BIGINT)
+      |HAVING sum(CAST(CAST((floor((l_extendedprice * 100) * 1e0 + 0.5) / 1e0) AS BIGINT)
+      |                * CAST((floor((l_quantity) * 1e0 + 0.5) / 1e0) AS BIGINT)
       |                AS DECIMAL(38,0)))
       |       > 0.001 * (
-      |         SELECT sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-      |                         * CAST(round(l_quantity, 0) AS BIGINT)
+      |         SELECT sum(CAST(CAST((floor((l_extendedprice * 100) * 1e0 + 0.5) / 1e0) AS BIGINT)
+      |                         * CAST((floor((l_quantity) * 1e0 + 0.5) / 1e0) AS BIGINT)
       |                         AS DECIMAL(38,0)))
       |         FROM lineitem, supplier, nation
       |         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
@@ -1453,13 +1453,13 @@ object RelationalQueries {
     Some(q12Sql))
 
   private val q14Sql =
-    """SELECT round(100.0
+    """SELECT (floor((100.0
       |  * CAST(sum(CASE WHEN p_type = 'PROMO'
-      |                  THEN CAST(round(l_extendedprice * (1 - l_discount)
-      |                                  * 100, 0) AS BIGINT)
+      |                  THEN CAST((floor((l_extendedprice * (1 - l_discount)
+      |                                  * 100) * 1e0 + 0.5) / 1e0) AS BIGINT)
       |                  ELSE 0 END) AS DOUBLE)
-      |  / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-      |                  AS BIGINT)) AS DOUBLE), 6) AS promo_revenue_pct
+      |  / CAST(sum(CAST((floor((l_extendedprice * (1 - l_discount) * 100) * 1e0 + 0.5) / 1e0)
+      |                  AS BIGINT)) AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS promo_revenue_pct
       |FROM lineitem, part
       |WHERE l_partkey = p_partkey
       |  AND l_shipdate >= TIMESTAMP '1996-09-01'
@@ -1500,7 +1500,7 @@ object RelationalQueries {
     Some(q16Sql))
 
   private val q19Sql =
-    """SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+    """SELECT CAST(sum(CAST((floor((l_extendedprice * (1 - l_discount) * 100) * 1e0 + 0.5) / 1e0)
       |                     AS BIGINT)) AS BIGINT) AS revenue_c
       |FROM lineitem, part
       |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'

@@ -20,7 +20,7 @@ object StatsQueries {
       tt.orders
         .join(tt.customer, $"o_custkey" === $"c_custkey")
         .rollup($"c_mktsegment", $"o_orderstatus")
-        .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+        .agg((floor((sum($"o_totalprice")) * 1e2 + 0.5) / 1e2).as("revenue"),
           count(lit(1)).as("n"))
         .select(coalesce($"c_mktsegment", lit("ALL")).as("segment"),
           coalesce($"o_orderstatus", lit("ALL")).as("status"),
@@ -29,7 +29,7 @@ object StatsQueries {
     },
     Some("""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
            |       coalesce(o_orderstatus, 'ALL') AS status,
-           |       round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+           |       (floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2) AS revenue, count(*) AS n
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
            |ORDER BY segment, status""".stripMargin))
@@ -41,17 +41,17 @@ object StatsQueries {
       Tables(s, dir).lineitem
         .groupBy($"l_returnflag")
         .agg(
-          round(stddev_samp($"l_extendedprice"), 4).as("sd_price"),
-          round(var_samp($"l_extendedprice"), 4).as("var_price"),
-          round(min($"l_extendedprice"), 2).as("min_price"),
-          round(max($"l_extendedprice"), 2).as("max_price"))
+          (floor((stddev_samp($"l_extendedprice")) * 1e4 + 0.5) / 1e4).as("sd_price"),
+          (floor((var_samp($"l_extendedprice")) * 1e4 + 0.5) / 1e4).as("var_price"),
+          (floor((min($"l_extendedprice")) * 1e2 + 0.5) / 1e2).as("min_price"),
+          (floor((max($"l_extendedprice")) * 1e2 + 0.5) / 1e2).as("max_price"))
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag,
-           |       round(stddev_samp(l_extendedprice), 4) AS sd_price,
-           |       round(var_samp(l_extendedprice), 4) AS var_price,
-           |       round(min(l_extendedprice), 2) AS min_price,
-           |       round(max(l_extendedprice), 2) AS max_price
+           |       (floor((stddev_samp(l_extendedprice)) * 1e4 + 0.5) / 1e4) AS sd_price,
+           |       (floor((var_samp(l_extendedprice)) * 1e4 + 0.5) / 1e4) AS var_price,
+           |       (floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS min_price,
+           |       (floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS max_price
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   private val percentiles = Q(
@@ -61,13 +61,13 @@ object StatsQueries {
       Tables(s, dir).orders
         .groupBy($"o_orderstatus")
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+          (floor((expr("percentile(o_totalprice, 0.5)")) * 1e4 + 0.5) / 1e4).as("p50"),
+          (floor((expr("percentile(o_totalprice, 0.9)")) * 1e4 + 0.5) / 1e4).as("p90"))
         .orderBy($"o_orderstatus")
     },
     Some("""SELECT o_orderstatus,
-           |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+           |       (floor((quantile_cont(o_totalprice, 0.5)) * 1e4 + 0.5) / 1e4) AS p50,
+           |       (floor((quantile_cont(o_totalprice, 0.9)) * 1e4 + 0.5) / 1e4) AS p90
            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
   private val profileQ = Q(
@@ -193,7 +193,7 @@ object StatsQueries {
               |       coalesce(o_orderpriority, 'ALL') AS priority,
               |       CAST(grouping_id(c_mktsegment, o_orderpriority) AS INT)
               |         AS gid,
-              |       round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+              |       (floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2) AS revenue, count(*) AS n
               |FROM ord_cust_gs
               |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
               |                        (c_mktsegment), ())
@@ -202,7 +202,7 @@ object StatsQueries {
     Some("""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
            |       coalesce(o_orderpriority, 'ALL') AS priority,
            |       grouping_id(c_mktsegment, o_orderpriority)::INT AS gid,
-           |       round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+           |       (floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2) AS revenue, count(*) AS n
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
            |                        (c_mktsegment), ())
@@ -218,14 +218,14 @@ object StatsQueries {
         .partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
       Tables(s, dir).customer
         .select($"c_mktsegment", $"c_custkey",
-          round($"c_acctbal", 2).as("acctbal"),
+          (floor(($"c_acctbal") * 1e2 + 0.5) / 1e2).as("acctbal"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"))
+          (floor((percent_rank().over(w)) * 1e6 + 0.5) / 1e6).as("pct_rank"))
         .orderBy($"c_mktsegment", $"c_custkey")
     },
-    Some("""SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+    Some("""SELECT c_mktsegment, c_custkey, (floor((c_acctbal) * 1e2 + 0.5) / 1e2) AS acctbal,
            |       (ntile(4) OVER w)::INT AS quartile,
-           |       round(percent_rank() OVER w, 6) AS pct_rank
+           |       (floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6) AS pct_rank
            |FROM customer
            |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
            |ORDER BY c_mktsegment, c_custkey""".stripMargin))
@@ -241,14 +241,14 @@ object StatsQueries {
         .partitionBy($"user_id").orderBy(unix_micros($"ts"))
         .rangeBetween(-3600L * 1000000L, 0L)
       Tables(s, dir).events
-        .withColumn("trailing_1h_sum", round(sum($"value").over(w), 2))
+        .withColumn("trailing_1h_sum", (floor((sum($"value").over(w)) * 1e2 + 0.5) / 1e2))
         .select($"event_id", $"user_id", $"trailing_1h_sum")
         .orderBy($"event_id")
     },
     Some("""SELECT event_id, user_id,
-           |       round(sum(value) OVER
+           |       (floor((sum(value) OVER
            |         (PARTITION BY user_id ORDER BY epoch_us(ts)
-           |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+           |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2)
            |         AS trailing_1h_sum
            |FROM events ORDER BY event_id""".stripMargin))
 
@@ -270,8 +270,8 @@ object StatsQueries {
             lit(19.0)).cast("long"))
         .groupBy($"bin")
         .agg(count(lit(1)).as("n"),
-          round(min($"o_totalprice"), 2).as("bin_min"),
-          round(max($"o_totalprice"), 2).as("bin_max"))
+          (floor((min($"o_totalprice")) * 1e2 + 0.5) / 1e2).as("bin_min"),
+          (floor((max($"o_totalprice")) * 1e2 + 0.5) / 1e2).as("bin_max"))
         .orderBy($"bin")
     },
     Some("""WITH b AS (SELECT min(o_totalprice) lo, max(o_totalprice) hi
@@ -279,8 +279,8 @@ object StatsQueries {
            |SELECT least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)),
            |             19.0)::BIGINT AS bin,
            |       count(*) AS n,
-           |       round(min(o_totalprice), 2) AS bin_min,
-           |       round(max(o_totalprice), 2) AS bin_max
+           |       (floor((min(o_totalprice)) * 1e2 + 0.5) / 1e2) AS bin_min,
+           |       (floor((max(o_totalprice)) * 1e2 + 0.5) / 1e2) AS bin_max
            |FROM orders, b GROUP BY bin ORDER BY bin""".stripMargin))
 
   /** Pearson correlation + sample covariance per group — the classic
@@ -295,15 +295,15 @@ object StatsQueries {
       Tables(s, dir).lineitem
         .groupBy($"l_returnflag")
         .agg(
-          round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
-          round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("covar_qty_price"),
-          round(corr($"l_discount", $"l_tax"), 4).as("corr_disc_tax"))
+          (floor((corr($"l_quantity", $"l_extendedprice")) * 1e4 + 0.5) / 1e4).as("corr_qty_price"),
+          (floor((covar_samp($"l_quantity", $"l_extendedprice")) * 1e2 + 0.5) / 1e2).as("covar_qty_price"),
+          (floor((corr($"l_discount", $"l_tax")) * 1e4 + 0.5) / 1e4).as("corr_disc_tax"))
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag,
-           |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-           |       round(corr(l_discount, l_tax), 4) AS corr_disc_tax
+           |       (floor((corr(l_quantity, l_extendedprice)) * 1e4 + 0.5) / 1e4) AS corr_qty_price,
+           |       (floor((covar_samp(l_quantity, l_extendedprice)) * 1e2 + 0.5) / 1e2) AS covar_qty_price,
+           |       (floor((corr(l_discount, l_tax)) * 1e4 + 0.5) / 1e4) AS corr_disc_tax
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** Heavy hitters via count-min sketch, gated by invariant oracle: the
@@ -371,16 +371,16 @@ object StatsQueries {
         .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
           sum($"np" * ($"cum_neg" + $"nn" / 2.0)).as("u"))
         .select($"n_pos", $"n_neg",
-          round($"u" / ($"n_pos" * $"n_neg"), 6).as("auc"))
+          (floor(($"u" / ($"n_pos" * $"n_neg")) * 1e6 + 0.5) / 1e6).as("auc"))
     },
     Some("""WITH scored AS (
            |  SELECT lang = 'en' AS pos,
-           |    round(least(length(text)::DOUBLE/500.0, 1.0)*0.5
-           |      + (1.0 - least(round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-           |                    / length(text), 6)*5.0, 1.0))*0.3
-           |      + least(round(len(list_filter(string_split(text,' '),
+           |    (floor((least(length(text)::DOUBLE/500.0, 1.0)*0.5
+           |      + (1.0 - least((floor((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+           |                    / length(text)) * 1e6 + 0.5) / 1e6)*5.0, 1.0))*0.3
+           |      + least((floor((len(list_filter(string_split(text,' '),
            |                t -> t IN ('the','a','of','and','to','in')))::DOUBLE
-           |              / len(string_split(text,' ')), 6)*4.0, 1.0)*0.2, 6) AS score
+           |              / len(string_split(text,' '))) * 1e6 + 0.5) / 1e6)*4.0, 1.0)*0.2) * 1e6 + 0.5) / 1e6) AS score
            |  FROM documents),
            |by_score AS (
            |  SELECT score,
@@ -394,8 +394,8 @@ object StatsQueries {
            |           AS cum_neg
            |  FROM by_score)
            |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
-           |       round(sum(np * (cum_neg + nn / 2.0))
-           |             / (sum(np) * sum(nn)), 6) AS auc
+           |       (floor((sum(np * (cum_neg + nn / 2.0))
+           |             / (sum(np) * sum(nn))) * 1e6 + 0.5) / 1e6) AS auc
            |FROM cum""".stripMargin))
 
   /** Robust outlier detection — median / MAD (median absolute deviation),
@@ -435,7 +435,7 @@ object StatsQueries {
         .withColumn("dev", abs($"value" - $"med"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
-          round(avg($"value"), 6).as("mean_raw"),
+          (floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("mean_raw"),
           sum(when($"value" < $"med", 1L).otherwise(0L)).as("med_lt"),
           sum(when($"value" <= $"med", 1L).otherwise(0L)).as("med_le"),
           sum(when($"dev" < $"mad", 1L).otherwise(0L)).as("mad_lt"),
@@ -451,7 +451,7 @@ object StatsQueries {
         .orderBy($"event_type")
     },
     Some("""SELECT event_type, count(*)::BIGINT AS n,
-           |       round(avg(value), 6) AS mean_raw,
+           |       (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS mean_raw,
            |       true AS med_rank_ok, true AS mad_rank_ok,
            |       true AS outliers_bounded
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
@@ -467,11 +467,11 @@ object StatsQueries {
       import s.implicits._
       val ev = Tables(s, dir).events.select($"event_type", $"value")
       val med = ev.groupBy($"event_type")
-        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+        .agg((floor((expr("percentile(value, 0.5)")) * 1e6 + 0.5) / 1e6).as("med"))
       val mad = ev.join(broadcast(med), "event_type")
         .groupBy($"event_type")
         .agg(max($"med").as("med"),
-          round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+          (floor((expr("percentile(abs(value - med), 0.5)")) * 1e6 + 0.5) / 1e6).as("mad"))
       ev.join(broadcast(mad), "event_type")
         .groupBy($"event_type")
         .agg(max($"med").as("med"), max($"mad").as("mad"),
@@ -479,15 +479,15 @@ object StatsQueries {
             1L).otherwise(0L)).as("n_outliers"),
           count(lit(1)).as("n"))
         .select($"event_type", $"med", $"mad", $"n_outliers",
-          round($"n_outliers".cast("double") / $"n", 6).as("outlier_rate"))
+          (floor(($"n_outliers".cast("double") / $"n") * 1e6 + 0.5) / 1e6).as("outlier_rate"))
         .orderBy($"event_type")
     },
     Some("""WITH med AS (
-           |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+           |  SELECT event_type, (floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) / 1e6) AS med
            |  FROM events GROUP BY event_type),
            |mad AS (
            |  SELECT e.event_type, max(m.med) AS med,
-           |         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+           |         (floor((quantile_cont(abs(e.value - m.med), 0.5)) * 1e6 + 0.5) / 1e6) AS mad
            |  FROM events e JOIN med m USING (event_type)
            |  GROUP BY e.event_type),
            |cut AS (
@@ -498,7 +498,7 @@ object StatsQueries {
            |  FROM events e JOIN mad s USING (event_type)
            |  GROUP BY e.event_type)
            |SELECT event_type, med, mad, n_outliers,
-           |       round(n_outliers::DOUBLE / n, 6) AS outlier_rate
+           |       (floor((n_outliers::DOUBLE / n) * 1e6 + 0.5) / 1e6) AS outlier_rate
            |FROM cut ORDER BY event_type""".stripMargin))
 
   /** Winsorization, deployed form — the 100 TB memory posture: per-group
@@ -533,7 +533,7 @@ object StatsQueries {
       li.join(broadcast(bounds), "l_returnflag")
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
-          round(avg($"l_extendedprice"), 6).as("mean_raw"),
+          (floor((avg($"l_extendedprice")) * 1e6 + 0.5) / 1e6).as("mean_raw"),
           avg(greatest($"lo", least($"hi", $"l_extendedprice")))
             .as("mean_winsorized"),
           max($"lo").as("lo"), max($"hi").as("hi"),
@@ -554,7 +554,7 @@ object StatsQueries {
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*)::BIGINT AS n,
-           |       round(avg(l_extendedprice), 6) AS mean_raw,
+           |       (floor((avg(l_extendedprice)) * 1e6 + 0.5) / 1e6) AS mean_raw,
            |       true AS lo_rank_ok, true AS hi_rank_ok,
            |       true AS mean_w_in_band
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
@@ -571,13 +571,13 @@ object StatsQueries {
       val li = Tables(s, dir).lineitem.select($"l_returnflag", $"l_extendedprice")
       val bounds = li.groupBy($"l_returnflag")
         .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("b"))
-        .select($"l_returnflag", round(element_at($"b", 1), 6).as("lo"),
-          round(element_at($"b", 2), 6).as("hi"))
+        .select($"l_returnflag", (floor((element_at($"b", 1)) * 1e6 + 0.5) / 1e6).as("lo"),
+          (floor((element_at($"b", 2)) * 1e6 + 0.5) / 1e6).as("hi"))
       li.join(broadcast(bounds), "l_returnflag")
         .groupBy($"l_returnflag")
         .agg(max($"lo").as("lo"), max($"hi").as("hi"),
-          round(avg($"l_extendedprice"), 6).as("mean_raw"),
-          round(avg(greatest($"lo", least($"hi", $"l_extendedprice"))), 6)
+          (floor((avg($"l_extendedprice")) * 1e6 + 0.5) / 1e6).as("mean_raw"),
+          (floor((avg(greatest($"lo", least($"hi", $"l_extendedprice")))) * 1e6 + 0.5) / 1e6)
             .as("mean_winsorized"),
           sum(when($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi",
             1L).otherwise(0L)).as("n_clipped"))
@@ -585,12 +585,12 @@ object StatsQueries {
     },
     Some("""WITH b AS (
            |  SELECT l_returnflag,
-           |         round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
-           |         round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+           |         (floor((quantile_cont(l_extendedprice, 0.05)) * 1e6 + 0.5) / 1e6) AS lo,
+           |         (floor((quantile_cont(l_extendedprice, 0.95)) * 1e6 + 0.5) / 1e6) AS hi
            |  FROM lineitem GROUP BY l_returnflag)
            |SELECT l.l_returnflag, max(b.lo) AS lo, max(b.hi) AS hi,
-           |       round(avg(l_extendedprice), 6) AS mean_raw,
-           |       round(avg(greatest(b.lo, least(b.hi, l_extendedprice))), 6)
+           |       (floor((avg(l_extendedprice)) * 1e6 + 0.5) / 1e6) AS mean_raw,
+           |       (floor((avg(greatest(b.lo, least(b.hi, l_extendedprice)))) * 1e6 + 0.5) / 1e6)
            |         AS mean_winsorized,
            |       sum(CASE WHEN l_extendedprice < b.lo OR l_extendedprice > b.hi
            |                THEN 1 ELSE 0 END)::BIGINT AS n_clipped
@@ -662,8 +662,8 @@ object StatsQueries {
         .filter($"event_type".isin("purchase", "click"))
       val m = e.groupBy($"event_type")
         .agg(count(lit(1)).cast("double").as("n"),
-          round(avg($"value"), 6).as("m"),
-          round(var_samp($"value"), 6).as("v"))
+          (floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("m"),
+          (floor((var_samp($"value")) * 1e6 + 0.5) / 1e6).as("v"))
       val a = m.filter($"event_type" === "purchase")
         .select($"n".as("n1"), $"m".as("m1"), $"v".as("v1"))
       val b = m.filter($"event_type" === "click")
@@ -674,16 +674,16 @@ object StatsQueries {
         .select(
           $"n1".cast("long").as("n_purchase"),
           $"n2".cast("long").as("n_click"),
-          round(($"m1" - $"m2") / sqrt($"se1" + $"se2"), 6).as("t_stat"),
-          round(pow($"se1" + $"se2", 2) /
-            (pow($"se1", 2) / ($"n1" - 1) + pow($"se2", 2) / ($"n2" - 1)), 2)
+          (floor((($"m1" - $"m2") / sqrt($"se1" + $"se2")) * 1e6 + 0.5) / 1e6).as("t_stat"),
+          (floor((pow($"se1" + $"se2", 2) /
+            (pow($"se1", 2) / ($"n1" - 1) + pow($"se2", 2) / ($"n2" - 1))) * 1e2 + 0.5) / 1e2)
             .as("welch_df"),
-          (abs(round(($"m1" - $"m2") / sqrt($"se1" + $"se2"), 6)) > 1.96)
+          (abs((floor((($"m1" - $"m2") / sqrt($"se1" + $"se2")) * 1e6 + 0.5) / 1e6)) > 1.96)
             .as("significant_5pct"))
     },
     Some("""WITH m AS (
            |  SELECT event_type, count(*)::DOUBLE AS n,
-           |         round(avg(value), 6) AS m, round(var_samp(value), 6) AS v
+           |         (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS m, (floor((var_samp(value)) * 1e6 + 0.5) / 1e6) AS v
            |  FROM events WHERE event_type IN ('purchase', 'click')
            |  GROUP BY event_type),
            |ab AS (
@@ -692,10 +692,10 @@ object StatsQueries {
            |  FROM (SELECT * FROM m WHERE event_type = 'purchase') a
            |  CROSS JOIN (SELECT * FROM m WHERE event_type = 'click') b)
            |SELECT n1::BIGINT AS n_purchase, n2::BIGINT AS n_click,
-           |       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
-           |       round((se1 + se2)**2 /
-           |             (se1**2 / (n1 - 1) + se2**2 / (n2 - 1)), 2) AS welch_df,
-           |       abs(round((m1 - m2) / sqrt(se1 + se2), 6)) > 1.96
+           |       (floor(((m1 - m2) / sqrt(se1 + se2)) * 1e6 + 0.5) / 1e6) AS t_stat,
+           |       (floor(((se1 + se2)**2 /
+           |             (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))) * 1e2 + 0.5) / 1e2) AS welch_df,
+           |       abs((floor(((m1 - m2) / sqrt(se1 + se2)) * 1e6 + 0.5) / 1e6)) > 1.96
            |         AS significant_5pct
            |FROM ab""".stripMargin))
 
@@ -727,9 +727,9 @@ object StatsQueries {
         .join(c1.select($"b".as("bb"), $"c1".as("c1b")), "bb")
         .crossJoin(broadcast(nBaskets))
         .select($"ba", $"bb", $"c12",
-          round($"c12".cast("double") / $"n", 6).as("support"),
-          round($"c12".cast("double") / $"c1a", 6).as("confidence"),
-          round($"c12".cast("double") * $"n" / ($"c1a" * $"c1b"), 6)
+          (floor(($"c12".cast("double") / $"n") * 1e6 + 0.5) / 1e6).as("support"),
+          (floor(($"c12".cast("double") / $"c1a") * 1e6 + 0.5) / 1e6).as("confidence"),
+          (floor(($"c12".cast("double") * $"n" / ($"c1a" * $"c1b")) * 1e6 + 0.5) / 1e6)
             .as("lift"))
         .orderBy($"lift".desc, $"ba", $"bb")
         .limit(15)
@@ -744,9 +744,9 @@ object StatsQueries {
            |  FROM items x JOIN items y ON x.o = y.o AND x.b < y.b
            |  GROUP BY 1, 2 HAVING count(*) >= 50)
            |SELECT ba, bb, c12,
-           |       round(c12::DOUBLE / n.n, 6) AS support,
-           |       round(c12::DOUBLE / ca.c1, 6) AS confidence,
-           |       round(c12::DOUBLE * n.n / (ca.c1 * cb.c1), 6) AS lift
+           |       (floor((c12::DOUBLE / n.n) * 1e6 + 0.5) / 1e6) AS support,
+           |       (floor((c12::DOUBLE / ca.c1) * 1e6 + 0.5) / 1e6) AS confidence,
+           |       (floor((c12::DOUBLE * n.n / (ca.c1 * cb.c1)) * 1e6 + 0.5) / 1e6) AS lift
            |FROM prs
            |JOIN c1 ca ON ca.b = prs.ba
            |JOIN c1 cb ON cb.b = prs.bb
@@ -777,12 +777,12 @@ object StatsQueries {
       // the same exact integer to double for the closing division
       ranked.agg(
           count(lit(1)).as("n_customers"),
-          round(sum($"rev_c") / 100.0, 2).as("total_revenue"),
-          round(
+          (floor((sum($"rev_c") / 100.0) * 1e2 + 0.5) / 1e2).as("total_revenue"),
+          (floor((
             sum($"i".cast("decimal(19,0)") * $"rev_c".cast("decimal(19,0)")) * 2.0 /
               (count(lit(1)).cast("decimal(38,0)") *
                 sum($"rev_c").cast("decimal(38,0)")).cast("double") -
-              (count(lit(1)) + 1.0) / count(lit(1)), 6).as("gini"))
+              (count(lit(1)) + 1.0) / count(lit(1))) * 1e6 + 0.5) / 1e6).as("gini"))
     },
     Some("""WITH rev AS (
            |  SELECT o_custkey,
@@ -793,9 +793,9 @@ object StatsQueries {
            |         row_number() OVER (ORDER BY rev_c, o_custkey) AS i
            |  FROM rev)
            |SELECT count(*)::BIGINT AS n_customers,
-           |       round(sum(rev_c) / 100.0, 2) AS total_revenue,
-           |       round(sum(i * rev_c) * 2.0 / (count(*) * sum(rev_c))
-           |             - (count(*) + 1.0) / count(*), 6) AS gini
+           |       (floor((sum(rev_c) / 100.0) * 1e2 + 0.5) / 1e2) AS total_revenue,
+           |       (floor((sum(i * rev_c) * 2.0 / (count(*) * sum(rev_c))
+           |             - (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6) AS gini
            |FROM ranked""".stripMargin))
 
   /** Two-sample Kolmogorov–Smirnov statistic between the purchase and
@@ -812,7 +812,7 @@ object StatsQueries {
       import s.implicits._
       val e = Tables(s, dir).events
         .filter($"event_type".isin("purchase", "click"))
-        .select(round($"value", 6).as("v"),
+        .select((floor(($"value") * 1e6 + 0.5) / 1e6).as("v"),
           ($"event_type" === "purchase").as("is1"))
       val byValue = e.groupBy($"v")
         .agg(sum(when($"is1", 1L).otherwise(0L)).as("c1"),
@@ -827,13 +827,13 @@ object StatsQueries {
         .withColumn("d", abs($"cum1".cast("double") / $"n1"
           - $"cum2".cast("double") / $"n2"))
         .agg(max($"n1").as("n_purchase"), max($"n2").as("n_click"),
-          round(max($"d"), 6).as("ks_d"),
-          (round(max($"d"), 6) > lit(1.358) *
+          (floor((max($"d")) * 1e6 + 0.5) / 1e6).as("ks_d"),
+          ((floor((max($"d")) * 1e6 + 0.5) / 1e6) > lit(1.358) *
             sqrt((max($"n1") + max($"n2")).cast("double") /
               (max($"n1") * max($"n2")))).as("drift_5pct"))
     },
     Some("""WITH e AS (
-           |  SELECT round(value, 6) AS v, event_type = 'purchase' AS is1
+           |  SELECT (floor((value) * 1e6 + 0.5) / 1e6) AS v, event_type = 'purchase' AS is1
            |  FROM events WHERE event_type IN ('purchase', 'click')),
            |bv AS (
            |  SELECT v, sum(CASE WHEN is1 THEN 1 ELSE 0 END)::BIGINT AS c1,
@@ -845,9 +845,9 @@ object StatsQueries {
            |  FROM bv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
            |t AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM bv)
            |SELECT t.n1 AS n_purchase, t.n2 AS n_click,
-           |       round(max(abs(cum1::DOUBLE / t.n1 - cum2::DOUBLE / t.n2)), 6)
+           |       (floor((max(abs(cum1::DOUBLE / t.n1 - cum2::DOUBLE / t.n2))) * 1e6 + 0.5) / 1e6)
            |         AS ks_d,
-           |       round(max(abs(cum1::DOUBLE / t.n1 - cum2::DOUBLE / t.n2)), 6)
+           |       (floor((max(abs(cum1::DOUBLE / t.n1 - cum2::DOUBLE / t.n2))) * 1e6 + 0.5) / 1e6)
            |         > 1.358 * sqrt((t.n1 + t.n2)::DOUBLE / (t.n1 * t.n2))
            |         AS drift_5pct
            |FROM cum CROSS JOIN t GROUP BY t.n1, t.n2""".stripMargin))
@@ -868,9 +868,9 @@ object StatsQueries {
         .orderBy($"n".desc, $"token")
       freq.withColumn("rank", row_number().over(w).cast("long"))
         .agg(count(lit(1)).as("n_tokens"),
-          round(regr_slope(log($"n"), log($"rank")), 6).as("zipf_slope"),
-          round(regr_intercept(log($"n"), log($"rank")), 6).as("zipf_intercept"),
-          round(regr_r2(log($"n"), log($"rank")), 6).as("r2"))
+          (floor((regr_slope(log($"n"), log($"rank"))) * 1e6 + 0.5) / 1e6).as("zipf_slope"),
+          (floor((regr_intercept(log($"n"), log($"rank"))) * 1e6 + 0.5) / 1e6).as("zipf_intercept"),
+          (floor((regr_r2(log($"n"), log($"rank"))) * 1e6 + 0.5) / 1e6).as("r2"))
     },
     Some("""WITH f AS (
            |  SELECT token, count(*)::BIGINT AS n
@@ -880,9 +880,9 @@ object StatsQueries {
            |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
            |      FROM f)
            |SELECT count(*)::BIGINT AS n_tokens,
-           |       round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
-           |       round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept,
-           |       round(regr_r2(ln(n), ln(rank)), 6) AS r2
+           |       (floor((regr_slope(ln(n), ln(rank))) * 1e6 + 0.5) / 1e6) AS zipf_slope,
+           |       (floor((regr_intercept(ln(n), ln(rank))) * 1e6 + 0.5) / 1e6) AS zipf_intercept,
+           |       (floor((regr_r2(ln(n), ln(rank))) * 1e6 + 0.5) / 1e6) AS r2
            |FROM r""".stripMargin))
 
   /** One-way ANOVA F-statistic across the event-type cohorts (the k-group
@@ -898,8 +898,8 @@ object StatsQueries {
       val g = Tables(s, dir).events
         .groupBy($"event_type")
         .agg(count(lit(1)).cast("double").as("n"),
-          round(avg($"value"), 6).as("m"),
-          round(var_samp($"value"), 6).as("v"))
+          (floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("m"),
+          (floor((var_samp($"value")) * 1e6 + 0.5) / 1e6).as("v"))
       val k = g.agg(
         count(lit(1)).cast("double").as("k"),
         sum($"n").as("n_total"),
@@ -908,23 +908,22 @@ object StatsQueries {
         .agg(
           max($"k").cast("long").as("k_groups"),
           max($"n_total").cast("long").as("n_total"),
-          round(
+          (floor((
             (sum($"n" * ($"m" - $"grand_mean") * ($"m" - $"grand_mean"))
               / (max($"k") - 1)) /
-              (sum(($"n" - 1) * $"v") / (max($"n_total") - max($"k"))),
-            6).as("f_stat"))
+              (sum(($"n" - 1) * $"v") / (max($"n_total") - max($"k")))) * 1e6 + 0.5) / 1e6).as("f_stat"))
     },
     Some("""WITH g AS (
            |  SELECT event_type, count(*)::DOUBLE AS n,
-           |         round(avg(value), 6) AS m, round(var_samp(value), 6) AS v
+           |         (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS m, (floor((var_samp(value)) * 1e6 + 0.5) / 1e6) AS v
            |  FROM events GROUP BY event_type),
            |k AS (SELECT count(*)::DOUBLE AS k, sum(n) AS n_total,
            |             sum(n * m) / sum(n) AS grand_mean
            |      FROM g)
            |SELECT max(k.k)::BIGINT AS k_groups, max(k.n_total)::BIGINT AS n_total,
-           |       round((sum(n * (m - grand_mean) * (m - grand_mean))
+           |       (floor(((sum(n * (m - grand_mean) * (m - grand_mean))
            |              / (max(k.k) - 1)) /
-           |             (sum((n - 1) * v) / (max(k.n_total) - max(k.k))), 6)
+           |             (sum((n - 1) * v) / (max(k.n_total) - max(k.k)))) * 1e6 + 0.5) / 1e6)
            |         AS f_stat
            |FROM g CROSS JOIN k""".stripMargin))
 
@@ -944,7 +943,7 @@ object StatsQueries {
       val edges = e.filter($"is_ref").agg(
         expr("""transform(
                   percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),
-                  x -> round(x, 6))""").as("edges"))
+                  x -> (floor((x) * 1e6 + 0.5) / 1e6))""").as("edges"))
       val binned = e.crossJoin(broadcast(edges))
         // bin = #edges strictly below the value → 0..9, engine-stable
         // because the edges are prerounded and the comparison is on the
@@ -963,14 +962,14 @@ object StatsQueries {
         .withColumn("p", greatest($"c_ref".cast("double"), lit(0.5)) / $"n_ref")
         .withColumn("q", greatest($"c_cur".cast("double"), lit(0.5)) / $"n_cur")
         .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
-          round(sum(($"p" - $"q") * log($"p" / $"q")), 6).as("psi"))
+          (floor((sum(($"p" - $"q") * log($"p" / $"q"))) * 1e6 + 0.5) / 1e6).as("psi"))
     },
     Some("""WITH e AS (
            |  SELECT value, ts < TIMESTAMP '2024-01-16' AS is_ref FROM events),
            |ed AS (
            |  SELECT list_transform(
            |           quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
-           |           t -> round(t, 6)) AS edges
+           |           t -> (floor((t) * 1e6 + 0.5) / 1e6)) AS edges
            |  FROM e WHERE is_ref),
            |b AS (
            |  SELECT is_ref,
@@ -983,10 +982,10 @@ object StatsQueries {
            |t AS (SELECT sum(c_ref)::BIGINT AS n_ref, sum(c_cur)::BIGINT AS n_cur
            |      FROM c)
            |SELECT max(t.n_ref) AS n_ref, max(t.n_cur) AS n_cur,
-           |       round(sum((greatest(c_ref::DOUBLE, 0.5) / t.n_ref
+           |       (floor((sum((greatest(c_ref::DOUBLE, 0.5) / t.n_ref
            |                  - greatest(c_cur::DOUBLE, 0.5) / t.n_cur)
            |             * ln((greatest(c_ref::DOUBLE, 0.5) / t.n_ref)
-           |                  / (greatest(c_cur::DOUBLE, 0.5) / t.n_cur))), 6) AS psi
+           |                  / (greatest(c_cur::DOUBLE, 0.5) / t.n_cur)))) * 1e6 + 0.5) / 1e6) AS psi
            |FROM c CROSS JOIN t""".stripMargin))
 
   /** Decile lift / calibration table for a classifier score — the model-
@@ -1025,19 +1024,19 @@ object StatsQueries {
         .agg(sum($"nt").as("n_docs"), sum($"np").as("n_pos_d"),
           max($"n_pos").as("n_pos"), max($"n").as("n"))
         .select($"decile", $"n_docs",
-          round($"n_pos_d".cast("double") / $"n_docs", 6).as("pos_rate"),
-          round(($"n_pos_d".cast("double") / $"n_docs") /
-            ($"n_pos".cast("double") / $"n"), 6).as("lift"))
+          (floor(($"n_pos_d".cast("double") / $"n_docs") * 1e6 + 0.5) / 1e6).as("pos_rate"),
+          (floor((($"n_pos_d".cast("double") / $"n_docs") /
+            ($"n_pos".cast("double") / $"n")) * 1e6 + 0.5) / 1e6).as("lift"))
         .orderBy($"decile")
     },
     Some("""WITH scored AS (
            |  SELECT lang = 'en' AS pos,
-           |    round(least(length(text)::DOUBLE/500.0, 1.0)*0.5
-           |      + (1.0 - least(round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-           |                    / length(text), 6)*5.0, 1.0))*0.3
-           |      + least(round(len(list_filter(string_split(text,' '),
+           |    (floor((least(length(text)::DOUBLE/500.0, 1.0)*0.5
+           |      + (1.0 - least((floor((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+           |                    / length(text)) * 1e6 + 0.5) / 1e6)*5.0, 1.0))*0.3
+           |      + least((floor((len(list_filter(string_split(text,' '),
            |                t -> t IN ('the','a','of','and','to','in')))::DOUBLE
-           |              / len(string_split(text,' ')), 6)*4.0, 1.0)*0.2, 6) AS score
+           |              / len(string_split(text,' '))) * 1e6 + 0.5) / 1e6)*4.0, 1.0)*0.2) * 1e6 + 0.5) / 1e6) AS score
            |  FROM documents),
            |by_score AS (
            |  SELECT score, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS np,
@@ -1054,9 +1053,9 @@ object StatsQueries {
            |         t.n, t.n_pos
            |  FROM cum CROSS JOIN t)
            |SELECT decile, sum(nt)::BIGINT AS n_docs,
-           |       round(sum(np)::DOUBLE / sum(nt), 6) AS pos_rate,
-           |       round((sum(np)::DOUBLE / sum(nt))
-           |             / (max(n_pos)::DOUBLE / max(n)), 6) AS lift
+           |       (floor((sum(np)::DOUBLE / sum(nt)) * 1e6 + 0.5) / 1e6) AS pos_rate,
+           |       (floor(((sum(np)::DOUBLE / sum(nt))
+           |             / (max(n_pos)::DOUBLE / max(n))) * 1e6 + 0.5) / 1e6) AS lift
            |FROM cut GROUP BY decile ORDER BY decile""".stripMargin))
 
   /** CUSUM change-point localization over the daily mean of events.value:
@@ -1075,7 +1074,7 @@ object StatsQueries {
       import s.implicits._
       val daily = Tables(s, dir).events
         .groupBy(to_date($"ts").as("day"))
-        .agg(round(avg($"value"), 6).as("x"))
+        .agg((floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("x"))
         .withColumn("xi", round($"x" * 1e6).cast("long"))
       val mu = daily.agg(
         round(sum($"xi").cast("double") / count(lit(1))).cast("long")
@@ -1087,13 +1086,13 @@ object StatsQueries {
       val peak = withS.agg(max(abs($"si")).as("peak"))
       withS.crossJoin(broadcast(peak))
         .select(date_format($"day", "yyyy-MM-dd").as("day"),
-          round($"x", 6).as("daily_mean"),
-          round($"si".cast("double") / 1e6, 6).as("cusum"),
+          (floor(($"x") * 1e6 + 0.5) / 1e6).as("daily_mean"),
+          (floor(($"si".cast("double") / 1e6) * 1e6 + 0.5) / 1e6).as("cusum"),
           (abs($"si") === $"peak").as("is_peak"))
         .orderBy($"day")
     },
     Some("""WITH daily AS (
-           |  SELECT ts::DATE AS day, round(avg(value), 6) AS x
+           |  SELECT ts::DATE AS day, (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS x
            |  FROM events GROUP BY 1),
            |di AS (SELECT day, x, round(x * 1e6)::BIGINT AS xi FROM daily),
            |mu AS (SELECT round(sum(xi) / count(*))::BIGINT AS mui FROM di),
@@ -1104,8 +1103,8 @@ object StatsQueries {
            |      FROM di CROSS JOIN mu),
            |pk AS (SELECT max(abs(si)) AS peak FROM s)
            |SELECT strftime(day, '%Y-%m-%d') AS day,
-           |       round(x, 6) AS daily_mean,
-           |       round(si::DOUBLE / 1e6, 6) AS cusum,
+           |       (floor((x) * 1e6 + 0.5) / 1e6) AS daily_mean,
+           |       (floor((si::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6) AS cusum,
            |       (abs(si) = peak) AS is_peak
            |FROM s CROSS JOIN pk ORDER BY day""".stripMargin))
 
@@ -1126,11 +1125,11 @@ object StatsQueries {
       digits.groupBy($"digit").agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(total))
         .select($"digit", $"n",
-          round($"n".cast("double") / $"total", 6).as("share"),
-          round(log10(lit(1.0) + lit(1.0) / $"digit"), 6)
+          (floor(($"n".cast("double") / $"total") * 1e6 + 0.5) / 1e6).as("share"),
+          (floor((log10(lit(1.0) + lit(1.0) / $"digit")) * 1e6 + 0.5) / 1e6)
             .as("expected_share"),
-          round($"n".cast("double") / $"total" -
-            log10(lit(1.0) + lit(1.0) / $"digit"), 6).as("deviation"))
+          (floor(($"n".cast("double") / $"total" -
+            log10(lit(1.0) + lit(1.0) / $"digit")) * 1e6 + 0.5) / 1e6).as("deviation"))
         .orderBy($"digit")
     },
     Some("""WITH d AS (
@@ -1141,9 +1140,9 @@ object StatsQueries {
            |  FROM lineitem),
            |tot AS (SELECT count(*)::DOUBLE AS total FROM d)
            |SELECT digit, count(*)::BIGINT AS n,
-           |       round(count(*) / total, 6) AS share,
-           |       round(log10(1.0 + 1.0 / digit), 6) AS expected_share,
-           |       round(count(*) / total - log10(1.0 + 1.0 / digit), 6)
+           |       (floor((count(*) / total) * 1e6 + 0.5) / 1e6) AS share,
+           |       (floor((log10(1.0 + 1.0 / digit)) * 1e6 + 0.5) / 1e6) AS expected_share,
+           |       (floor((count(*) / total - log10(1.0 + 1.0 / digit)) * 1e6 + 0.5) / 1e6)
            |         AS deviation
            |FROM d CROSS JOIN tot
            |GROUP BY digit, total ORDER BY digit""".stripMargin))
@@ -1165,10 +1164,10 @@ object StatsQueries {
       counts.join(totals, "day")
         .withColumn("p", $"n".cast("double") / $"total")
         .withColumn("term",
-          round(-$"p" * log2($"p"), 7).cast("decimal(12,7)"))
+          (floor((-$"p" * log2($"p")) * 1e7 + 0.5) / 1e7).cast("decimal(12,7)"))
         .groupBy($"day")
         .agg(count(lit(1)).as("n_types"),
-          round(sum($"term").cast("double"), 6).as("entropy_bits"))
+          (floor((sum($"term").cast("double")) * 1e6 + 0.5) / 1e6).as("entropy_bits"))
         .select(date_format($"day", "yyyy-MM-dd").as("day"),
           $"n_types", $"entropy_bits")
         .orderBy($"day")
@@ -1179,12 +1178,12 @@ object StatsQueries {
            |t AS (SELECT day, sum(n) AS total FROM c GROUP BY day),
            |terms AS (
            |  SELECT c.day,
-           |         round(-(n::DOUBLE/total) * log2(n::DOUBLE/total), 7)
+           |         (floor((-(n::DOUBLE/total) * log2(n::DOUBLE/total)) * 1e7 + 0.5) / 1e7)
            |           ::DECIMAL(12,7) AS term
            |  FROM c JOIN t USING (day))
            |SELECT strftime(day, '%Y-%m-%d') AS day,
            |       count(*)::BIGINT AS n_types,
-           |       round(sum(term)::DOUBLE, 6) AS entropy_bits
+           |       (floor((sum(term)::DOUBLE) * 1e6 + 0.5) / 1e6) AS entropy_bits
            |FROM terms GROUP BY day ORDER BY day""".stripMargin))
 
   /** Deterministic half-sample bootstrap CI for the mean of
@@ -1208,7 +1207,7 @@ object StatsQueries {
       val base = Tables(s, dir).events
         .select($"event_id", round($"value" * 100).cast("long").as("xi"))
       val grand = base.agg(count(lit(1)).as("n_rows"),
-        round(sum($"xi").cast("double") / count(lit(1)) / 100, 6)
+        (floor((sum($"xi").cast("double") / count(lit(1)) / 100) * 1e6 + 0.5) / 1e6)
           .as("grand_mean"))
       // ONE portable hash per row; resample b's membership is bit b of
       // it (32 independent coin flips from one md5 — 32× cheaper than
@@ -1232,19 +1231,19 @@ object StatsQueries {
         // value scales — the oracle side widens to HUGEINT to match
         .groupBy($"bn").agg(sum($"d".cast("decimal(20,0)")
           * $"d".cast("decimal(20,0)")).as("sd2"))
-        .select(round(sqrt(
+        .select((floor((sqrt(
           $"sd2".cast("double") / ($"bn" * $"bn" * ($"bn" - 1)) / 2.0)
-          / 1e6, 6).as("se"))
+          / 1e6) * 1e6 + 0.5) / 1e6).as("se"))
       grand.crossJoin(broadcast(se))
         .select($"n_rows", $"grand_mean", $"se",
-          round($"grand_mean" - lit(1.96) * $"se", 6).as("ci_lo"),
-          round($"grand_mean" + lit(1.96) * $"se", 6).as("ci_hi"))
+          (floor(($"grand_mean" - lit(1.96) * $"se") * 1e6 + 0.5) / 1e6).as("ci_lo"),
+          (floor(($"grand_mean" + lit(1.96) * $"se") * 1e6 + 0.5) / 1e6).as("ci_hi"))
     },
     Some("""WITH base AS (
            |  SELECT event_id, round(value * 100)::BIGINT AS xi FROM events),
            |grand AS (
            |  SELECT count(*)::BIGINT AS n_rows,
-           |         round(sum(xi)::DOUBLE / count(*) / 100, 6) AS grand_mean
+           |         (floor((sum(xi)::DOUBLE / count(*) / 100) * 1e6 + 0.5) / 1e6) AS grand_mean
            |  FROM base),
            |hashed AS (
            |  SELECT xi, ('0x' || substr(md5(event_id::VARCHAR), 1, 8))
@@ -1259,14 +1258,14 @@ object StatsQueries {
            |dev AS (SELECT bn, (bn * mb - s1) AS d
            |        FROM perb CROSS JOIN tot),
            |se AS (
-           |  SELECT round(sqrt(
+           |  SELECT (floor((sqrt(
            |           sum(d::HUGEINT * d::HUGEINT)::DOUBLE
            |             / (bn * bn * (bn - 1)) / 2.0)
-           |         / 1e6, 6) AS se
+           |         / 1e6) * 1e6 + 0.5) / 1e6) AS se
            |  FROM dev GROUP BY bn)
            |SELECT n_rows, grand_mean, se,
-           |       round(grand_mean - 1.96 * se, 6) AS ci_lo,
-           |       round(grand_mean + 1.96 * se, 6) AS ci_hi
+           |       (floor((grand_mean - 1.96 * se) * 1e6 + 0.5) / 1e6) AS ci_lo,
+           |       (floor((grand_mean + 1.96 * se) * 1e6 + 0.5) / 1e6) AS ci_hi
            |FROM grand CROSS JOIN se""".stripMargin))
 
   /** Two-proportion z-test on conversion rates — the A/B-test primitive
@@ -1314,9 +1313,9 @@ object StatsQueries {
           (lit(1.0) / $"n1" + lit(1.0) / $"n2")))
       wide.select(
         $"n1", $"x1", $"n2", $"x2",
-        round($"x1".cast("double") / $"n1", 6).as("p1"),
-        round($"x2".cast("double") / $"n2", 6).as("p2"),
-        round(zExpr, 6).as("z"),
+        (floor(($"x1".cast("double") / $"n1") * 1e6 + 0.5) / 1e6).as("p1"),
+        (floor(($"x2".cast("double") / $"n2") * 1e6 + 0.5) / 1e6).as("p2"),
+        (floor((zExpr) * 1e6 + 0.5) / 1e6).as("z"),
         (abs(zExpr) < 1.96).as("same_rate_at_95"))
     },
     Some("""WITH spend AS (
@@ -1339,12 +1338,12 @@ object StatsQueries {
            |         sum(CASE WHEN cohort = 1 THEN x END)::BIGINT AS x2
            |  FROM c)
            |SELECT n1, x1, n2, x2,
-           |       round(x1::DOUBLE / n1, 6) AS p1,
-           |       round(x2::DOUBLE / n2, 6) AS p2,
-           |       round((x1::DOUBLE / n1 - x2::DOUBLE / n2) /
+           |       (floor((x1::DOUBLE / n1) * 1e6 + 0.5) / 1e6) AS p1,
+           |       (floor((x2::DOUBLE / n2) * 1e6 + 0.5) / 1e6) AS p2,
+           |       (floor(((x1::DOUBLE / n1 - x2::DOUBLE / n2) /
            |         nullif(sqrt(((x1 + x2)::DOUBLE / (n1 + n2)) *
            |              (1.0 - (x1 + x2)::DOUBLE / (n1 + n2)) *
-           |              (1.0 / n1 + 1.0 / n2)), 0), 6) AS z,
+           |              (1.0 / n1 + 1.0 / n2)), 0)) * 1e6 + 0.5) / 1e6) AS z,
            |       (abs((x1::DOUBLE / n1 - x2::DOUBLE / n2) /
            |         nullif(sqrt(((x1 + x2)::DOUBLE / (n1 + n2)) *
            |              (1.0 - (x1 + x2)::DOUBLE / (n1 + n2)) *
@@ -1374,11 +1373,11 @@ object StatsQueries {
         .crossJoin(broadcast(n))
         .withColumn("e", ($"rt" * $"ct").cast("double") / $"n")
         .withColumn("term",
-          round(($"o" - $"e") * ($"o" - $"e") / $"e", 6)
+          (floor((($"o" - $"e") * ($"o" - $"e") / $"e") * 1e6 + 0.5) / 1e6)
             .cast("decimal(18,6)"))
         .agg(max($"n").as("n_events"),
           ((max($"r") - 1) * (max($"c") - 1)).cast("int").as("df"),
-          round(sum($"term").cast("double"), 4).as("chi2"))
+          (floor((sum($"term").cast("double")) * 1e4 + 0.5) / 1e4).as("chi2"))
     },
     Some("""WITH cells AS (
            |  SELECT dayofweek(ts::DATE) + 1 AS dow, event_type,
@@ -1392,15 +1391,15 @@ object StatsQueries {
            |      FROM cells),
            |terms AS (
            |  SELECT n.n, n.r, n.c,
-           |         round((o - (rt * ct)::DOUBLE / n.n) *
+           |         (floor(((o - (rt * ct)::DOUBLE / n.n) *
            |               (o - (rt * ct)::DOUBLE / n.n) /
-           |               ((rt * ct)::DOUBLE / n.n), 6)::DECIMAL(18,6)
+           |               ((rt * ct)::DOUBLE / n.n)) * 1e6 + 0.5) / 1e6)::DECIMAL(18,6)
            |           AS term
            |  FROM cells JOIN rt USING (dow) JOIN ct USING (event_type)
            |  CROSS JOIN n)
            |SELECT max(n)::BIGINT AS n_events,
            |       ((max(r) - 1) * (max(c) - 1))::INT AS df,
-           |       round(sum(term)::DOUBLE, 4) AS chi2
+           |       (floor((sum(term)::DOUBLE) * 1e4 + 0.5) / 1e4) AS chi2
            |FROM terms""".stripMargin))
 
   def all: Seq[Q] =

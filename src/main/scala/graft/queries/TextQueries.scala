@@ -34,8 +34,8 @@ object TextQueries {
            |  len(string_split(text,' '))::INT AS n_tokens,
            |  len(list_distinct(string_split(text,' ')))::INT AS n_distinct,
            |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::INT AS n_bpeish,
-           |  round((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
-           |        / len(string_split(text,' ')), 6) AS mean_token_len
+           |  (floor(((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+           |        / len(string_split(text,' '))) * 1e6 + 0.5) / 1e6) AS mean_token_len
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   private val quality = Q(
@@ -51,17 +51,17 @@ object TextQueries {
     },
     Some("""WITH m AS (
            |  SELECT doc_id,
-           |    round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-           |          / length(text), 6) AS punct_ratio,
-           |    round(len(list_filter(string_split(text,' '),
+           |    (floor((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+           |          / length(text)) * 1e6 + 0.5) / 1e6) AS punct_ratio,
+           |    (floor((len(list_filter(string_split(text,' '),
            |              t -> t IN ('the','a','of','and','to','in')))::DOUBLE
-           |          / len(string_split(text,' ')), 6) AS stopword_ratio,
+           |          / len(string_split(text,' '))) * 1e6 + 0.5) / 1e6) AS stopword_ratio,
            |    length(text) AS n
            |  FROM documents)
            |SELECT doc_id, punct_ratio, stopword_ratio,
-           |  round(least(n::DOUBLE/500.0, 1.0)*0.5
+           |  (floor((least(n::DOUBLE/500.0, 1.0)*0.5
            |        + (1.0 - least(punct_ratio*5.0, 1.0))*0.3
-           |        + least(stopword_ratio*4.0, 1.0)*0.2, 6) AS quality
+           |        + least(stopword_ratio*4.0, 1.0)*0.2) * 1e6 + 0.5) / 1e6) AS quality
            |FROM m ORDER BY doc_id""".stripMargin),
     headline = true)
 
@@ -135,7 +135,7 @@ object TextQueries {
       val scored = TextOps.tfIdf(docs, "doc_id", "text")
         .join(docs.select($"doc_id".as("id"), $"lang"), "id")
         .groupBy($"lang", $"token")
-        .agg(round(max($"tf_idf"), 6).as("max_tfidf"))
+        .agg((floor((max($"tf_idf")) * 1e6 + 0.5) / 1e6).as("max_tfidf"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"lang").orderBy($"max_tfidf".desc, $"token")
       scored.withColumn("rk", row_number().over(w))
@@ -154,8 +154,8 @@ object TextQueries {
            |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
            |scored AS (
            |  SELECT lang, tf.token,
-           |         round(max(tf * ln(((SELECT count(*) FROM documents) + 1.0)
-           |                           / (df + 1.0))), 6) AS max_tfidf
+           |         (floor((max(tf * ln(((SELECT count(*) FROM documents) + 1.0)
+           |                           / (df + 1.0)))) * 1e6 + 0.5) / 1e6) AS max_tfidf
            |  FROM tf JOIN dfreq ON tf.token = dfreq.token
            |  GROUP BY lang, tf.token)
            |SELECT lang, rk, token, max_tfidf FROM (
@@ -177,7 +177,7 @@ object TextQueries {
       TextOps.bm25(t(s, dir).documents, "doc_id", "text")
         .filter($"token".isin("join", "filter", "column"))
         .withColumn("score_micro",
-          round($"score" * 1e6, 0).cast("long"))
+          (floor(($"score" * 1e6) * 1e0 + 0.5) / 1e0).cast("long"))
         .groupBy($"id")
         .agg(count(lit(1)).cast("int").as("n_terms_hit"),
           sum($"score_micro").as("bm25_micro"))
@@ -325,7 +325,7 @@ object TextQueries {
       |            FROM documents)),
       |perdoc AS (
       |  SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
-      |         round(avg(-log2((bc.c12 + 1.0) / (cc.c1 + v.v))), 6)
+      |         (floor((avg(-log2((bc.c12 + 1.0) / (cc.c1 + v.v)))) * 1e6 + 0.5) / 1e6)
       |           AS bits_per_token
       |  FROM big b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
       |  GROUP BY b.doc_id)""".stripMargin
@@ -341,7 +341,7 @@ object TextQueries {
       import s.implicits._
       TextOps.bigramLmBits(t(s, dir).documents, "doc_id", "text")
         .select($"id".as("doc_id"), $"n_bigrams",
-          round($"bits_per_token", 6).as("bits_per_token"))
+          (floor(($"bits_per_token") * 1e6 + 0.5) / 1e6).as("bits_per_token"))
         .orderBy($"doc_id")
     },
     Some(s"""WITH $perplexityCteBody
@@ -376,7 +376,7 @@ object TextQueries {
           // cast BEFORE dividing: Spark long/long truncates where DuckDB's
           // integer `/` already yields DOUBLE — both products stay exact
           // in double (≪ 2^53)
-          round(log(($"c12" * $"nb").cast("double") / ($"cl" * $"cr")), 6)
+          (floor((log(($"c12" * $"nb").cast("double") / ($"cl" * $"cr"))) * 1e6 + 0.5) / 1e6)
             .as("pmi"))
         .orderBy($"pmi".desc, $"w1", $"w2")
         .limit(15)
@@ -393,7 +393,7 @@ object TextQueries {
            |cr AS (SELECT w2, count(*) AS cr FROM big GROUP BY w2),
            |nb AS (SELECT count(*) AS nb FROM big)
            |SELECT w1, w2, c12,
-           |       round(ln(c12 * nb / (cl * cr)), 6) AS pmi
+           |       (floor((ln(c12 * nb / (cl * cr))) * 1e6 + 0.5) / 1e6) AS pmi
            |FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nb
            |WHERE c12 >= 5
            |ORDER BY pmi DESC, w1, w2 LIMIT 15""".stripMargin))
@@ -416,7 +416,7 @@ object TextQueries {
            |  SELECT token FROM tok GROUP BY token
            |  ORDER BY count(*) DESC, token LIMIT 50)
            |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-           |       round(avg(CASE WHEN v.token IS NULL THEN 1.0 ELSE 0.0 END), 6)
+           |       (floor((avg(CASE WHEN v.token IS NULL THEN 1.0 ELSE 0.0 END)) * 1e6 + 0.5) / 1e6)
            |         AS oov_rate
            |FROM tok t LEFT JOIN v ON t.token = v.token
            |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin))
@@ -517,10 +517,10 @@ object TextQueries {
         // both engines; only the final mul/div is floating — identical
         // operand doubles ⇒ identical rounded χ²
         .withColumn("diff", $"a" * $"d" - $"b" * $"c")
-        .withColumn("chi2", round(
+        .withColumn("chi2", (floor((
           $"n".cast("double") * ($"diff" * $"diff").cast("double") /
             (($"a" + $"b") * ($"c" + $"d") * ($"a" + $"c") * ($"b" + $"d"))
-              .cast("double"), 6))
+              .cast("double")) * 1e6 + 0.5) / 1e6))
         .select($"token", $"a".as("df_en"), $"df", $"chi2")
         .orderBy($"chi2".desc, $"token")
         .limit(10)
@@ -543,8 +543,8 @@ object TextQueries {
            |         n - df - (n_en - a) AS d
            |  FROM stats CROSS JOIN corpus WHERE df >= 5)
            |SELECT token, a AS df_en, df,
-           |       round(n::DOUBLE * ((a*d - b*c) * (a*d - b*c))::DOUBLE
-           |             / ((a + b)*(c + d)*(a + c)*(b + d))::DOUBLE, 6) AS chi2
+           |       (floor((n::DOUBLE * ((a*d - b*c) * (a*d - b*c))::DOUBLE
+           |             / ((a + b)*(c + d)*(a + c)*(b + d))::DOUBLE) * 1e6 + 0.5) / 1e6) AS chi2
            |FROM cells
            |ORDER BY chi2 DESC, token LIMIT 10""".stripMargin))
 
@@ -647,7 +647,7 @@ object TextQueries {
            |       FROM toks GROUP BY 1, 2, 3),
            |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
            |w AS (SELECT tf.doc_id, tf.token,
-           |        round((tc::DOUBLE/doc_len) * ln((nn+1)/(df+1)), 6)
+           |        (floor(((tc::DOUBLE/doc_len) * ln((nn+1)/(df+1))) * 1e6 + 0.5) / 1e6)
            |          ::DECIMAL(18,6) AS w
            |      FROM tf JOIN dfq USING (token) CROSS JOIN n
            |      WHERE df <= 0.9 * nn),
@@ -659,7 +659,7 @@ object TextQueries {
            |         WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id
            |         GROUP BY 1, 2),
            |scored AS (SELECT query_id, neighbor_id,
-           |             round(dot::DOUBLE / (qn.nrm * cn.nrm), 6) AS cos
+           |             (floor((dot::DOUBLE / (qn.nrm * cn.nrm)) * 1e6 + 0.5) / 1e6) AS cos
            |           FROM dots JOIN nrm qn ON qn.doc_id = query_id
            |                     JOIN nrm cn ON cn.doc_id = neighbor_id)
            |SELECT query_id, rank, neighbor_id, cos FROM (
@@ -686,7 +686,7 @@ object TextQueries {
           TextOps.classifierMargin($"text").as("m"))
         .select($"doc_id",
           $"m.n_feats".as("n_feats"),
-          round($"m.z_milli".cast("double") / ($"m.n_feats" * 1000.0), 6)
+          (floor(($"m.z_milli".cast("double") / ($"m.n_feats" * 1000.0)) * 1e6 + 0.5) / 1e6)
             .as("score"),
           ($"m.z_milli" > 0).as("keep"))
         .orderBy($"doc_id")
@@ -704,7 +704,7 @@ object TextQueries {
            |           1,8))::BIGINT % 2001 - 1000))::BIGINT AS z_milli
            |      FROM g)
            |SELECT doc_id, n_feats,
-           |       round(z_milli::DOUBLE / (n_feats * 1000.0), 6) AS score,
+           |       (floor((z_milli::DOUBLE / (n_feats * 1000.0)) * 1e6 + 0.5) / 1e6) AS score,
            |       z_milli > 0 AS keep
            |FROM f ORDER BY doc_id""".stripMargin))
 

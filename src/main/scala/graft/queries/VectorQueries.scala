@@ -77,7 +77,7 @@ object VectorQueries {
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
             |scored AS (
             |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
-            |         round(${dcos("q.v", "c.v")}, 6) cos
+            |         (floor((${dcos("q.v", "c.v")}) * 1e6 + 0.5) / 1e6) cos
             |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
             |SELECT query_id, rank, neighbor_id, cos FROM (
             |  SELECT *, (row_number() OVER
@@ -99,16 +99,16 @@ object VectorQueries {
         .withColumn("nrm", VectorOps.norm($"v"))
         .repartition(s.sparkContext.defaultParallelism)
       e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
-        .withColumn("cos", round(
-          VectorOps.cosinePrenormed($"a.v", $"b.v", $"a.nrm", $"b.nrm"), 6))
+        .withColumn("cos", (floor((
+          VectorOps.cosinePrenormed($"a.v", $"b.v", $"a.nrm", $"b.nrm")) * 1e6 + 0.5) / 1e6))
         .filter($"cos" >= 0.4)
         .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"), $"cos")
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
-            |SELECT a.vec_id id_a, b.vec_id id_b, round(${dcos("a.v", "b.v")}, 6) cos
+            |SELECT a.vec_id id_a, b.vec_id id_b, (floor((${dcos("a.v", "b.v")}) * 1e6 + 0.5) / 1e6) cos
             |FROM e a JOIN e b ON a.vec_id < b.vec_id
-            |WHERE round(${dcos("a.v", "b.v")}, 6) >= 0.4
+            |WHERE (floor((${dcos("a.v", "b.v")}) * 1e6 + 0.5) / 1e6) >= 0.4
             |ORDER BY id_a, id_b""".stripMargin))
 
   /** Sign-random-projection LSH: 16 deterministic pseudo-hyperplanes,
@@ -147,8 +147,8 @@ object VectorQueries {
         .distinct()
         .join(e.select($"vec_id".as("id_a"), $"v".as("v_a"), $"nrm".as("n_a")), "id_a")
         .join(e.select($"vec_id".as("id_b"), $"v".as("v_b"), $"nrm".as("n_b")), "id_b")
-        .select($"id_a", $"id_b", round(
-          VectorOps.cosinePrenormed($"v_a", $"v_b", $"n_a", $"n_b"), 6).as("cos"))
+        .select($"id_a", $"id_b", (floor((
+          VectorOps.cosinePrenormed($"v_a", $"v_b", $"n_a", $"n_b")) * 1e6 + 0.5) / 1e6).as("cos"))
         .filter($"cos" >= 0.4)
         .orderBy($"id_a", $"id_b")
     },
@@ -164,9 +164,9 @@ object VectorQueries {
             |cand AS (SELECT DISTINCT l.vec_id a, r.vec_id b
             |         FROM banded l JOIN banded r
             |           ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
-            |SELECT a id_a, b id_b, round(${dcos("ea.v", "eb.v")}, 6) cos
+            |SELECT a id_a, b id_b, (floor((${dcos("ea.v", "eb.v")}) * 1e6 + 0.5) / 1e6) cos
             |FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
-            |WHERE round(${dcos("ea.v", "eb.v")}, 6) >= 0.4
+            |WHERE (floor((${dcos("ea.v", "eb.v")}) * 1e6 + 0.5) / 1e6) >= 0.4
             |ORDER BY id_a, id_b""".stripMargin))
 
   /** Self-sizing RP-LSH — the DEPLOYED form of the banding contract the
@@ -209,8 +209,8 @@ object VectorQueries {
         .distinct()
         .join(e.select($"vec_id".as("id_a"), $"v".as("v_a"), $"nrm".as("n_a")), "id_a")
         .join(e.select($"vec_id".as("id_b"), $"v".as("v_b"), $"nrm".as("n_b")), "id_b")
-        .select($"id_a", $"id_b", round(
-          VectorOps.cosinePrenormed($"v_a", $"v_b", $"n_a", $"n_b"), 6).as("cos"))
+        .select($"id_a", $"id_b", (floor((
+          VectorOps.cosinePrenormed($"v_a", $"v_b", $"n_a", $"n_b")) * 1e6 + 0.5) / 1e6).as("cos"))
         .filter($"cos" >= 0.4)
         .orderBy($"id_a", $"id_b")
     },
@@ -230,9 +230,9 @@ object VectorQueries {
             |cand AS (SELECT DISTINCT l.vec_id a, r.vec_id b
             |         FROM banded l JOIN banded r
             |           ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
-            |SELECT a id_a, b id_b, round(${dcos("ea.v", "eb.v")}, 6) cos
+            |SELECT a id_a, b id_b, (floor((${dcos("ea.v", "eb.v")}) * 1e6 + 0.5) / 1e6) cos
             |FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
-            |WHERE round(${dcos("ea.v", "eb.v")}, 6) >= 0.4
+            |WHERE (floor((${dcos("ea.v", "eb.v")}) * 1e6 + 0.5) / 1e6) >= 0.4
             |ORDER BY id_a, id_b""".stripMargin))
 
   /** Top-k search over int8-QUANTIZED embeddings — the 100 TB storage
@@ -268,7 +268,7 @@ object VectorQueries {
             |         [round(x/scale)::INT * scale FOR x IN v] AS dv FROM sc),
             |scored AS (
             |  SELECT q.vec_id query_id, c.vec_id neighbor_id,
-            |         round(${dcos("q.dv", "c.dv")}, 6) cos
+            |         (floor((${dcos("q.dv", "c.dv")}) * 1e6 + 0.5) / 1e6) cos
             |  FROM dq q JOIN dq c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
             |SELECT query_id, rank, neighbor_id, cos FROM (
             |  SELECT *, (row_number() OVER
@@ -286,19 +286,19 @@ object VectorQueries {
       VectorOps.assignToCentroids(e, e.filter($"vec_id" < 8),
           "vec_id", "embedding", "vec_id", "embedding")
         .groupBy($"centroid_id")
-        .agg(count(lit(1)).as("n"), round(avg($"cos"), 6).as("avg_cos"))
+        .agg(count(lit(1)).as("n"), (floor((avg($"cos")) * 1e6 + 0.5) / 1e6).as("avg_cos"))
         .orderBy($"centroid_id")
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
             |c AS (SELECT vec_id centroid_id, v cv FROM e WHERE vec_id < 8),
             |scored AS (SELECT e.vec_id, c.centroid_id,
-            |             round(${dcos("e.v", "c.cv")}, 6) cos
+            |             (floor((${dcos("e.v", "c.cv")}) * 1e6 + 0.5) / 1e6) cos
             |           FROM e CROSS JOIN c),
             |best AS (SELECT * FROM (
             |  SELECT *, row_number() OVER
             |    (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) rn FROM scored)
             |  WHERE rn = 1)
-            |SELECT centroid_id, count(*) n, round(avg(cos), 6) avg_cos
+            |SELECT centroid_id, count(*) n, (floor((avg(cos)) * 1e6 + 0.5) / 1e6) avg_cos
             |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin))
 
   /** IVF top-k SEARCH (the ANN scale path): queries vec_id < 5 probe
@@ -321,15 +321,15 @@ object VectorQueries {
             |assign AS (SELECT vec_id, centroid_id FROM (
             |  SELECT e.vec_id, c.centroid_id, row_number() OVER
             |    (PARTITION BY e.vec_id
-            |     ORDER BY round(${dcos("e.v", "c.cv")}, 6) DESC, c.centroid_id) rn
+            |     ORDER BY (floor((${dcos("e.v", "c.cv")}) * 1e6 + 0.5) / 1e6) DESC, c.centroid_id) rn
             |  FROM e CROSS JOIN c) WHERE rn = 1),
             |probes AS (SELECT query_id, centroid_id FROM (
             |  SELECT q.vec_id query_id, c.centroid_id, row_number() OVER
             |    (PARTITION BY q.vec_id
-            |     ORDER BY round(${dcos("q.v", "c.cv")}, 6) DESC, c.centroid_id) pr
+            |     ORDER BY (floor((${dcos("q.v", "c.cv")}) * 1e6 + 0.5) / 1e6) DESC, c.centroid_id) pr
             |  FROM e q CROSS JOIN c WHERE q.vec_id < 5) WHERE pr <= 3),
             |scored AS (
-            |  SELECT p.query_id, a.vec_id neighbor_id, round(${dcos("q.v", "n.v")}, 6) cos
+            |  SELECT p.query_id, a.vec_id neighbor_id, (floor((${dcos("q.v", "n.v")}) * 1e6 + 0.5) / 1e6) cos
             |  FROM probes p
             |  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
             |  JOIN e q ON q.vec_id = p.query_id
@@ -498,7 +498,7 @@ object VectorQueries {
 
   private def pqTopkOracle(cbs: Seq[Seq[Seq[Double]]]): String =
     s"""${pqAdcCtes(cbs, 5)}
-       |SELECT query_id, rank, neighbor_id, round(adc2, 6) adc2 FROM (
+       |SELECT query_id, rank, neighbor_id, (floor((adc2) * 1e6 + 0.5) / 1e6) adc2 FROM (
        |  SELECT *, (row_number() OVER
        |    (PARTITION BY query_id ORDER BY adc2, neighbor_id))::INT rank
        |  FROM adc)
@@ -549,7 +549,7 @@ object VectorQueries {
       val cbs = pqCbs(s, dir)
       VectorOps.pqAdcTopK(e.filter($"vec_id" < 5), e, "vec_id", "embedding",
           cbs, 10)
-        .withColumn("adc2", round($"adc2", 6))
+        .withColumn("adc2", (floor(($"adc2") * 1e6 + 0.5) / 1e6))
         .orderBy($"query_id", $"rank")
     },
     None,
@@ -729,7 +729,7 @@ object VectorQueries {
 
   private def ivfPqTopkOracle(cbs: Seq[Seq[Seq[Double]]]): String =
     s"""${ivfPqAdcCtes(cbs, 5)}
-       |SELECT query_id, rank, neighbor_id, round(adc2, 6) adc2 FROM (
+       |SELECT query_id, rank, neighbor_id, (floor((adc2) * 1e6 + 0.5) / 1e6) adc2 FROM (
        |  SELECT *, (row_number() OVER
        |    (PARTITION BY query_id ORDER BY adc2, neighbor_id))::INT rank
        |  FROM adc)
@@ -780,7 +780,7 @@ object VectorQueries {
       val cbs = ivfPqCbs(s, dir)
       VectorOps.ivfPqTopK(e.filter($"vec_id" < 5), e, cents, "vec_id",
           "embedding", "vec_id", "embedding", cbs, 10, 3)
-        .withColumn("adc2", round($"adc2", 6))
+        .withColumn("adc2", (floor(($"adc2") * 1e6 + 0.5) / 1e6))
         .orderBy($"query_id", $"rank")
     },
     None,
