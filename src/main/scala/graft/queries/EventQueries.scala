@@ -30,14 +30,14 @@ object EventQueries {
       import s.implicits._
       ev(s, dir)
         .groupBy(window($"ts", "1 hour"), $"event_type")
-        .agg(count(lit(1)).as("n"), (floor((sum($"value")) * 1e2 + 0.5) / 1e2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), (sum(floor($"value" * 100 + 0.5)) / 1e2).as("sum_value"))
         .select(date_format($"window.start", fmt).as("window_start"),
           $"event_type", $"n", $"sum_value")
         .orderBy($"window_start", $"event_type")
     },
     Some("""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
            |         AS window_start,
-           |       event_type, count(*) AS n, (floor((sum(value)) * 1e2 + 0.5) / 1e2) AS sum_value
+           |       event_type, count(*) AS n, (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 1e2) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
     headline = true)
 
@@ -50,7 +50,7 @@ object EventQueries {
         // avg rounded at 6dp, not 4: sum(2dp values)/n has ≤5 exact decimal
         // digits for the common n, so 6dp is never a tie — 4dp hit an exact
         // midpoint where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree.
-        .agg(count(lit(1)).as("n"), (floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("avg_value"))
+        .agg(count(lit(1)).as("n"), (floor(sum(floor($"value" * 100 + 0.5)).cast("double") / count($"value") * 1e4 + 0.5) / 1e6).as("avg_value"))
         .select(date_format($"window.start", fmt).as("window_start"), $"n", $"avg_value")
         .orderBy($"window_start")
     },
@@ -60,7 +60,7 @@ object EventQueries {
            |           AS window_start, value
            |  FROM events)
            |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-           |       count(*) AS n, (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS avg_value
+           |       count(*) AS n, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS avg_value
            |FROM w GROUP BY w.window_start ORDER BY window_start""".stripMargin))
 
   /** Session windows with a 10-minute gap, batch gaps-and-islands form:
@@ -84,7 +84,7 @@ object EventQueries {
         .agg(date_format(min($"ts"), fmt).as("session_start"),
           date_format(max($"ts"), fmt).as("session_end"),
           count(lit(1)).as("n_events"),
-          (floor((sum($"value")) * 1e2 + 0.5) / 1e2).as("sum_value"))
+          (sum(floor($"value" * 100 + 0.5)) / 1e2).as("sum_value"))
         .orderBy($"user_id", $"session_seq")
     },
     Some("""WITH flagged AS (
@@ -103,7 +103,7 @@ object EventQueries {
            |SELECT user_id, session_seq,
            |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-           |       count(*) AS n_events, (floor((sum(value)) * 1e2 + 0.5) / 1e2) AS sum_value
+           |       count(*) AS n_events, (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 1e2) AS sum_value
            |FROM sessions GROUP BY user_id, session_seq
            |ORDER BY user_id, session_seq""".stripMargin))
 
@@ -115,11 +115,11 @@ object EventQueries {
         .withColumn("k", get_json_object($"props", "$.k").cast("int"))
         // floor, not int-cast: Spark's cast truncates, DuckDB's rounds
         .groupBy(floor($"k" / 10).cast("int").as("k_bucket"))
-        .agg(count(lit(1)).as("n"), (floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("avg_value"))
+        .agg(count(lit(1)).as("n"), (floor(sum(floor($"value" * 100 + 0.5)).cast("double") / count($"value") * 1e4 + 0.5) / 1e6).as("avg_value"))
         .orderBy($"k_bucket")
     },
     Some("""SELECT floor(json_extract_string(props, '$.k')::INT / 10)::INT AS k_bucket,
-           |       count(*) AS n, (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS avg_value
+           |       count(*) AS n, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS avg_value
            |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin))
 
   /** As-of enrichment: each purchase picks up the same user's most recent
@@ -1153,7 +1153,7 @@ object EventQueries {
         .filter($"event_type" === "purchase")
         .groupBy(coalesce($"touch", lit(-1)).as("campaign"))
         .agg(count(lit(1)).as("n_purchases"),
-          (floor((sum($"value")) * 1e2 + 0.5) / 1e2).as("revenue"))
+          (sum(floor($"value" * 100 + 0.5)) / 1e2).as("revenue"))
         .orderBy($"campaign")
     },
     Some("""WITH tagged AS (
@@ -1169,7 +1169,7 @@ object EventQueries {
            |           AS touch
            |  FROM tagged)
            |SELECT coalesce(touch, -1) AS campaign,
-           |       count(*) AS n_purchases, (floor((sum(value)) * 1e2 + 0.5) / 1e2) AS revenue
+           |       count(*) AS n_purchases, (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 1e2) AS revenue
            |FROM touched WHERE event_type = 'purchase'
            |GROUP BY campaign ORDER BY campaign""".stripMargin))
 

@@ -386,7 +386,7 @@ object GoldQueries {
         .groupBy($"user_id", $"date")
         .agg(max_by($"value", struct($"ts", $"event_id")).as("close"))
       val market = daily.groupBy($"date")
-        .agg((floor((avg($"close")) * 1e6 + 0.5) / 1e6).as("mkt"))
+        .agg((floor(sum(floor($"close" * 100 + 0.5)).cast("double") / count($"close") * 1e4 + 0.5) / 1e6).as("mkt"))
       val w = Window.partitionBy($"user_id").orderBy($"date")
         .rowsBetween(-19, Window.currentRow)
       daily.join(broadcast(market), "date")
@@ -404,7 +404,7 @@ object GoldQueries {
            |                 ORDER BY ts DESC, event_id DESC) AS rn
            |        FROM events)
            |  WHERE rn = 1),
-           |mkt AS (SELECT date, (floor((avg(close)) * 1e6 + 0.5) / 1e6) AS mkt
+           |mkt AS (SELECT date, (floor(sum(CAST(floor(close * 100 + 0.5) AS BIGINT))::DOUBLE / count(close) * 1e4 + 0.5) / 1e6) AS mkt
            |        FROM px GROUP BY date)
            |SELECT p.user_id, strftime(p.date, '%Y-%m-%d') AS date,
            |       (floor((p.close) * 1e2 + 0.5) / 1e2) AS close,
@@ -502,7 +502,9 @@ object GoldQueries {
       val w = Window.partitionBy($"user_id").orderBy($"day_no")
         .rangeBetween(-6, Window.currentRow)
       daily
-        .withColumn("avg_7d", (floor((avg($"close").over(w)) * 1e6 + 0.5) / 1e6))
+        .withColumn("avg_7d", (floor(
+          sum(floor($"close" * 100 + 0.5)).over(w).cast("double")
+            / count(lit(1)).over(w) * 1e4 + 0.5) / 1e6))
         .withColumn("n_days_7d", count(lit(1)).over(w))
         .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
           (floor(($"close") * 1e2 + 0.5) / 1e2).as("close"), $"avg_7d", $"n_days_7d")
@@ -518,7 +520,8 @@ object GoldQueries {
            |  WHERE rn = 1)
            |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
            |       (floor((close) * 1e2 + 0.5) / 1e2) AS close,
-           |       (floor((avg(close) OVER w) * 1e6 + 0.5) / 1e6) AS avg_7d,
+           |       (floor(CAST(sum(CAST(floor(close * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+           |          / (count(*) OVER w) * 1e4 + 0.5) / 1e6) AS avg_7d,
            |       count(*) OVER w AS n_days_7d
            |FROM px
            |WINDOW w AS (PARTITION BY user_id ORDER BY day_no
@@ -591,7 +594,8 @@ object GoldQueries {
             unix_micros(date_add($"date", 1).cast("timestamp")))
             - unix_micros($"ts"))
       withDur.groupBy($"user_id", $"date")
-        .agg((floor((sum($"value" * $"dur_us") / sum($"dur_us")) * 1e6 + 0.5) / 1e6).as("twap"),
+        .agg((floor(sum(floor($"value" * 100 + 0.5) * $"dur_us").cast("double")
+            / 100 / sum($"dur_us") * 1e6 + 0.5) / 1e6).as("twap"),
           count(lit(1)).as("n_ticks"))
         .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
           $"twap", $"n_ticks")
@@ -609,7 +613,8 @@ object GoldQueries {
            |      - epoch_us(ts) AS dur_us
            |  FROM e)
            |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
-           |       (floor((sum(value * dur_us) / sum(dur_us)) * 1e6 + 0.5) / 1e6) AS twap,
+           |       (floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * dur_us) AS DOUBLE)
+           |          / 100 / sum(dur_us) * 1e6 + 0.5) / 1e6) AS twap,
            |       count(*) AS n_ticks
            |FROM d GROUP BY user_id, date ORDER BY user_id, date""".stripMargin))
 
@@ -635,7 +640,7 @@ object GoldQueries {
       def partials(df: org.apache.spark.sql.DataFrame) =
         df.groupBy($"l_returnflag", $"day")
           .agg(sum($"l_quantity").as("s_qty"),
-            sum($"l_extendedprice").as("s_price"),
+            sum(floor($"l_extendedprice" * 100 + 0.5)).as("s_price_c2"),
             count(lit(1)).as("n"),
             min($"l_extendedprice").as("mn"),
             max($"l_extendedprice").as("mx"))
@@ -645,14 +650,15 @@ object GoldQueries {
         .groupBy($"l_returnflag")
         .agg(sum($"n").as("n"),
           (floor((sum($"s_qty")) * 1e2 + 0.5) / 1e2).as("sum_qty"),
-          (floor((sum($"s_price") / sum($"n")) * 1e6 + 0.5) / 1e6).as("avg_price"),
+          (floor(sum($"s_price_c2").cast("double") / sum($"n") * 1e4 + 0.5) / 1e6).as("avg_price"),
           (floor((min($"mn")) * 1e2 + 0.5) / 1e2).as("min_price"),
           (floor((max($"mx")) * 1e2 + 0.5) / 1e2).as("max_price"))
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*) AS n,
            |       (floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2) AS sum_qty,
-           |       (floor((sum(l_extendedprice) / count(*)) * 1e6 + 0.5) / 1e6) AS avg_price,
+           |       (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           |          / count(*) * 1e4 + 0.5) / 1e6) AS avg_price,
            |       (floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS min_price,
            |       (floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS max_price
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
@@ -732,7 +738,7 @@ object GoldQueries {
         .agg((round(max_by($"value", struct($"ts", $"event_id")) * 100) / 100)
           .as("close"))
       val market = daily.groupBy($"date")
-        .agg((floor((avg($"close")) * 1e6 + 0.5) / 1e6).as("mkt"))
+        .agg((floor(sum(floor($"close" * 100 + 0.5)).cast("double") / count($"close") * 1e4 + 0.5) / 1e6).as("mkt"))
       daily.join(broadcast(market), "date")
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_days"),
@@ -748,7 +754,7 @@ object GoldQueries {
            |                 ORDER BY ts DESC, event_id DESC) AS rn
            |        FROM events)
            |  WHERE rn = 1),
-           |mkt AS (SELECT date, (floor((avg(close)) * 1e6 + 0.5) / 1e6) AS mkt
+           |mkt AS (SELECT date, (floor(sum(CAST(floor(close * 100 + 0.5) AS BIGINT))::DOUBLE / count(close) * 1e4 + 0.5) / 1e6) AS mkt
            |        FROM px GROUP BY date)
            |SELECT user_id, count(*)::BIGINT AS n_days,
            |       (floor((regr_slope(close, mkt)) * 1e6 + 0.5) / 1e6) AS beta,
@@ -773,7 +779,7 @@ object GoldQueries {
       import s.implicits._
       val daily = Tables(s, dir).events
         .groupBy(to_date($"ts").as("day"))
-        .agg((floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("x"))
+        .agg((floor(sum(floor($"value" * 100 + 0.5)).cast("double") / count($"value") * 1e4 + 0.5) / 1e6).as("x"))
         .withColumn("xi", round($"x" * 1e6).cast("long"))
       val w = Window.orderBy($"day").rowsBetween(-3, 3)
       val trended = daily
@@ -795,7 +801,7 @@ object GoldQueries {
         .orderBy($"day")
     },
     Some("""WITH daily AS (
-           |  SELECT ts::DATE AS day, (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS x
+           |  SELECT ts::DATE AS day, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS x
            |  FROM events GROUP BY 1),
            |di AS (SELECT day, x, round(x * 1e6)::BIGINT AS xi FROM daily),
            |tr AS (

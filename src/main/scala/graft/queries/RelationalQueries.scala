@@ -31,23 +31,31 @@ object RelationalQueries {
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           (floor((sum($"l_quantity")) * 1e2 + 0.5) / 1e2).as("sum_qty"),
-          (floor((sum($"l_extendedprice")) * 1e2 + 0.5) / 1e2).as("sum_base_price"),
-          (floor((sum($"l_extendedprice" * (lit(1) - $"l_discount"))) * 1e2 + 0.5) / 1e2).as("sum_disc_price"),
-          (floor((sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"))) * 1e2 + 0.5) / 1e2).as("sum_charge"),
+          (sum(floor($"l_extendedprice" * 100 + 0.5)) / 1e2).as("sum_base_price"),
+          (floor(sum(floor($"l_extendedprice" * 100 + 0.5) * (lit(100L) - floor($"l_discount" * 100 + 0.5))).cast("double") / 100 + 0.5) / 1e2).as("sum_disc_price"),
+          // 3-factor product is ~1e11 per row: sum as DECIMAL(38,0) so the
+          // exact-integer sum survives any SF (long would overflow ~sf100)
+          (floor(sum((floor($"l_extendedprice" * 100 + 0.5) *
+              (lit(100L) - floor($"l_discount" * 100 + 0.5)))
+              .cast("decimal(38,0)") * (lit(100L) + floor($"l_tax" * 100 + 0.5)))
+            .cast("double") / 1e4 + 0.5) / 1e2).as("sum_charge"),
           (floor((avg($"l_quantity")) * 1e4 + 0.5) / 1e4).as("avg_qty"),
-          (floor((avg($"l_extendedprice")) * 1e4 + 0.5) / 1e4).as("avg_price"),
-          (floor((avg($"l_discount")) * 1e4 + 0.5) / 1e4).as("avg_disc"),
+          (floor(sum(floor($"l_extendedprice" * 100 + 0.5)).cast("double") / count($"l_extendedprice") * 1e2 + 0.5) / 1e4).as("avg_price"),
+          (floor(sum(floor($"l_discount" * 100 + 0.5)).cast("double") / count($"l_discount") * 1e2 + 0.5) / 1e4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
            | (floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2) AS sum_qty,
-           | (floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS sum_base_price,
-           | (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2) AS sum_disc_price,
-           | (floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e2 + 0.5) / 1e2) AS sum_charge,
+           | (sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 1e2) AS sum_base_price,
+           | (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 100 + 0.5) / 1e2) AS sum_disc_price,
+           | (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           |     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+           |     * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS DOUBLE)
+           |   / 1e4 + 0.5) / 1e2) AS sum_charge,
            | (floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4) AS avg_qty,
-           | (floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4) AS avg_price,
-           | (floor((avg(l_discount)) * 1e4 + 0.5) / 1e4) AS avg_disc,
+           | (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(l_extendedprice) * 1e2 + 0.5) / 1e4) AS avg_price,
+           | (floor(CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(l_discount) * 1e2 + 0.5) / 1e4) AS avg_disc,
            | count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -69,7 +77,7 @@ object RelationalQueries {
         .join(tt.orders, $"l_orderkey" === $"o_orderkey")
         .join(tt.customer, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"c_mktsegment")
-        .agg((floor((sum($"l_extendedprice" * (lit(1) - $"l_discount"))) * 1e2 + 0.5) / 1e2).as("revenue"))
+        .agg((floor(sum(floor($"l_extendedprice" * 100 + 0.5) * (lit(100L) - floor($"l_discount" * 100 + 0.5))).cast("double") / 100 + 0.5) / 1e2).as("revenue"))
         .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
           $"c_mktsegment", $"revenue")
         .orderBy($"revenue".desc, $"l_orderkey")
@@ -77,7 +85,7 @@ object RelationalQueries {
     },
     Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            |       c_mktsegment,
-           |       (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2) AS revenue
+           |       (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 100 + 0.5) / 1e2) AS revenue
            |FROM lineitem
            |JOIN orders ON l_orderkey = o_orderkey
            |JOIN customer ON o_custkey = c_custkey
@@ -98,12 +106,12 @@ object RelationalQueries {
         .join(broadcast(tt.nation), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(tt.region), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name")
-        .agg((floor((sum($"l_extendedprice" * (lit(1) - $"l_discount"))) * 1e2 + 0.5) / 1e2).as("revenue"),
+        .agg((floor(sum(floor($"l_extendedprice" * 100 + 0.5) * (lit(100L) - floor($"l_discount" * 100 + 0.5))).cast("double") / 100 + 0.5) / 1e2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"r_name")
     },
     Some("""SELECT r_name,
-           |       (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2) AS revenue,
+           |       (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 100 + 0.5) / 1e2) AS revenue,
            |       count(*) AS n_items
            |FROM lineitem
            |JOIN supplier ON l_suppkey = s_suppkey
@@ -183,13 +191,13 @@ object RelationalQueries {
     (s, dir) => {
       t(s, dir).lineitem.createOrReplaceTempView("lineitem_q17")
       s.sql(
-        """SELECT (floor((sum(l_extendedprice) / 7.0) * 1e2 + 0.5) / 1e2) AS avg_yearly
+        """SELECT (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / 7.0 * 1e2 + 0.5) / 1e2) AS avg_yearly
           |FROM lineitem_q17 l1
           |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
           |                    FROM lineitem_q17 l2
           |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
     },
-    Some("""SELECT (floor((sum(l_extendedprice) / 7.0) * 1e2 + 0.5) / 1e2) AS avg_yearly
+    Some("""SELECT (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / 7.0 * 1e2 + 0.5) / 1e2) AS avg_yearly
            |FROM lineitem l1
            |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
            |                    FROM lineitem l2
@@ -414,7 +422,7 @@ object RelationalQueries {
         values = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         varName = "measure", valName = "value")
       long.groupBy($"measure")
-        .agg((floor((sum($"value")) * 1e2 + 0.5) / 1e2).as("total"), count(lit(1)).as("n"))
+        .agg((sum(floor($"value" * 100 + 0.5)) / 1e2).as("total"), count(lit(1)).as("n"))
         .orderBy($"measure")
     },
     Some("""WITH long AS (
@@ -422,7 +430,7 @@ object RelationalQueries {
            |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
            |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
            |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
-           |SELECT measure, (floor((sum(value)) * 1e2 + 0.5) / 1e2) AS total, count(*) AS n
+           |SELECT measure, (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 1e2) AS total, count(*) AS n
            |FROM long GROUP BY measure ORDER BY measure""".stripMargin))
 
   private val pivotQ = Q(
@@ -467,7 +475,7 @@ object RelationalQueries {
       val statuses = o.select($"o_orderstatus").distinct()
       val grid = days.crossJoin(broadcast(statuses))
       val actual = o.groupBy(to_date($"o_orderdate").as("order_date"), $"o_orderstatus")
-        .agg((floor((sum($"o_totalprice")) * 1e2 + 0.5) / 1e2).as("total"), count(lit(1)).as("n"))
+        .agg((sum(floor($"o_totalprice" * 100 + 0.5)) / 1e2).as("total"), count(lit(1)).as("n"))
       RelationalOps.zeroFill(grid, actual,
         keys = Seq("order_date", "o_orderstatus"), valueCols = Seq("total", "n"))
         .withColumn("order_date", date_format($"order_date", "yyyy-MM-dd"))
@@ -477,7 +485,7 @@ object RelationalQueries {
            |statuses AS (SELECT DISTINCT o_orderstatus FROM orders),
            |actual AS (
            |  SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderstatus,
-           |         (floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2) AS total, count(*) AS n
+           |         (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2) AS total, count(*) AS n
            |  FROM orders GROUP BY 1, 2)
            |SELECT strftime(d.order_date, '%Y-%m-%d') AS order_date, s.o_orderstatus,
            |       coalesce(a.total, 0) AS total, coalesce(a.n, 0) AS n
@@ -986,16 +994,17 @@ object RelationalQueries {
       import s.implicits._
       val tt = t(s, dir)
       val big = tt.lineitem.select($"l_suppkey".as("suppkey"),
-        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+        (floor($"l_extendedprice" * 100 + 0.5) *
+          (lit(100L) - floor($"l_discount" * 100 + 0.5))).as("rev"))
       val dim = tt.supplier.join(tt.nation,
           $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey".as("suppkey"), $"n_name")
       graft.operators.SkewOps.saltedJoin(big, dim, "suppkey", 8)
         .groupBy($"n_name")
-        .agg((floor((sum($"rev")) * 1e2 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
+        .agg((floor(sum($"rev").cast("double") / 100 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
         .orderBy($"n_name")
     },
-    Some("""SELECT n_name, (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2)
+    Some("""SELECT n_name, (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 100 + 0.5) / 1e2)
            |         AS revenue,
            |       count(*) AS n
            |FROM lineitem
@@ -1020,7 +1029,8 @@ object RelationalQueries {
       import s.implicits._
       val tt = t(s, dir)
       val big = tt.lineitem.select($"l_suppkey".as("suppkey"),
-        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+        (floor($"l_extendedprice" * 100 + 0.5) *
+          (lit(100L) - floor($"l_discount" * 100 + 0.5))).as("rev"))
       val dim = tt.supplier.join(tt.nation,
           $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey".as("suppkey"), $"n_name")
@@ -1031,10 +1041,10 @@ object RelationalQueries {
         f"maxSz=${profile.maxSz} skewRatio=${profile.skewRatio}%.2f " +
         f"-> $plan join")
       joined.groupBy($"n_name")
-        .agg((floor((sum($"rev")) * 1e2 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
+        .agg((floor(sum($"rev").cast("double") / 100 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
         .orderBy($"n_name")
     },
-    Some("""SELECT n_name, (floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2)
+    Some("""SELECT n_name, (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 100 + 0.5) / 1e2)
            |         AS revenue,
            |       count(*) AS n
            |FROM lineitem
@@ -1072,7 +1082,7 @@ object RelationalQueries {
     * the identical oracle text runs on DuckDB). The view registration is
     * idempotent and session-scoped. */
   private val q6Sql =
-    """SELECT (floor((sum(l_extendedprice * l_discount)) * 1e2 + 0.5) / 1e2) AS revenue,
+    """SELECT (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 + 0.5) / 1e2) AS revenue,
       |       count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -1259,7 +1269,7 @@ object RelationalQueries {
       |       CAST(sum(CAST((floor((c_acctbal * 100) * 1e0 + 0.5) / 1e0) AS BIGINT)) AS BIGINT)
       |         AS totacctbal_c
       |FROM customer c
-      |WHERE c_acctbal > (SELECT (floor((avg(c_acctbal)) * 1e6 + 0.5) / 1e6) FROM customer
+      |WHERE c_acctbal > (SELECT (floor(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(c_acctbal) * 1e4 + 0.5) / 1e6) FROM customer
       |                   WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders o
       |                  WHERE o.o_custkey = c.c_custkey

@@ -20,7 +20,7 @@ object StatsQueries {
       tt.orders
         .join(tt.customer, $"o_custkey" === $"c_custkey")
         .rollup($"c_mktsegment", $"o_orderstatus")
-        .agg((floor((sum($"o_totalprice")) * 1e2 + 0.5) / 1e2).as("revenue"),
+        .agg((sum(floor($"o_totalprice" * 100 + 0.5)) / 1e2).as("revenue"),
           count(lit(1)).as("n"))
         .select(coalesce($"c_mktsegment", lit("ALL")).as("segment"),
           coalesce($"o_orderstatus", lit("ALL")).as("status"),
@@ -29,7 +29,7 @@ object StatsQueries {
     },
     Some("""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
            |       coalesce(o_orderstatus, 'ALL') AS status,
-           |       (floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2) AS revenue, count(*) AS n
+           |       (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2) AS revenue, count(*) AS n
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
            |ORDER BY segment, status""".stripMargin))
@@ -41,18 +41,42 @@ object StatsQueries {
       Tables(s, dir).lineitem
         .groupBy($"l_returnflag")
         .agg(
-          (floor((stddev_samp($"l_extendedprice")) * 1e4 + 0.5) / 1e4).as("sd_price"),
-          (floor((var_samp($"l_extendedprice")) * 1e4 + 0.5) / 1e4).as("var_price"),
+          // exact integer moments in cents: n*Sum(c^2) - Sum(c)^2 as
+          // DECIMAL(38,0) (c^2 ~ 1e14/row - a long sum overflows ~sf1),
+          // then ONE identical IEEE /-sqrt chain per engine
+          (count(lit(1)).cast("decimal(38,0)") *
+            sum((floor($"l_extendedprice" * 100 + 0.5) *
+              floor($"l_extendedprice" * 100 + 0.5)).cast("decimal(38,0)")) -
+            sum(floor($"l_extendedprice" * 100 + 0.5)).cast("decimal(38,0)") *
+            sum(floor($"l_extendedprice" * 100 + 0.5)).cast("decimal(38,0)"))
+            .cast("double").as("a"),
+          count(lit(1)).as("cnt"),
           (floor((min($"l_extendedprice")) * 1e2 + 0.5) / 1e2).as("min_price"),
           (floor((max($"l_extendedprice")) * 1e2 + 0.5) / 1e2).as("max_price"))
+        .select($"l_returnflag",
+          (floor(sqrt($"a" / ($"cnt" * ($"cnt" - 1)) / 1e4) * 1e4 + 0.5) / 1e4)
+            .as("sd_price"),
+          (floor($"a" / ($"cnt" * ($"cnt" - 1)) / 1e4 * 1e4 + 0.5) / 1e4)
+            .as("var_price"),
+          $"min_price", $"max_price")
         .orderBy($"l_returnflag")
     },
-    Some("""SELECT l_returnflag,
-           |       (floor((stddev_samp(l_extendedprice)) * 1e4 + 0.5) / 1e4) AS sd_price,
-           |       (floor((var_samp(l_extendedprice)) * 1e4 + 0.5) / 1e4) AS var_price,
-           |       (floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS min_price,
-           |       (floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS max_price
-           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+    Some("""WITH c AS (SELECT l_returnflag,
+           |             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c2,
+           |             l_extendedprice
+           |           FROM lineitem),
+           |mo AS (SELECT l_returnflag,
+           |         CAST(count(*) * sum(c2::HUGEINT * c2)
+           |              - sum(c2) * sum(c2) AS DOUBLE) AS a,
+           |         count(*) AS cnt,
+           |         (floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS min_price,
+           |         (floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS max_price
+           |       FROM c GROUP BY l_returnflag)
+           |SELECT l_returnflag,
+           |       (floor(sqrt(a / (cnt * (cnt - 1)) / 1e4) * 1e4 + 0.5) / 1e4) AS sd_price,
+           |       (floor(a / (cnt * (cnt - 1)) / 1e4 * 1e4 + 0.5) / 1e4) AS var_price,
+           |       min_price, max_price
+           |FROM mo ORDER BY l_returnflag""".stripMargin))
 
   private val percentiles = Q(
     "stats_percentiles",
@@ -193,7 +217,7 @@ object StatsQueries {
               |       coalesce(o_orderpriority, 'ALL') AS priority,
               |       CAST(grouping_id(c_mktsegment, o_orderpriority) AS INT)
               |         AS gid,
-              |       (floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2) AS revenue, count(*) AS n
+              |       (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2) AS revenue, count(*) AS n
               |FROM ord_cust_gs
               |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
               |                        (c_mktsegment), ())
@@ -202,7 +226,7 @@ object StatsQueries {
     Some("""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
            |       coalesce(o_orderpriority, 'ALL') AS priority,
            |       grouping_id(c_mktsegment, o_orderpriority)::INT AS gid,
-           |       (floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2) AS revenue, count(*) AS n
+           |       (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2) AS revenue, count(*) AS n
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
            |                        (c_mktsegment), ())
@@ -241,14 +265,15 @@ object StatsQueries {
         .partitionBy($"user_id").orderBy(unix_micros($"ts"))
         .rangeBetween(-3600L * 1000000L, 0L)
       Tables(s, dir).events
-        .withColumn("trailing_1h_sum", (floor((sum($"value").over(w)) * 1e2 + 0.5) / 1e2))
+        .withColumn("trailing_1h_sum",
+          (sum(floor($"value" * 100 + 0.5)).over(w) / 1e2))
         .select($"event_id", $"user_id", $"trailing_1h_sum")
         .orderBy($"event_id")
     },
     Some("""SELECT event_id, user_id,
-           |       (floor((sum(value) OVER
+           |       (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
            |         (PARTITION BY user_id ORDER BY epoch_us(ts)
-           |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2)
+           |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) / 1e2)
            |         AS trailing_1h_sum
            |FROM events ORDER BY event_id""".stripMargin))
 
@@ -293,18 +318,63 @@ object StatsQueries {
     (s, dir) => {
       import s.implicits._
       Tables(s, dir).lineitem
+        // exact integer co-moments (corr is scale-invariant, so cents in
+        // place of currency change nothing; covar rescales by /100) —
+        // the only floats are one identical IEEE chain per engine
+        .select($"l_returnflag",
+          floor($"l_quantity").as("qi"),
+          floor($"l_extendedprice" * 100 + 0.5).as("pi"),
+          floor($"l_discount" * 100 + 0.5).as("di"),
+          floor($"l_tax" * 100 + 0.5).as("ti"))
         .groupBy($"l_returnflag")
-        .agg(
-          (floor((corr($"l_quantity", $"l_extendedprice")) * 1e4 + 0.5) / 1e4).as("corr_qty_price"),
-          (floor((covar_samp($"l_quantity", $"l_extendedprice")) * 1e2 + 0.5) / 1e2).as("covar_qty_price"),
-          (floor((corr($"l_discount", $"l_tax")) * 1e4 + 0.5) / 1e4).as("corr_disc_tax"))
+        .agg(count(lit(1)).as("n"),
+          sum($"qi").cast("decimal(38,0)").as("sq"),
+          sum($"pi").cast("decimal(38,0)").as("sp"),
+          sum($"di").cast("decimal(38,0)").as("sd"),
+          sum($"ti").cast("decimal(38,0)").as("st"),
+          sum(($"qi" * $"pi").cast("decimal(38,0)")).as("sqp"),
+          sum(($"qi" * $"qi").cast("decimal(38,0)")).as("sqq"),
+          sum(($"pi" * $"pi").cast("decimal(38,0)")).as("spp"),
+          sum(($"di" * $"ti").cast("decimal(38,0)")).as("sdt"),
+          sum(($"di" * $"di").cast("decimal(38,0)")).as("sdd"),
+          sum(($"ti" * $"ti").cast("decimal(38,0)")).as("stt"))
+        .select($"l_returnflag",
+          (floor((($"n".cast("decimal(38,0)") * $"sqp" - $"sq" * $"sp").cast("double") /
+            sqrt(($"n".cast("decimal(38,0)") * $"sqq" - $"sq" * $"sq").cast("double") *
+                 ($"n".cast("decimal(38,0)") * $"spp" - $"sp" * $"sp").cast("double")))
+            * 1e4 + 0.5) / 1e4).as("corr_qty_price"),
+          (floor((($"n".cast("decimal(38,0)") * $"sqp" - $"sq" * $"sp").cast("double") /
+            ($"n" * ($"n" - 1)) / 100) * 1e2 + 0.5) / 1e2).as("covar_qty_price"),
+          (floor((($"n".cast("decimal(38,0)") * $"sdt" - $"sd" * $"st").cast("double") /
+            sqrt(($"n".cast("decimal(38,0)") * $"sdd" - $"sd" * $"sd").cast("double") *
+                 ($"n".cast("decimal(38,0)") * $"stt" - $"st" * $"st").cast("double")))
+            * 1e4 + 0.5) / 1e4).as("corr_disc_tax"))
         .orderBy($"l_returnflag")
     },
-    Some("""SELECT l_returnflag,
-           |       (floor((corr(l_quantity, l_extendedprice)) * 1e4 + 0.5) / 1e4) AS corr_qty_price,
-           |       (floor((covar_samp(l_quantity, l_extendedprice)) * 1e2 + 0.5) / 1e2) AS covar_qty_price,
-           |       (floor((corr(l_discount, l_tax)) * 1e4 + 0.5) / 1e4) AS corr_disc_tax
-           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+    Some("""WITH c AS (SELECT l_returnflag,
+           |    CAST(floor(l_quantity) AS BIGINT) AS qi,
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pi,
+           |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS di,
+           |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS ti
+           |  FROM lineitem),
+           |mo AS (SELECT l_returnflag, count(*) AS n,
+           |    sum(qi) AS sq, sum(pi) AS sp, sum(di) AS sd, sum(ti) AS st,
+           |    sum(qi::HUGEINT * pi) AS sqp, sum(qi::HUGEINT * qi) AS sqq,
+           |    sum(pi::HUGEINT * pi) AS spp, sum(di::HUGEINT * ti) AS sdt,
+           |    sum(di::HUGEINT * di) AS sdd, sum(ti::HUGEINT * ti) AS stt
+           |  FROM c GROUP BY l_returnflag)
+           |SELECT l_returnflag,
+           |  (floor((CAST(n * sqp - sq * sp AS DOUBLE) /
+           |    sqrt(CAST(n * sqq - sq * sq AS DOUBLE) *
+           |         CAST(n * spp - sp * sp AS DOUBLE))) * 1e4 + 0.5) / 1e4)
+           |    AS corr_qty_price,
+           |  (floor((CAST(n * sqp - sq * sp AS DOUBLE) /
+           |    (n * (n - 1)) / 100) * 1e2 + 0.5) / 1e2) AS covar_qty_price,
+           |  (floor((CAST(n * sdt - sd * st AS DOUBLE) /
+           |    sqrt(CAST(n * sdd - sd * sd AS DOUBLE) *
+           |         CAST(n * stt - st * st AS DOUBLE))) * 1e4 + 0.5) / 1e4)
+           |    AS corr_disc_tax
+           |FROM mo ORDER BY l_returnflag""".stripMargin))
 
   /** Heavy hitters via count-min sketch, gated by invariant oracle: the
     * exact top-10 token counts (hash-checked) carry two in-plan booleans —
@@ -435,7 +505,7 @@ object StatsQueries {
         .withColumn("dev", abs($"value" - $"med"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
-          (floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("mean_raw"),
+          (floor(sum(floor($"value" * 100 + 0.5)).cast("double") / count($"value") * 1e4 + 0.5) / 1e6).as("mean_raw"),
           sum(when($"value" < $"med", 1L).otherwise(0L)).as("med_lt"),
           sum(when($"value" <= $"med", 1L).otherwise(0L)).as("med_le"),
           sum(when($"dev" < $"mad", 1L).otherwise(0L)).as("mad_lt"),
@@ -451,7 +521,7 @@ object StatsQueries {
         .orderBy($"event_type")
     },
     Some("""SELECT event_type, count(*)::BIGINT AS n,
-           |       (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS mean_raw,
+           |       (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS mean_raw,
            |       true AS med_rank_ok, true AS mad_rank_ok,
            |       true AS outliers_bounded
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
@@ -533,7 +603,7 @@ object StatsQueries {
       li.join(broadcast(bounds), "l_returnflag")
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
-          (floor((avg($"l_extendedprice")) * 1e6 + 0.5) / 1e6).as("mean_raw"),
+          (floor(sum(floor($"l_extendedprice" * 100 + 0.5)).cast("double") / count($"l_extendedprice") * 1e4 + 0.5) / 1e6).as("mean_raw"),
           avg(greatest($"lo", least($"hi", $"l_extendedprice")))
             .as("mean_winsorized"),
           max($"lo").as("lo"), max($"hi").as("hi"),
@@ -554,7 +624,7 @@ object StatsQueries {
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*)::BIGINT AS n,
-           |       (floor((avg(l_extendedprice)) * 1e6 + 0.5) / 1e6) AS mean_raw,
+           |       (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(l_extendedprice) * 1e4 + 0.5) / 1e6) AS mean_raw,
            |       true AS lo_rank_ok, true AS hi_rank_ok,
            |       true AS mean_w_in_band
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
@@ -571,31 +641,44 @@ object StatsQueries {
       val li = Tables(s, dir).lineitem.select($"l_returnflag", $"l_extendedprice")
       val bounds = li.groupBy($"l_returnflag")
         .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("b"))
-        .select($"l_returnflag", (floor((element_at($"b", 1)) * 1e6 + 0.5) / 1e6).as("lo"),
-          (floor((element_at($"b", 2)) * 1e6 + 0.5) / 1e6).as("hi"))
+        // bounds snapped to micro-unit BIGINTs; the clip, its rank
+        // predicate, and the winsorized mean all run in exact integer
+        // micro-units (x_e6 = cents*1e4), so no engine-side float order
+        // can move a value across a bound or shift the mean
+        .select($"l_returnflag",
+          floor(element_at($"b", 1) * 1e6 + 0.5).as("lo_e6"),
+          floor(element_at($"b", 2) * 1e6 + 0.5).as("hi_e6"))
       li.join(broadcast(bounds), "l_returnflag")
+        .withColumn("x_e6", floor($"l_extendedprice" * 100 + 0.5) * 10000L)
         .groupBy($"l_returnflag")
-        .agg(max($"lo").as("lo"), max($"hi").as("hi"),
-          (floor((avg($"l_extendedprice")) * 1e6 + 0.5) / 1e6).as("mean_raw"),
-          (floor((avg(greatest($"lo", least($"hi", $"l_extendedprice")))) * 1e6 + 0.5) / 1e6)
-            .as("mean_winsorized"),
-          sum(when($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi",
+        .agg((max($"lo_e6") / 1e6).as("lo"), (max($"hi_e6") / 1e6).as("hi"),
+          (floor(sum($"x_e6").cast("double") / count($"x_e6") + 0.5) / 1e6).as("mean_raw"),
+          (floor(sum(greatest($"lo_e6", least($"hi_e6", $"x_e6"))).cast("double")
+            / count($"x_e6") + 0.5) / 1e6).as("mean_winsorized"),
+          sum(when($"x_e6" < $"lo_e6" || $"x_e6" > $"hi_e6",
             1L).otherwise(0L)).as("n_clipped"))
         .orderBy($"l_returnflag")
     },
     Some("""WITH b AS (
            |  SELECT l_returnflag,
-           |         (floor((quantile_cont(l_extendedprice, 0.05)) * 1e6 + 0.5) / 1e6) AS lo,
-           |         (floor((quantile_cont(l_extendedprice, 0.95)) * 1e6 + 0.5) / 1e6) AS hi
-           |  FROM lineitem GROUP BY l_returnflag)
-           |SELECT l.l_returnflag, max(b.lo) AS lo, max(b.hi) AS hi,
-           |       (floor((avg(l_extendedprice)) * 1e6 + 0.5) / 1e6) AS mean_raw,
-           |       (floor((avg(greatest(b.lo, least(b.hi, l_extendedprice)))) * 1e6 + 0.5) / 1e6)
-           |         AS mean_winsorized,
-           |       sum(CASE WHEN l_extendedprice < b.lo OR l_extendedprice > b.hi
+           |         CAST(floor(quantile_cont(l_extendedprice, 0.05) * 1e6 + 0.5)
+           |           AS BIGINT) AS lo_e6,
+           |         CAST(floor(quantile_cont(l_extendedprice, 0.95) * 1e6 + 0.5)
+           |           AS BIGINT) AS hi_e6
+           |  FROM lineitem GROUP BY l_returnflag),
+           |x AS (
+           |  SELECT l.l_returnflag, b.lo_e6, b.hi_e6,
+           |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000
+           |           AS x_e6
+           |  FROM lineitem l JOIN b USING (l_returnflag))
+           |SELECT l_returnflag, max(lo_e6) / 1e6 AS lo, max(hi_e6) / 1e6 AS hi,
+           |       (floor(CAST(sum(x_e6) AS DOUBLE) / count(x_e6) + 0.5) / 1e6)
+           |         AS mean_raw,
+           |       (floor(CAST(sum(greatest(lo_e6, least(hi_e6, x_e6))) AS DOUBLE)
+           |          / count(x_e6) + 0.5) / 1e6) AS mean_winsorized,
+           |       sum(CASE WHEN x_e6 < lo_e6 OR x_e6 > hi_e6
            |                THEN 1 ELSE 0 END)::BIGINT AS n_clipped
-           |FROM lineitem l JOIN b USING (l_returnflag)
-           |GROUP BY l.l_returnflag ORDER BY l_returnflag""".stripMargin))
+           |FROM x GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** Cumulative distinct users per day, two ways in one plan:
     * (a) EXACT via the first-seen trick — `min(date)` per user then a
@@ -662,8 +745,14 @@ object StatsQueries {
         .filter($"event_type".isin("purchase", "click"))
       val m = e.groupBy($"event_type")
         .agg(count(lit(1)).cast("double").as("n"),
-          (floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("m"),
-          (floor((var_samp($"value")) * 1e6 + 0.5) / 1e6).as("v"))
+          (floor(sum(floor($"value" * 100 + 0.5)).cast("double") / count($"value") * 1e4 + 0.5) / 1e6).as("m"),
+          (floor((count(lit(1)).cast("decimal(38,0)") *
+              sum((floor($"value" * 100 + 0.5) * floor($"value" * 100 + 0.5))
+                .cast("decimal(38,0)")) -
+              sum(floor($"value" * 100 + 0.5)).cast("decimal(38,0)") *
+              sum(floor($"value" * 100 + 0.5)).cast("decimal(38,0)"))
+            .cast("double") / (count(lit(1)) * (count(lit(1)) - 1))
+            * 1e2 + 0.5) / 1e6).as("v"))
       val a = m.filter($"event_type" === "purchase")
         .select($"n".as("n1"), $"m".as("m1"), $"v".as("v1"))
       val b = m.filter($"event_type" === "click")
@@ -675,15 +764,15 @@ object StatsQueries {
           $"n1".cast("long").as("n_purchase"),
           $"n2".cast("long").as("n_click"),
           (floor((($"m1" - $"m2") / sqrt($"se1" + $"se2")) * 1e6 + 0.5) / 1e6).as("t_stat"),
-          (floor((pow($"se1" + $"se2", 2) /
-            (pow($"se1", 2) / ($"n1" - 1) + pow($"se2", 2) / ($"n2" - 1))) * 1e2 + 0.5) / 1e2)
+          (floor(((($"se1" + $"se2") * ($"se1" + $"se2")) /
+            ($"se1" * $"se1" / ($"n1" - 1) + $"se2" * $"se2" / ($"n2" - 1))) * 1e2 + 0.5) / 1e2)
             .as("welch_df"),
           (abs((floor((($"m1" - $"m2") / sqrt($"se1" + $"se2")) * 1e6 + 0.5) / 1e6)) > 1.96)
             .as("significant_5pct"))
     },
     Some("""WITH m AS (
            |  SELECT event_type, count(*)::DOUBLE AS n,
-           |         (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS m, (floor((var_samp(value)) * 1e6 + 0.5) / 1e6) AS v
+           |         (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS m, (floor(CAST(count(*) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)::HUGEINT * CAST(floor(value * 100 + 0.5) AS BIGINT)) - sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * (count(*) - 1)) * 1e2 + 0.5) / 1e6) AS v
            |  FROM events WHERE event_type IN ('purchase', 'click')
            |  GROUP BY event_type),
            |ab AS (
@@ -693,8 +782,8 @@ object StatsQueries {
            |  CROSS JOIN (SELECT * FROM m WHERE event_type = 'click') b)
            |SELECT n1::BIGINT AS n_purchase, n2::BIGINT AS n_click,
            |       (floor(((m1 - m2) / sqrt(se1 + se2)) * 1e6 + 0.5) / 1e6) AS t_stat,
-           |       (floor(((se1 + se2)**2 /
-           |             (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))) * 1e2 + 0.5) / 1e2) AS welch_df,
+           |       (floor((((se1 + se2) * (se1 + se2)) /
+           |             (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))) * 1e2 + 0.5) / 1e2) AS welch_df,
            |       abs((floor(((m1 - m2) / sqrt(se1 + se2)) * 1e6 + 0.5) / 1e6)) > 1.96
            |         AS significant_5pct
            |FROM ab""".stripMargin))
@@ -898,8 +987,14 @@ object StatsQueries {
       val g = Tables(s, dir).events
         .groupBy($"event_type")
         .agg(count(lit(1)).cast("double").as("n"),
-          (floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("m"),
-          (floor((var_samp($"value")) * 1e6 + 0.5) / 1e6).as("v"))
+          (floor(sum(floor($"value" * 100 + 0.5)).cast("double") / count($"value") * 1e4 + 0.5) / 1e6).as("m"),
+          (floor((count(lit(1)).cast("decimal(38,0)") *
+              sum((floor($"value" * 100 + 0.5) * floor($"value" * 100 + 0.5))
+                .cast("decimal(38,0)")) -
+              sum(floor($"value" * 100 + 0.5)).cast("decimal(38,0)") *
+              sum(floor($"value" * 100 + 0.5)).cast("decimal(38,0)"))
+            .cast("double") / (count(lit(1)) * (count(lit(1)) - 1))
+            * 1e2 + 0.5) / 1e6).as("v"))
       val k = g.agg(
         count(lit(1)).cast("double").as("k"),
         sum($"n").as("n_total"),
@@ -915,7 +1010,7 @@ object StatsQueries {
     },
     Some("""WITH g AS (
            |  SELECT event_type, count(*)::DOUBLE AS n,
-           |         (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS m, (floor((var_samp(value)) * 1e6 + 0.5) / 1e6) AS v
+           |         (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS m, (floor(CAST(count(*) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)::HUGEINT * CAST(floor(value * 100 + 0.5) AS BIGINT)) - sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * (count(*) - 1)) * 1e2 + 0.5) / 1e6) AS v
            |  FROM events GROUP BY event_type),
            |k AS (SELECT count(*)::DOUBLE AS k, sum(n) AS n_total,
            |             sum(n * m) / sum(n) AS grand_mean
@@ -1074,7 +1169,7 @@ object StatsQueries {
       import s.implicits._
       val daily = Tables(s, dir).events
         .groupBy(to_date($"ts").as("day"))
-        .agg((floor((avg($"value")) * 1e6 + 0.5) / 1e6).as("x"))
+        .agg((floor(sum(floor($"value" * 100 + 0.5)).cast("double") / count($"value") * 1e4 + 0.5) / 1e6).as("x"))
         .withColumn("xi", round($"x" * 1e6).cast("long"))
       val mu = daily.agg(
         round(sum($"xi").cast("double") / count(lit(1))).cast("long")
@@ -1092,7 +1187,7 @@ object StatsQueries {
         .orderBy($"day")
     },
     Some("""WITH daily AS (
-           |  SELECT ts::DATE AS day, (floor((avg(value)) * 1e6 + 0.5) / 1e6) AS x
+           |  SELECT ts::DATE AS day, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS x
            |  FROM events GROUP BY 1),
            |di AS (SELECT day, x, round(x * 1e6)::BIGINT AS xi FROM daily),
            |mu AS (SELECT round(sum(xi) / count(*))::BIGINT AS mui FROM di),

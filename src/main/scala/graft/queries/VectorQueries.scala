@@ -286,7 +286,7 @@ object VectorQueries {
       VectorOps.assignToCentroids(e, e.filter($"vec_id" < 8),
           "vec_id", "embedding", "vec_id", "embedding")
         .groupBy($"centroid_id")
-        .agg(count(lit(1)).as("n"), (floor((avg($"cos")) * 1e6 + 0.5) / 1e6).as("avg_cos"))
+        .agg(count(lit(1)).as("n"), (floor(sum(floor($"cos" * 1e6 + 0.5)).cast("double") / count($"cos") + 0.5) / 1e6).as("avg_cos"))
         .orderBy($"centroid_id")
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
@@ -298,7 +298,7 @@ object VectorQueries {
             |  SELECT *, row_number() OVER
             |    (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) rn FROM scored)
             |  WHERE rn = 1)
-            |SELECT centroid_id, count(*) n, (floor((avg(cos)) * 1e6 + 0.5) / 1e6) avg_cos
+            |SELECT centroid_id, count(*) n, (floor(CAST(sum(CAST(floor(cos * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(cos) + 0.5) / 1e6) avg_cos
             |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin))
 
   /** IVF top-k SEARCH (the ANN scale path): queries vec_id < 5 probe
