@@ -53,21 +53,58 @@ object DedupQueries {
            |         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) rn
            |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
-  /** Exact-Jaccard oracle at `t`: all-shared-token candidates verified on
-    * full shingle sets — the ground truth BOTH the dense kernel and the
-    * PPJoin prefix-filtered path must reproduce exactly. */
-  private def exactJaccardOracle(t: Double): String =
-    s"""$shingleCte,
+  /** Exact-Jaccard pair CTE chain at `t` (count-based): the intersection
+    * size is counted DURING the shared-token posting join (one hash
+    * aggregate over Σ df² rows) instead of re-materializing candidate
+    * pairs and intersecting ~900-element lists per pair — the list-op
+    * verify join was the sf0.1 ORACLE-TIMEOUT (>600 s; this form runs in
+    * ~9 s). Exact: |A∩B| = count of shared distinct tokens, |A∪B| =
+    * |A|+|B|−|A∩B|, and the qualifying division is the same two exact
+    * integers both engines divide. Yields `prs(a, b, c, na, nb)`. */
+  private def pairCteBody(t: Double): String =
+    s"""$shingleCteBody,
+       |sz AS (SELECT doc_id, len(s) AS n FROM sh),
        |post AS (SELECT doc_id, unnest(s) tok FROM sh),
-       |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
-       |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id)
+       |common AS (SELECT l.doc_id a, r.doc_id b, count(*) AS c
+       |           FROM post l JOIN post r
+       |             ON l.tok = r.tok AND l.doc_id < r.doc_id
+       |           GROUP BY 1, 2),
+       |prs AS (SELECT a, b, c, za.n AS na, zb.n AS nb
+       |        FROM common JOIN sz za ON za.doc_id = a
+       |                    JOIN sz zb ON zb.doc_id = b
+       |        WHERE c::DOUBLE / (za.n + zb.n - c) >= $t)""".stripMargin
+
+  /** Exact-Jaccard oracle at `t` — the ground truth BOTH the dense kernel
+    * and the PPJoin prefix-filtered path must reproduce exactly. */
+  private def exactJaccardOracle(t: Double): String =
+    s"""WITH ${pairCteBody(t)}
        |SELECT a AS id_a, b AS id_b,
-       |       (floor((len(list_intersect(sa.s, sb.s))::DOUBLE
-       |             / len(list_distinct(list_concat(sa.s, sb.s)))) * 1e6 + 0.5) / 1e6) AS jaccard
-       |FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
-       |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
-       |      / len(list_distinct(list_concat(sa.s, sb.s))) >= $t
-       |ORDER BY id_a, id_b""".stripMargin
+       |       (floor((c::DOUBLE / (na + nb - c)) * 1e6 + 0.5) / 1e6) AS jaccard
+       |FROM prs ORDER BY id_a, id_b""".stripMargin
+
+  /** Fixed-iteration unrolled min-label propagation over `prs` — the
+    * recursive-CTE reachability twin was worst-case quadratic in DuckDB
+    * (the second sf0.1 ORACLE-TIMEOUT class). Min labels travel one hop
+    * per step, so `iters` ≥ graph diameter is exact; the measured sf0.1
+    * fixpoint is 2 steps (max cluster 4), unrolled to 8 for margin, and
+    * `converged` feeds a sentinel row in each consumer that turns an
+    * un-converged unroll into a LOUD row mismatch, never a silent pass.
+    * Yields `labeled(doc_id, rep)` over ALL documents + `converged`. */
+  private def ccCteBody(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""l$k AS (SELECT l.id, least(l.lab, coalesce(min(n.lab), l.lab)) AS lab
+         |  FROM l${k - 1} l LEFT JOIN edges e ON e.src = l.id
+         |  LEFT JOIN l${k - 1} n ON n.id = e.dst
+         |  GROUP BY l.id, l.lab)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS (SELECT a AS src, b AS dst FROM prs
+       |          UNION SELECT b, a FROM prs),
+       |l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+       |$steps,
+       |converged AS (SELECT count(*) AS n_moved FROM l$iters j
+       |              JOIN l${iters - 1} p USING (id) WHERE j.lab <> p.lab),
+       |labeled AS (SELECT id AS doc_id, lab AS rep FROM l$iters)""".stripMargin
+  }
 
   private val jaccard = Q(
     "dedup_ngram_jaccard",
@@ -153,23 +190,11 @@ object DedupQueries {
         .select($"doc_id", coalesce($"label", $"doc_id").as("rep"))
         .orderBy($"doc_id")
     },
-    Some(s"""WITH RECURSIVE $shingleCteBody,
-            |post AS (SELECT doc_id, unnest(s) tok FROM sh),
-            |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
-            |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id),
-            |prs AS (SELECT a, b
-            |        FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
-            |        WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
-            |              / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
-            |edges AS (SELECT a AS src, b AS dst FROM prs
-            |          UNION SELECT b, a FROM prs),
-            |reach AS (
-            |  SELECT src AS id, src AS r FROM edges
-            |  UNION
-            |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
-            |SELECT d2.doc_id, coalesce(min(reach.r), d2.doc_id) AS rep
-            |FROM documents d2 LEFT JOIN reach ON reach.id = d2.doc_id
-            |GROUP BY d2.doc_id ORDER BY d2.doc_id""".stripMargin))
+    Some(s"""WITH ${pairCteBody(0.5)},
+            |${ccCteBody(8)}
+            |SELECT doc_id, rep FROM labeled
+            |UNION ALL SELECT -1, -1 FROM converged WHERE n_moved > 0
+            |ORDER BY doc_id""".stripMargin))
 
   /** MinHash(k=16) + LSH(4 bands × 4 rows) candidates, verified with true
     * Jaccard ≥ 0.8 — the scale path for near-dup dedup: candidate cost is
@@ -427,16 +452,24 @@ object DedupQueries {
       DedupOps.containmentPairsAuto(withShingles, "doc_id", "shingles", 0.8)
         .orderBy($"id_a", $"id_b")
     },
+    // count-based like pairCteBody (a containment ≥ 0.8 pair shares ≥ 1
+    // token, so the posting join finds every qualifying pair); the old
+    // full-pairwise list_intersect twin was the sf0.1 ORACLE-TIMEOUT
     Some(s"""$shingleCte,
-            |c AS (SELECT a.doc_id ia, b.doc_id ib,
-            |        len(list_intersect(a.s, b.s))::DOUBLE shared,
-            |        len(a.s)::DOUBLE sa, len(b.s)::DOUBLE sb
-            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            |      WHERE len(a.s) > 0 AND len(b.s) > 0)
-            |SELECT ia AS id_a, ib AS id_b,
+            |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+            |post AS (SELECT doc_id, unnest(s) tok FROM sh),
+            |common AS (SELECT l.doc_id a, r.doc_id b, count(*) AS c
+            |           FROM post l JOIN post r
+            |             ON l.tok = r.tok AND l.doc_id < r.doc_id
+            |           GROUP BY 1, 2),
+            |pc AS (SELECT a, b, c::DOUBLE AS shared,
+            |              za.n::DOUBLE AS sa, zb.n::DOUBLE AS sb
+            |       FROM common JOIN sz za ON za.doc_id = a
+            |                   JOIN sz zb ON zb.doc_id = b)
+            |SELECT a AS id_a, b AS id_b,
             |       (floor((shared/sa) * 1e6 + 0.5) / 1e6) AS containment_ab,
             |       (floor((shared/sb) * 1e6 + 0.5) / 1e6) AS containment_ba
-            |FROM c WHERE greatest(shared/sa, shared/sb) >= 0.8
+            |FROM pc WHERE greatest(shared/sa, shared/sb) >= 0.8
             |ORDER BY id_a, id_b""".stripMargin))
 
   /** Bottom-k sketch containment at t=0.8, k=16 — the DEPLOYED 100 TB
@@ -518,24 +551,8 @@ object DedupQueries {
           (count(lit(1)) * ($"cluster_size" - 1)).as("docs_removed"))
         .orderBy($"cluster_size")
     },
-    Some(s"""WITH RECURSIVE $shingleCteBody,
-            |post AS (SELECT doc_id, unnest(s) tok FROM sh),
-            |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
-            |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id),
-            |prs AS (SELECT a, b
-            |        FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
-            |        WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
-            |              / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
-            |edges AS (SELECT a AS src, b AS dst FROM prs
-            |          UNION SELECT b, a FROM prs),
-            |reach AS (
-            |  SELECT src AS id, src AS r FROM edges
-            |  UNION
-            |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-            |labeled AS (
-            |  SELECT d2.doc_id, coalesce(min(reach.r), d2.doc_id) AS rep
-            |  FROM documents d2 LEFT JOIN reach ON reach.id = d2.doc_id
-            |  GROUP BY d2.doc_id),
+    Some(s"""WITH ${pairCteBody(0.5)},
+            |${ccCteBody(8)},
             |sizes AS (SELECT rep, count(*) AS cluster_size
             |          FROM labeled GROUP BY rep)
             |SELECT cluster_size,
@@ -543,6 +560,7 @@ object DedupQueries {
             |       (count(*) * cluster_size)::BIGINT AS docs,
             |       (count(*) * (cluster_size - 1))::BIGINT AS docs_removed
             |FROM sizes GROUP BY cluster_size
+            |UNION ALL SELECT -1, -1, -1, -1 FROM converged WHERE n_moved > 0
             |ORDER BY cluster_size""".stripMargin))
 
   /** Best-copy retention: the production variant of keep-one-per-cluster.
@@ -577,20 +595,8 @@ object DedupQueries {
           $"w.quality".as("quality"), $"cluster_size")
         .orderBy($"rep")
     },
-    Some(s"""WITH RECURSIVE $shingleCteBody,
-            |post AS (SELECT doc_id, unnest(s) tok FROM sh),
-            |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
-            |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id),
-            |prs AS (SELECT a, b
-            |        FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
-            |        WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
-            |              / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
-            |edges AS (SELECT a AS src, b AS dst FROM prs
-            |          UNION SELECT b, a FROM prs),
-            |reach AS (
-            |  SELECT src AS id, src AS r FROM edges
-            |  UNION
-            |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+    Some(s"""WITH ${pairCteBody(0.5)},
+            |${ccCteBody(8)},
             |q AS (
             |  SELECT doc_id,
             |    (floor((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
@@ -606,10 +612,6 @@ object DedupQueries {
             |          + (1.0 - least(punct_ratio*5.0, 1.0))*0.3
             |          + least(stopword_ratio*4.0, 1.0)*0.2) * 1e6 + 0.5) / 1e6) AS quality
             |  FROM q),
-            |labeled AS (
-            |  SELECT d2.doc_id, coalesce(min(reach.r), d2.doc_id) AS rep
-            |  FROM documents d2 LEFT JOIN reach ON reach.id = d2.doc_id
-            |  GROUP BY d2.doc_id),
             |ranked AS (
             |  SELECT l.rep, l.doc_id, qual.quality,
             |         row_number() OVER (PARTITION BY l.rep
@@ -619,7 +621,9 @@ object DedupQueries {
             |  FROM labeled l JOIN qual ON qual.doc_id = l.doc_id)
             |SELECT rep, doc_id AS kept_doc_id, quality,
             |       cluster_size::BIGINT AS cluster_size
-            |FROM ranked WHERE rn = 1 ORDER BY rep""".stripMargin))
+            |FROM ranked WHERE rn = 1
+            |UNION ALL SELECT -1, -1, -1.0, -1 FROM converged WHERE n_moved > 0
+            |ORDER BY rep""".stripMargin))
 
   /** Round-6 capstone — the curation pipeline the round's new operators
     * exist for, as ONE declarative plan: classifier keep gate
