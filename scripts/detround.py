@@ -11,9 +11,13 @@ oracle leg, so there is no decimal-vs-binary tie surface left.
 
 Applies to .scala query files: rewrites both Scala `round($"x", 6)` calls
 and round( inside the SQL oracle strings. 1-arg round() is left alone
-(used on grid-valued cents where it is never near a tie). Paren-matched,
-multi-line safe (margin pipes stay inside the parens and survive
-stripMargin).
+(used on grid-valued cents where it is never near a tie) BUT its argument
+is recursed into, so 2-arg sites nested inside survive no sweep unseen.
+Every 2-arg site that is KEPT (comment line, non-literal scale) is
+reported to stderr - a skip is a decision for a human, never silent
+(round 10 silently missed the bm25 SQL leg exactly this way).
+Paren-matched, multi-line safe (margin pipes stay inside the parens and
+survive stripMargin).
 """
 import re
 import sys
@@ -21,7 +25,9 @@ import sys
 TOKEN = re.compile(r'(?<![\w.])round\(')
 
 
-def rewrite(text: str):
+def rewrite(text: str, path: str = '?', skips=None):
+    if skips is None:
+        skips = []
     out, i, count = [], 0, 0
     while True:
         m = TOKEN.search(text, i)
@@ -47,28 +53,52 @@ def rewrite(text: str):
                 top_comma = k
             k += 1
         close = k - 1  # index of matching ')'
-        if top_comma is None or in_comment:
-            out.append(text[m.start():close + 1])  # 1-arg / comment: keep
+        line_no = text.count('\n', 0, m.start()) + 1
+
+        def keep_recursed(reason=None):
+            # keep this round() call but still rewrite anything nested
+            # inside its argument list; report kept 2-arg sites loudly
+            nonlocal count
+            if reason is not None and top_comma is not None:
+                skips.append((path, line_no, reason,
+                              text[m.start():close + 1].split('\n')[0]))
+            inner, n_inner = rewrite(text[j:close], path, skips)
+            count += n_inner
+            out.append(text[m.start():j] + inner + ')')
+
+        if in_comment:
+            if top_comma is not None:
+                skips.append((path, line_no, 'comment line',
+                              text[m.start():close + 1].split('\n')[0]))
+            out.append(text[m.start():close + 1])  # comments: verbatim
+        elif top_comma is None:
+            keep_recursed()  # 1-arg: keep, recurse into the argument
         else:
-            expr = text[j:top_comma]
             scale = text[top_comma + 1:close].strip()
             if re.fullmatch(r'\d+', scale):
-                inner, n_inner = rewrite(expr)  # nested round() calls
+                inner, n_inner = rewrite(text[j:top_comma], path, skips)
                 out.append(
                     f"(floor(({inner}) * 1e{scale} + 0.5) / 1e{scale})")
                 count += 1 + n_inner
             else:
-                out.append(text[m.start():close + 1])  # non-literal scale
+                keep_recursed('non-literal scale')
         i = close + 1
     return ''.join(out), count
 
 
 if __name__ == '__main__':
+    all_skips = []
     for path in sys.argv[1:]:
         with open(path) as f:
             src = f.read()
-        new, n = rewrite(src)
+        new, n = rewrite(src, path, all_skips)
         if n:
             with open(path, 'w') as f:
                 f.write(new)
         print(f"{path}: rewrote {n} two-arg round() sites")
+    for path, line, reason, snippet in all_skips:
+        print(f"SKIPPED {path}:{line} ({reason}): {snippet}",
+              file=sys.stderr)
+    if all_skips:
+        print(f"{len(all_skips)} two-arg round() sites KEPT - "
+              "review each before trusting determinism", file=sys.stderr)

@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   * (tiny) benchmark side broadcast — never a pair scan; the quality gates
   * are per-row column expressions plus two hash aggregates (top-token),
   * all scan-local.
+  *
+  * Fixed-point ratio outputs round via the deterministic floor form
+  * `floor(x·10ⁿ + 0.5) / 10ⁿ` (half toward +∞ — differs from HALF_UP on
+  * negative ties; all ratios here are non-negative). See TextOps.
   */
 object HygieneOps {
 

@@ -117,8 +117,12 @@ object SamplingOps {
     * the plan is scan-local scoring + one bounded TakeOrdered(k) — no
     * shuffle of the full table, no rand().
     *
-    * The sort key is pre-rounded to 12dp so the ordering is stable across
-    * engines' `ln` implementations (sub-ulp differences). Contract: keys
+    * The sort key is pre-rounded to 12dp via the deterministic floor form
+    * `floor(x·1e12 + 0.5)/1e12` so the ordering is stable across engines'
+    * `ln` implementations (sub-ulp differences). NOTE the sort key is
+    * NEGATIVE (ln(u) ≤ 0): the floor form rounds half-cases toward +∞,
+    * so a −…5 tie lands one 1e-12 step HIGHER than `round()`'s HALF_UP
+    * would — deliberate, identical on both engines. Contract: keys
     * non-null, weights strictly positive (ln(u) ≤ 0 flips order under a
     * negative weight). */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,

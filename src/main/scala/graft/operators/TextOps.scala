@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   * parquet-read speed. Hashing is portable-by-construction: the 32-bit
   * integer hash of a string is the first 8 hex digits of its md5, so the
   * DuckDB oracle can compute bit-identical values.
+  *
+  * Rounding semantics (deliberate, engine-portable): every fixed-point
+  * output here (stopwordRatio, punctRatio, meanTokenLength, qualityScore)
+  * rounds via the floor form `floor(x·10ⁿ + 0.5) / 10ⁿ` — IEEE ops on
+  * identical inputs, bit-deterministic on any engine. The form rounds
+  * half-cases toward +∞ (a negative tie like −0.5 rounds to 0, not −1),
+  * which differs from `round()`'s HALF_UP (away-from-zero) on negative
+  * ties and from shortest-decimal ties on binary halves. All values here
+  * are non-negative ratios, so only the binary-half behavior applies.
   */
 object TextOps {
 

@@ -13,6 +13,11 @@ import org.apache.spark.sql.expressions.Window
   * window; the LSH path shuffles once on the bucket key so candidate cost
   * is Σ bucket², not N². All arithmetic is done in double after an
   * explicit cast from float (left-fold sums), matching the DuckDB oracle.
+  *
+  * Fixed-point outputs (cosine scores) round via the deterministic floor
+  * form `floor(x·10ⁿ + 0.5) / 10ⁿ`, which rounds half-cases toward +∞ —
+  * on a negative cosine tie this differs from `round()`'s HALF_UP
+  * (away-from-zero). See the TextOps scaladoc for the full semantics.
   */
 object VectorOps {
 

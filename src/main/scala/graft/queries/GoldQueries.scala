@@ -887,11 +887,11 @@ object GoldQueries {
            |         sum(r_e6)::HUGEINT AS s1,
            |         sum(r_e6::HUGEINT * r_e6) AS s2
            |  FROM rets WHERE r_e6 IS NOT NULL GROUP BY user_id),
-           |ab AS (SELECT *, (n * s2 - s1 * s1)::DOUBLE AS a FROM mo)
+           |ab AS (SELECT *, (n * s2 - s1 * s1)::VARCHAR::DOUBLE AS a FROM mo)
            |SELECT user_id, n AS n_days,
-           |       CAST(floor(s1::DOUBLE / n + 0.5) AS BIGINT) AS mean_ret_e6,
+           |       CAST(floor(s1::VARCHAR::DOUBLE / n + 0.5) AS BIGINT) AS mean_ret_e6,
            |       CASE WHEN n > 1 AND a > 0 THEN
-           |         CAST(floor((s1::DOUBLE / n) /
+           |         CAST(floor((s1::VARCHAR::DOUBLE / n) /
            |           sqrt(a / (n * (n - 1))) *
            |           sqrt(252.0) * 1e4 + 0.5) AS BIGINT)
            |       END AS sharpe_e4

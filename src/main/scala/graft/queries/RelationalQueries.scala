@@ -713,20 +713,25 @@ object RelationalQueries {
         // exact integer micro-units (cents × remaining-discount basis
         // points) into the sum — a double sum's last ulp depends on
         // accumulation order, and rounding it at 2dp can land either side
-        // of the boundary per engine/SF; the long sum is order-exact
+        // of the boundary per engine/SF; the per-row product stays BIGINT
+        // (~1.1e9) but the accumulator widens to DECIMAL(38,0): a long
+        // sum wraps silently around sf~4000, and DECIMAL→DOUBLE is
+        // correctly rounded (the oracle twin routes its HUGEINT sum
+        // through VARCHAR→DOUBLE, DuckDB's only correctly-rounded path)
         .withColumn("vol_u",
           round($"l_extendedprice" * 100).cast("long") *
             (lit(100L) - round($"l_discount" * 100).cast("long")))
         .groupBy($"supp_nation", $"cust_nation",
           year($"l_shipdate").as("l_year"))
-        .agg((floor((sum($"vol_u") / 10000.0) * 1e2 + 0.5) / 1e2).as("revenue"),
+        .agg((floor((sum($"vol_u".cast("decimal(38,0)")).cast("double")
+            / 10000.0) * 1e2 + 0.5) / 1e2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"supp_nation", $"cust_nation", $"l_year")
     },
     Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            |       year(l_shipdate)::INT AS l_year,
            |       (floor((sum(round(l_extendedprice*100)::BIGINT
-           |                 * (100 - round(l_discount*100)::BIGINT)) / 10000.0) * 1e2 + 0.5) / 1e2)
+           |                 * (100 - round(l_discount*100)::BIGINT))::VARCHAR::DOUBLE / 10000.0) * 1e2 + 0.5) / 1e2)
            |         AS revenue,
            |       count(*) AS n_items
            |FROM lineitem
@@ -766,12 +771,17 @@ object RelationalQueries {
           round($"l_extendedprice" * 100).cast("long") *
             (lit(100L) - round($"l_discount" * 100).cast("long")))
         .groupBy(year($"o_orderdate").as("o_year"))
+        // DECIMAL(38,0) accumulators for the same reason as q7: the long
+        // sum wraps ~sf4000, and DECIMAL→DOUBLE is Spark's correctly-
+        // rounded conversion (twin: HUGEINT sum → VARCHAR → DOUBLE)
         .agg(
-          sum(when($"n_name" === "NATION_3", $"vol_u").otherwise(0L)).as("nvu"),
-          sum($"vol_u").as("tvu"),
+          sum(when($"n_name" === "NATION_3", $"vol_u").otherwise(0L)
+            .cast("decimal(38,0)")).as("nvu"),
+          sum($"vol_u".cast("decimal(38,0)")).as("tvu"),
           count(lit(1)).as("n_items"))
-        .select($"o_year", (floor(($"nvu" / 10000.0) * 1e2 + 0.5) / 1e2).as("nation_vol"),
-          (floor(($"tvu" / 10000.0) * 1e2 + 0.5) / 1e2).as("total_vol"),
+        .select($"o_year",
+          (floor(($"nvu".cast("double") / 10000.0) * 1e2 + 0.5) / 1e2).as("nation_vol"),
+          (floor(($"tvu".cast("double") / 10000.0) * 1e2 + 0.5) / 1e2).as("total_vol"),
           (floor(($"nvu".cast("double") / $"tvu".cast("double")) * 1e6 + 0.5) / 1e6)
             .as("mkt_share"), $"n_items")
         .orderBy($"o_year")
@@ -786,11 +796,11 @@ object RelationalQueries {
            |  JOIN supplier ON l_suppkey = s_suppkey
            |  JOIN nation ON s_nationkey = n_nationkey)
            |SELECT o_year,
-           |       (floor((sum(CASE WHEN n_name = 'NATION_3' THEN vol_u ELSE 0 END)
+           |       (floor((sum(CASE WHEN n_name = 'NATION_3' THEN vol_u ELSE 0 END)::VARCHAR::DOUBLE
            |             / 10000.0) * 1e2 + 0.5) / 1e2) AS nation_vol,
-           |       (floor((sum(vol_u) / 10000.0) * 1e2 + 0.5) / 1e2) AS total_vol,
-           |       (floor((sum(CASE WHEN n_name = 'NATION_3' THEN vol_u ELSE 0 END)::DOUBLE
-           |             / sum(vol_u)::DOUBLE) * 1e6 + 0.5) / 1e6) AS mkt_share,
+           |       (floor((sum(vol_u)::VARCHAR::DOUBLE / 10000.0) * 1e2 + 0.5) / 1e2) AS total_vol,
+           |       (floor((sum(CASE WHEN n_name = 'NATION_3' THEN vol_u ELSE 0 END)::VARCHAR::DOUBLE
+           |             / sum(vol_u)::VARCHAR::DOUBLE) * 1e6 + 0.5) / 1e6) AS mkt_share,
            |       count(*) AS n_items
            |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin))
 

@@ -66,8 +66,8 @@ object StatsQueries {
            |             l_extendedprice
            |           FROM lineitem),
            |mo AS (SELECT l_returnflag,
-           |         CAST(count(*) * sum(c2::HUGEINT * c2)
-           |              - sum(c2) * sum(c2) AS DOUBLE) AS a,
+           |         CAST(CAST(count(*) * sum(c2::HUGEINT * c2)
+           |              - sum(c2) * sum(c2) AS VARCHAR) AS DOUBLE) AS a,
            |         count(*) AS cnt,
            |         (floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS min_price,
            |         (floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS max_price
@@ -364,15 +364,15 @@ object StatsQueries {
            |    sum(di::HUGEINT * di) AS sdd, sum(ti::HUGEINT * ti) AS stt
            |  FROM c GROUP BY l_returnflag)
            |SELECT l_returnflag,
-           |  (floor((CAST(n * sqp - sq * sp AS DOUBLE) /
-           |    sqrt(CAST(n * sqq - sq * sq AS DOUBLE) *
-           |         CAST(n * spp - sp * sp AS DOUBLE))) * 1e4 + 0.5) / 1e4)
+           |  (floor((CAST(CAST(n * sqp - sq * sp AS VARCHAR) AS DOUBLE) /
+           |    sqrt(CAST(CAST(n * sqq - sq * sq AS VARCHAR) AS DOUBLE) *
+           |         CAST(CAST(n * spp - sp * sp AS VARCHAR) AS DOUBLE))) * 1e4 + 0.5) / 1e4)
            |    AS corr_qty_price,
-           |  (floor((CAST(n * sqp - sq * sp AS DOUBLE) /
+           |  (floor((CAST(CAST(n * sqp - sq * sp AS VARCHAR) AS DOUBLE) /
            |    (n * (n - 1)) / 100) * 1e2 + 0.5) / 1e2) AS covar_qty_price,
-           |  (floor((CAST(n * sdt - sd * st AS DOUBLE) /
-           |    sqrt(CAST(n * sdd - sd * sd AS DOUBLE) *
-           |         CAST(n * stt - st * st AS DOUBLE))) * 1e4 + 0.5) / 1e4)
+           |  (floor((CAST(CAST(n * sdt - sd * st AS VARCHAR) AS DOUBLE) /
+           |    sqrt(CAST(CAST(n * sdd - sd * sd AS VARCHAR) AS DOUBLE) *
+           |         CAST(CAST(n * stt - st * st AS VARCHAR) AS DOUBLE))) * 1e4 + 0.5) / 1e4)
            |    AS corr_disc_tax
            |FROM mo ORDER BY l_returnflag""".stripMargin))
 
@@ -772,7 +772,7 @@ object StatsQueries {
     },
     Some("""WITH m AS (
            |  SELECT event_type, count(*)::DOUBLE AS n,
-           |         (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS m, (floor(CAST(count(*) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)::HUGEINT * CAST(floor(value * 100 + 0.5) AS BIGINT)) - sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * (count(*) - 1)) * 1e2 + 0.5) / 1e6) AS v
+           |         (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS m, (floor(CAST(CAST(count(*) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)::HUGEINT * CAST(floor(value * 100 + 0.5) AS BIGINT)) - sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE) / (count(*) * (count(*) - 1)) * 1e2 + 0.5) / 1e6) AS v
            |  FROM events WHERE event_type IN ('purchase', 'click')
            |  GROUP BY event_type),
            |ab AS (
@@ -1010,7 +1010,7 @@ object StatsQueries {
     },
     Some("""WITH g AS (
            |  SELECT event_type, count(*)::DOUBLE AS n,
-           |         (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS m, (floor(CAST(count(*) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)::HUGEINT * CAST(floor(value * 100 + 0.5) AS BIGINT)) - sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * (count(*) - 1)) * 1e2 + 0.5) / 1e6) AS v
+           |         (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS m, (floor(CAST(CAST(count(*) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)::HUGEINT * CAST(floor(value * 100 + 0.5) AS BIGINT)) - sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE) / (count(*) * (count(*) - 1)) * 1e2 + 0.5) / 1e6) AS v
            |  FROM events GROUP BY event_type),
            |k AS (SELECT count(*)::DOUBLE AS k, sum(n) AS n_total,
            |             sum(n * m) / sum(n) AS grand_mean
@@ -1338,7 +1338,7 @@ object StatsQueries {
            |  SELECT event_id, round(value * 100)::BIGINT AS xi FROM events),
            |grand AS (
            |  SELECT count(*)::BIGINT AS n_rows,
-           |         (floor((sum(xi)::DOUBLE / count(*) / 100) * 1e6 + 0.5) / 1e6) AS grand_mean
+           |         (floor((sum(xi)::VARCHAR::DOUBLE / count(*) / 100) * 1e6 + 0.5) / 1e6) AS grand_mean
            |  FROM base),
            |hashed AS (
            |  SELECT xi, ('0x' || substr(md5(event_id::VARCHAR), 1, 8))
@@ -1354,7 +1354,7 @@ object StatsQueries {
            |        FROM perb CROSS JOIN tot),
            |se AS (
            |  SELECT (floor((sqrt(
-           |           sum(d::HUGEINT * d::HUGEINT)::DOUBLE
+           |           sum(d::HUGEINT * d::HUGEINT)::VARCHAR::DOUBLE
            |             / (bn * bn * (bn - 1)) / 2.0)
            |         / 1e6) * 1e6 + 0.5) / 1e6) AS se
            |  FROM dev GROUP BY bn)

@@ -177,7 +177,7 @@ object TextQueries {
       TextOps.bm25(t(s, dir).documents, "doc_id", "text")
         .filter($"token".isin("join", "filter", "column"))
         .withColumn("score_micro",
-          (floor(($"score" * 1e6) * 1e0 + 0.5) / 1e0).cast("long"))
+          floor($"score" * 1e6 + 0.5).cast("long"))
         .groupBy($"id")
         .agg(count(lit(1)).cast("int").as("n_terms_hit"),
           sum($"score_micro").as("bm25_micro"))
@@ -198,15 +198,15 @@ object TextQueries {
            |          FROM documents),
            |scored AS (
            |  SELECT tf.doc_id,
-           |         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           |         CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
            |               * (tc * (1.2 + 1.0))
            |               / (tc + 1.2 * (1.0 - 0.75 + 0.75 * doc_len
            |                              / (total_len::DOUBLE / n_docs)))
-           |               * 1e6) AS score_scaled
+           |               * 1e6 + 0.5) AS BIGINT) AS score_scaled
            |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN stats
            |  WHERE tf.token IN ('join', 'filter', 'column'))
            |SELECT doc_id, count(*)::INT AS n_terms_hit,
-           |       sum(score_scaled::BIGINT)::BIGINT AS bm25_micro
+           |       sum(score_scaled)::BIGINT AS bm25_micro
            |FROM scored GROUP BY doc_id
            |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin))
 
