@@ -61,15 +61,24 @@ object DedupQueries {
     * ~9 s). Exact: |A∩B| = count of shared distinct tokens, |A∪B| =
     * |A|+|B|−|A∩B|, and the qualifying division is the same two exact
     * integers both engines divide. Yields `prs(a, b, c, na, nb)`. */
+  // every CTE here is AS MATERIALIZED: DuckDB 1.0 INLINES a CTE at each
+  // reference site, so a chain where step k references step k−1 twice
+  // (the LP unroll below) re-expands the whole pipeline 2^k times — the
+  // sf0.1 >900 s ORACLE-TIMEOUT was exponential planning, not data size.
+  // Materialized, the same unroll runs in ~10 s at sf0.1.
   private def pairCteBody(t: Double): String =
-    s"""$shingleCteBody,
-       |sz AS (SELECT doc_id, len(s) AS n FROM sh),
-       |post AS (SELECT doc_id, unnest(s) tok FROM sh),
-       |common AS (SELECT l.doc_id a, r.doc_id b, count(*) AS c
+    s"""d AS MATERIALIZED (SELECT doc_id, string_split(text,' ') toks FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id,
+       |         list_distinct([array_to_string(toks[i:i+1],' ')
+       |                        FOR i IN generate_series(1, len(toks)-1)]) s
+       |       FROM d),
+       |sz AS MATERIALIZED (SELECT doc_id, len(s) AS n FROM sh),
+       |post AS MATERIALIZED (SELECT doc_id, unnest(s) tok FROM sh),
+       |common AS MATERIALIZED (SELECT l.doc_id a, r.doc_id b, count(*) AS c
        |           FROM post l JOIN post r
        |             ON l.tok = r.tok AND l.doc_id < r.doc_id
        |           GROUP BY 1, 2),
-       |prs AS (SELECT a, b, c, za.n AS na, zb.n AS nb
+       |prs AS MATERIALIZED (SELECT a, b, c, za.n AS na, zb.n AS nb
        |        FROM common JOIN sz za ON za.doc_id = a
        |                    JOIN sz zb ON zb.doc_id = b
        |        WHERE c::DOUBLE / (za.n + zb.n - c) >= $t)""".stripMargin
@@ -92,16 +101,16 @@ object DedupQueries {
     * Yields `labeled(doc_id, rep)` over ALL documents + `converged`. */
   private def ccCteBody(iters: Int): String = {
     val steps = (1 to iters).map { k =>
-      s"""l$k AS (SELECT l.id, least(l.lab, coalesce(min(n.lab), l.lab)) AS lab
+      s"""l$k AS MATERIALIZED (SELECT l.id, least(l.lab, coalesce(min(n.lab), l.lab)) AS lab
          |  FROM l${k - 1} l LEFT JOIN edges e ON e.src = l.id
          |  LEFT JOIN l${k - 1} n ON n.id = e.dst
          |  GROUP BY l.id, l.lab)""".stripMargin
     }.mkString(",\n")
-    s"""edges AS (SELECT a AS src, b AS dst FROM prs
+    s"""edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
        |          UNION SELECT b, a FROM prs),
-       |l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+       |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lab FROM documents),
        |$steps,
-       |converged AS (SELECT count(*) AS n_moved FROM l$iters j
+       |converged AS MATERIALIZED (SELECT count(*) AS n_moved FROM l$iters j
        |              JOIN l${iters - 1} p USING (id) WHERE j.lab <> p.lab),
        |labeled AS (SELECT id AS doc_id, lab AS rep FROM l$iters)""".stripMargin
   }
