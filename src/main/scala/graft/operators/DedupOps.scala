@@ -14,6 +14,10 @@ import graft.core.Lineage.LineageOps
   * 100 TB. Verification (true Jaccard / hamming) runs only on candidate
   * pairs. All hashing is the portable md5-prefix hash32 (TextOps.hash32),
   * so DuckDB oracles reproduce values exactly.
+  *
+  * Fixed-point similarity outputs (Jaccard / containment scores) round
+  * via the deterministic floor form `floor(x·10ⁿ + 0.5) / 10ⁿ` (half
+  * toward +∞; all similarities here are non-negative). See TextOps.
   */
 object DedupOps {
 
@@ -533,28 +537,89 @@ object DedupOps {
     * increment's files. Compaction reads the whole index and rewrites it
     * as ONE bucket-range-partitioned, bucket-sorted file set (the same
     * layout [[writeBandedIndex]] produces for a single increment),
-    * restoring disjoint per-file bucket ranges. Write-to-sibling then
-    * swap via the Hadoop FileSystem API (works on HDFS/S3A/local alike);
-    * the swap is not atomic — run it from the maintenance job that also
-    * holds the [[graft.io.PartitionLedger]], exactly like Spark's own
-    * non-atomic overwrites. */
+    * restoring disjoint per-file bucket ranges.
+    *
+    * Crash safety (two-phase swap — single renames only, works on
+    * HDFS/S3A/local alike): the compacted set is written to
+    * `path.__compact__` (with Spark's `_SUCCESS` marker), then the live
+    * index is renamed ASIDE to `path.__old__`, then the compacted set is
+    * renamed in, then `__old__` is deleted. At EVERY crash point at least
+    * one complete copy of the index exists on disk, and
+    * [[recoverBandedIndex]] — run automatically at the start of each
+    * compaction, or standalone after a crash — rolls the swap forward
+    * (compacted set complete) or back (it wasn't). The r9→r10 form
+    * deleted the live index BEFORE renaming the replacement in; a crash
+    * in that window lost the whole index. */
   def compactBandedIndex(spark: org.apache.spark.sql.SparkSession,
-                         path: String, filesPerBand: Int = 8): Unit = {
+                         path: String, filesPerBand: Int = 8,
+                         onPhase: String => Unit = _ => ()): Unit = {
+    recoverBandedIndex(spark, path) // heal any prior crashed swap first
     val postings = spark.read.parquet(path)
       .select(col("id"), col("band"), col("bucket"))
     val bands = postings.agg(countDistinct(col("band"))).head().getLong(0).toInt
-    val tmp = path.stripSuffix("/") + ".__compact__"
+    val base = path.stripSuffix("/")
+    val tmp = base + ".__compact__"
     postings
       .repartitionByRange(bands * filesPerBand, col("band"), col("bucket"))
       .sortWithinPartitions(col("bucket"))
       .write.mode("overwrite").partitionBy("band").parquet(tmp)
+    onPhase("written")
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(base + ".__old__")
     val fs = dst.getFileSystem(conf)
-    fs.delete(dst, true)
-    if (!fs.rename(src, dst))
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compaction aside failed: $path -> $old")
+    onPhase("aside")
+    if (!fs.rename(src, dst)) {
+      fs.rename(old, dst) // immediate rollback; recover() heals if THIS dies
       throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    }
+    onPhase("swapped")
+    fs.delete(old, true)
+  }
+
+  /** Recovery for a [[compactBandedIndex]] interrupted at any point.
+    * Decision table (SUCCESS = `__compact__/_SUCCESS` marker present):
+    *   - live index present: the swap never started, or finished without
+    *     its cleanup — delete stray `__compact__` / `__old__` siblings.
+    *   - live index missing, compacted set COMPLETE: crash happened
+    *     between the two renames — roll FORWARD (rename `__compact__` in,
+    *     drop `__old__`).
+    *   - live index missing, compacted set absent/partial: roll BACK
+    *     (rename `__old__` in, drop the partial `__compact__`).
+    *   - nothing present at all: IllegalStateException — the index never
+    *     existed at this path (a typo'd path must fail loudly, not
+    *     "recover" to an empty index).
+    * Idempotent: safe to call when no swap was in flight. */
+  def recoverBandedIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = path.stripSuffix("/")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(base + ".__compact__")
+    val old = new org.apache.hadoop.fs.Path(base + ".__old__")
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst)) {
+      fs.delete(src, true)
+      fs.delete(old, true)
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(src, "_SUCCESS"))) {
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"recovery roll-forward failed: $src -> $path")
+      fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      if (!fs.rename(old, dst))
+        throw new java.io.IOException(s"recovery roll-back failed: $old -> $path")
+      fs.delete(src, true)
+    } else if (fs.exists(src)) {
+      // partial __compact__, no live, no __old__: unreachable from the
+      // compaction's phase order — refuse to guess
+      throw new IllegalStateException(
+        s"banded index at $path unrecoverable: only a partial compact set exists")
+    } else {
+      throw new IllegalStateException(s"no banded index at $path")
+    }
   }
 
   /** [[lshProbeCandidates]] against the STORED index at `path` instead of

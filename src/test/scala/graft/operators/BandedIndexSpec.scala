@@ -79,6 +79,46 @@ class BandedIndexSpec extends SparkSpec {
       java.nio.file.Paths.get(idx + ".__compact__")))
   }
 
+  test("a crash at ANY compaction phase loses nothing: recover() restores " +
+       "a complete index with identical probe results") {
+    val batch = signed.limit(50)
+    case class SimulatedCrash(phase: String) extends RuntimeException(phase)
+    for (crashAt <- Seq("written", "aside", "swapped")) {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-bidx-crash-$crashAt").toString
+      for (m <- 0 to 2)
+        DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === m),
+          "doc_id", "sig", 4, 4, idx, filesPerBand = 2, append = m != 0)
+      val before = DedupOps.lshProbeCandidatesStored(spark, idx, batch,
+        "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+      // kill the maintenance job mid-swap at this phase…
+      val thrown = intercept[SimulatedCrash] {
+        DedupOps.compactBandedIndex(spark, idx, filesPerBand = 2,
+          onPhase = p => if (p == crashAt) throw SimulatedCrash(p))
+      }
+      assert(thrown.phase === crashAt)
+      // …then run crash recovery, as the next maintenance run would
+      DedupOps.recoverBandedIndex(spark, idx)
+      val after = DedupOps.lshProbeCandidatesStored(spark, idx, batch,
+        "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+      assert(after === before, s"probe set changed after crash at $crashAt")
+      assert(after.nonEmpty)
+      for (sib <- Seq(".__compact__", ".__old__"))
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(idx + sib)),
+          s"sibling $sib survived recovery after crash at $crashAt")
+      // a re-run of compaction completes normally on the recovered index
+      DedupOps.compactBandedIndex(spark, idx, filesPerBand = 2)
+      val compacted = DedupOps.lshProbeCandidatesStored(spark, idx, batch,
+        "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+      assert(compacted === before)
+    }
+    // a typo'd / never-written path must fail loudly, not silently "heal"
+    intercept[IllegalStateException] {
+      DedupOps.recoverBandedIndex(spark, "/tmp/graft-no-such-index")
+    }
+  }
+
   test("small batch pushes a bucket IN-list to the parquet scan; the " +
        "semi-join regime (maxPushdownBuckets=0) returns the same pairs") {
     val idx = java.nio.file.Files.createTempDirectory("graft-bidx2").toString
