@@ -119,6 +119,80 @@ class RocksDbStateSpec extends SparkSpec {
     assert(hdfsState.max <= horizon)
   }
 
+  test("warm-started LSH stream (initialState seeded from the stored " +
+       "banded index): RocksDB == default provider, and the seeded state " +
+       "expires on the same TTL plateau") {
+    implicit val sqlCtx = spark.sqlContext
+    // history postings persisted once by the stored-index writer — the
+    // same seed both provider legs warm-start from
+    val all = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .filter(size(split($"text", "\\s+")) >= 5)
+      .select($"doc_id", graft.operators.DedupOps.minhashSignature(
+        graft.operators.TextOps.shingles($"text", 2), 16).as("sig"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-rocks-warm-idx").toString
+    graft.operators.DedupOps.writeBandedIndex(
+      all.filter($"doc_id" % 3 =!= 0), "doc_id", "sig", 4, 4, idx)
+    val postings = spark.read.parquet(idx)
+    val t0 = ts("2024-01-01 10:00:00").getTime
+    val ttlMs = 15 * 60 * 1000L
+    val newDocs = graft.core.Tables(spark, graft.TestSpark.sfDir).documents
+      .filter(size(split($"text", "\\s+")) >= 5 && $"doc_id" % 3 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(40)
+      .zipWithIndex.map { case ((id, text), i) =>
+        Doc(id, text, new Timestamp(t0 + i * 1000L)) }
+    def run(tag: String): (Set[(Long, Long)], Seq[Long]) = {
+      var sawRocksMetrics = false
+      val input = MemoryStream[Doc]
+      val qn = s"rocks_warm_$tag"
+      val q = StreamingOps.lshCandidatesStream(input.toDF(), "doc_id",
+          "text", "ts", watermark = "1 minute", stateTtlMs = ttlMs,
+          warmStart = Some((postings, t0)))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append).start()
+      val observed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def step(docs: Seq[Doc]): Unit = {
+        input.addData(docs); q.processAllAvailable()
+        observed += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        sawRocksMetrics ||= q.lastProgress.stateOperators.exists(
+          _.customMetrics.keySet.stream.anyMatch(_.startsWith("rocksdb")))
+      }
+      newDocs.grouped(20).foreach(chunk => step(chunk.toIndexedSeq))
+      // advance the watermark hours past the TTL horizon: every seeded
+      // bucket is idle since ~t0 and must be reclaimed
+      step(Seq(Doc(999999L, "zz1 zz2 zz3 zz4 zz5 zz6",
+        new Timestamp(t0 + 6 * 3600 * 1000L))))
+      step(Seq(Doc(999998L, "yy1 yy2 yy3 yy4 yy5 yy6",
+        new Timestamp(t0 + 6 * 3600 * 1000L + 60000L))))
+      q.stop()
+      assert(sawRocksMetrics === (tag == "rocks"),
+        s"provider engagement mismatch for $tag leg")
+      val pairs = spark.table(qn).select($"id_a", $"id_b")
+        .as[(Long, Long)].collect().toSet
+      (pairs, observed.toSeq)
+    }
+    val (hdfsPairs, hdfsState) = withProvider(None) { run("hdfs") }
+    val (rocksPairs, rocksState) = withProvider(Some(rocks)) { run("rocks") }
+    assert(rocksPairs === hdfsPairs)
+    // non-vacuous: the stream must have paired new arrivals against the
+    // warm-started history (cross-boundary pairs exist)
+    assert(rocksPairs.exists { case (a, b) => (a % 3 == 0) != (b % 3 == 0) },
+      "no cross-boundary pairs — the warm start was vacuous")
+    // TTL plateau under BOTH providers: after the watermark jump the
+    // seeded buckets are reclaimed, so state falls well below its peak
+    for ((tag, st) <- Seq("hdfs" -> hdfsState, "rocks" -> rocksState)) {
+      assert(st.last < st.max,
+        s"$tag state never shrank after the TTL horizon: $st")
+      // only the two sentinel docs' own buckets (4 bands each, both
+      // inside their own TTL window) may remain — every seeded/streamed
+      // bucket from the t0 era must be gone
+      assert(st.last <= 8,
+        s"$tag seeded buckets survived the TTL horizon: $st")
+    }
+    assert(rocksState === hdfsState,
+      "state-row trajectories diverge between providers")
+  }
+
   test("watermark dedup buffer: RocksDB keeps first, drops in-watermark " +
        "repeats — identical to default") {
     implicit val sqlCtx = spark.sqlContext
