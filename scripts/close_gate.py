@@ -105,7 +105,20 @@ def main():
     except Exception as e:
         errs.append(f"anchor check failed: {e}")
 
-    # 4. clean working tree
+    # 4. conversion-determinism audit (the r11 class: DuckDB's direct
+    #    HUGEINT->DOUBLE is not correctly rounded; every sum()->DOUBLE in
+    #    SQL text must be string-routed or adjudicated bounded)
+    import glob
+    q = glob.glob(os.path.join(REPO, "src/main/scala/graft/queries/*.scala"))
+    det = subprocess.run([sys.executable,
+                          os.path.join(REPO, "scripts/detcast.py")] + q,
+                         capture_output=True, text=True)
+    if det.returncode != 0:
+        errs.append("detcast audit FAILED:\n" + det.stderr.strip())
+    else:
+        print("OK detcast: " + det.stdout.strip())
+
+    # 5. clean working tree
     st = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
                         capture_output=True, text=True).stdout.strip()
     if st:

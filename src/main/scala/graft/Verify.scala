@@ -46,10 +46,20 @@ object Verify {
     // never a silent coverage drop); anything thrown past that is a bug
     // in the merge itself and must crash Verify, not be swallowed.
     val dynamic = SparkEntry.dynamicOracleSql(spark, sfDir)
-    val json = (SparkEntry.oracleSql ++ dynamic)
+    val entries = (SparkEntry.oracleSql ++ dynamic)
       .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(",")
+    // A subset re-dump into an existing full dump MERGES into the prior
+    // oracle file instead of replacing it — overwriting with the filtered
+    // map silently downgrades every other query to a rows-only check
+    // (JSON duplicate keys resolve last-wins, so appending updates).
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    val prior =
+      if (only.nonEmpty && Files.exists(oraclePath))
+        Files.readString(oraclePath).trim.stripPrefix("{").stripSuffix("}")
+      else ""
+    val merged = Seq(prior, entries).filter(_.nonEmpty).mkString(",")
+    Files.writeString(oraclePath, s"{$merged}")
     spark.stop()
   }
 }

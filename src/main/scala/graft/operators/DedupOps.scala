@@ -519,7 +519,14 @@ object DedupOps {
     * a probe is the occupied row groups, not the corpus. `append = true`
     * adds an increment's postings without touching prior files; pair it
     * with an [[graft.io.PartitionLedger]] mark per increment so re-runs
-    * are idempotent (spec'd in BandedIndexSpec). */
+    * are idempotent (spec'd in BandedIndexSpec).
+    *
+    * When to use (measured — PROBEBENCH.json, history:batch = 99:1,
+    * 8 increments): the COMPACTED stored probe beats re-banding the
+    * in-memory history from ~50k history docs (1.14×, widening to 1.57×
+    * at 150k and growing with history); below that the fixed
+    * footer/open costs dominate and in-memory wins. Compaction matters:
+    * the as-appended multi-file layout gives back most of the win. */
   def writeBandedIndex(increment: DataFrame, idCol: String, sigCol: String,
                        bands: Int, rowsPerBand: Int, path: String,
                        filesPerBand: Int = 8, append: Boolean = false): Unit =

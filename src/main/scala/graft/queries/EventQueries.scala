@@ -60,7 +60,7 @@ object EventQueries {
            |           AS window_start, value
            |  FROM events)
            |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-           |       count(*) AS n, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS avg_value
+           |       count(*) AS n, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS avg_value
            |FROM w GROUP BY w.window_start ORDER BY window_start""".stripMargin))
 
   /** Session windows with a 10-minute gap, batch gaps-and-islands form:
@@ -119,7 +119,7 @@ object EventQueries {
         .orderBy($"k_bucket")
     },
     Some("""SELECT floor(json_extract_string(props, '$.k')::INT / 10)::INT AS k_bucket,
-           |       count(*) AS n, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS avg_value
+           |       count(*) AS n, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS avg_value
            |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin))
 
   /** As-of enrichment: each purchase picks up the same user's most recent

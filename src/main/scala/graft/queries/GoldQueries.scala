@@ -404,7 +404,7 @@ object GoldQueries {
            |                 ORDER BY ts DESC, event_id DESC) AS rn
            |        FROM events)
            |  WHERE rn = 1),
-           |mkt AS (SELECT date, (floor(sum(CAST(floor(close * 100 + 0.5) AS BIGINT))::DOUBLE / count(close) * 1e4 + 0.5) / 1e6) AS mkt
+           |mkt AS (SELECT date, (floor(sum(CAST(floor(close * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(close) * 1e4 + 0.5) / 1e6) AS mkt
            |        FROM px GROUP BY date)
            |SELECT p.user_id, strftime(p.date, '%Y-%m-%d') AS date,
            |       (floor((p.close) * 1e2 + 0.5) / 1e2) AS close,
@@ -613,7 +613,7 @@ object GoldQueries {
            |      - epoch_us(ts) AS dur_us
            |  FROM e)
            |SELECT user_id, strftime(date, '%Y-%m-%d') AS date,
-           |       (floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * dur_us) AS DOUBLE)
+           |       (floor(CAST(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * dur_us) AS STRING) AS DOUBLE)
            |          / 100 / sum(dur_us) * 1e6 + 0.5) / 1e6) AS twap,
            |       count(*) AS n_ticks
            |FROM d GROUP BY user_id, date ORDER BY user_id, date""".stripMargin))
@@ -657,7 +657,7 @@ object GoldQueries {
     },
     Some("""SELECT l_returnflag, count(*) AS n,
            |       (floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2) AS sum_qty,
-           |       (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           |       (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE)
            |          / count(*) * 1e4 + 0.5) / 1e6) AS avg_price,
            |       (floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS min_price,
            |       (floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS max_price
@@ -754,7 +754,7 @@ object GoldQueries {
            |                 ORDER BY ts DESC, event_id DESC) AS rn
            |        FROM events)
            |  WHERE rn = 1),
-           |mkt AS (SELECT date, (floor(sum(CAST(floor(close * 100 + 0.5) AS BIGINT))::DOUBLE / count(close) * 1e4 + 0.5) / 1e6) AS mkt
+           |mkt AS (SELECT date, (floor(sum(CAST(floor(close * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(close) * 1e4 + 0.5) / 1e6) AS mkt
            |        FROM px GROUP BY date)
            |SELECT user_id, count(*)::BIGINT AS n_days,
            |       (floor((regr_slope(close, mkt)) * 1e6 + 0.5) / 1e6) AS beta,
@@ -801,7 +801,7 @@ object GoldQueries {
         .orderBy($"day")
     },
     Some("""WITH daily AS (
-           |  SELECT ts::DATE AS day, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS x
+           |  SELECT ts::DATE AS day, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS x
            |  FROM events GROUP BY 1),
            |di AS (SELECT day, x, round(x * 1e6)::BIGINT AS xi FROM daily),
            |tr AS (

@@ -48,14 +48,14 @@ object RelationalQueries {
     Some("""SELECT l_returnflag, l_linestatus,
            | (floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2) AS sum_qty,
            | (sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 1e2) AS sum_base_price,
-           | (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 100 + 0.5) / 1e2) AS sum_disc_price,
-           | (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           | (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS STRING) AS DOUBLE) / 100 + 0.5) / 1e2) AS sum_disc_price,
+           | (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
            |     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
-           |     * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS DOUBLE)
+           |     * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS STRING) AS DOUBLE)
            |   / 1e4 + 0.5) / 1e2) AS sum_charge,
            | (floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4) AS avg_qty,
-           | (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(l_extendedprice) * 1e2 + 0.5) / 1e4) AS avg_price,
-           | (floor(CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(l_discount) * 1e2 + 0.5) / 1e4) AS avg_disc,
+           | (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / count(l_extendedprice) * 1e2 + 0.5) / 1e4) AS avg_price,
+           | (floor(CAST(CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / count(l_discount) * 1e2 + 0.5) / 1e4) AS avg_disc,
            | count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -85,7 +85,7 @@ object RelationalQueries {
     },
     Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            |       c_mktsegment,
-           |       (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 100 + 0.5) / 1e2) AS revenue
+           |       (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS STRING) AS DOUBLE) / 100 + 0.5) / 1e2) AS revenue
            |FROM lineitem
            |JOIN orders ON l_orderkey = o_orderkey
            |JOIN customer ON o_custkey = c_custkey
@@ -111,7 +111,7 @@ object RelationalQueries {
         .orderBy($"r_name")
     },
     Some("""SELECT r_name,
-           |       (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 100 + 0.5) / 1e2) AS revenue,
+           |       (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS STRING) AS DOUBLE) / 100 + 0.5) / 1e2) AS revenue,
            |       count(*) AS n_items
            |FROM lineitem
            |JOIN supplier ON l_suppkey = s_suppkey
@@ -191,13 +191,13 @@ object RelationalQueries {
     (s, dir) => {
       t(s, dir).lineitem.createOrReplaceTempView("lineitem_q17")
       s.sql(
-        """SELECT (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / 7.0 * 1e2 + 0.5) / 1e2) AS avg_yearly
+        """SELECT (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / 100 / 7.0 * 1e2 + 0.5) / 1e2) AS avg_yearly
           |FROM lineitem_q17 l1
           |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
           |                    FROM lineitem_q17 l2
           |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
     },
-    Some("""SELECT (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / 7.0 * 1e2 + 0.5) / 1e2) AS avg_yearly
+    Some("""SELECT (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / 100 / 7.0 * 1e2 + 0.5) / 1e2) AS avg_yearly
            |FROM lineitem l1
            |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
            |                    FROM lineitem l2
@@ -1014,7 +1014,7 @@ object RelationalQueries {
         .agg((floor(sum($"rev").cast("double") / 100 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
         .orderBy($"n_name")
     },
-    Some("""SELECT n_name, (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 100 + 0.5) / 1e2)
+    Some("""SELECT n_name, (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS STRING) AS DOUBLE) / 100 + 0.5) / 1e2)
            |         AS revenue,
            |       count(*) AS n
            |FROM lineitem
@@ -1054,7 +1054,7 @@ object RelationalQueries {
         .agg((floor(sum($"rev").cast("double") / 100 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
         .orderBy($"n_name")
     },
-    Some("""SELECT n_name, (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 100 + 0.5) / 1e2)
+    Some("""SELECT n_name, (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS STRING) AS DOUBLE) / 100 + 0.5) / 1e2)
            |         AS revenue,
            |       count(*) AS n
            |FROM lineitem
@@ -1092,7 +1092,7 @@ object RelationalQueries {
     * the identical oracle text runs on DuckDB). The view registration is
     * idempotent and session-scoped. */
   private val q6Sql =
-    """SELECT (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 + 0.5) / 1e2) AS revenue,
+    """SELECT (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / 100 + 0.5) / 1e2) AS revenue,
       |       count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -1279,7 +1279,7 @@ object RelationalQueries {
       |       CAST(sum(CAST((floor((c_acctbal * 100) * 1e0 + 0.5) / 1e0) AS BIGINT)) AS BIGINT)
       |         AS totacctbal_c
       |FROM customer c
-      |WHERE c_acctbal > (SELECT (floor(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(c_acctbal) * 1e4 + 0.5) / 1e6) FROM customer
+      |WHERE c_acctbal > (SELECT (floor(CAST(CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / count(c_acctbal) * 1e4 + 0.5) / 1e6) FROM customer
       |                   WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders o
       |                  WHERE o.o_custkey = c.c_custkey
@@ -1474,12 +1474,12 @@ object RelationalQueries {
 
   private val q14Sql =
     """SELECT (floor((100.0
-      |  * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |  * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
       |                  THEN CAST((floor((l_extendedprice * (1 - l_discount)
       |                                  * 100) * 1e0 + 0.5) / 1e0) AS BIGINT)
-      |                  ELSE 0 END) AS DOUBLE)
-      |  / CAST(sum(CAST((floor((l_extendedprice * (1 - l_discount) * 100) * 1e0 + 0.5) / 1e0)
-      |                  AS BIGINT)) AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS promo_revenue_pct
+      |                  ELSE 0 END) AS STRING) AS DOUBLE)
+      |  / CAST(CAST(sum(CAST((floor((l_extendedprice * (1 - l_discount) * 100) * 1e0 + 0.5) / 1e0)
+      |                  AS BIGINT)) AS STRING) AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS promo_revenue_pct
       |FROM lineitem, part
       |WHERE l_partkey = p_partkey
       |  AND l_shipdate >= TIMESTAMP '1996-09-01'

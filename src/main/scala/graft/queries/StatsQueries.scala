@@ -69,7 +69,7 @@ object StatsQueries {
            |           FROM lineitem),
            |mo AS (SELECT l_returnflag,
            |         CAST(CAST(count(*) * sum(c2::HUGEINT * c2)
-           |              - sum(c2) * sum(c2) AS VARCHAR) AS DOUBLE) AS a,
+           |              - sum(c2) * sum(c2) AS STRING) AS DOUBLE) AS a,
            |         count(*) AS cnt,
            |         (floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS min_price,
            |         (floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2) AS max_price
@@ -372,15 +372,15 @@ object StatsQueries {
            |    sum(di::HUGEINT * di) AS sdd, sum(ti::HUGEINT * ti) AS stt
            |  FROM c GROUP BY l_returnflag)
            |SELECT l_returnflag,
-           |  (floor((CAST(CAST(n * sqp - sq * sp AS VARCHAR) AS DOUBLE) /
-           |    sqrt(CAST(CAST(n * sqq - sq * sq AS VARCHAR) AS DOUBLE) *
-           |         CAST(CAST(n * spp - sp * sp AS VARCHAR) AS DOUBLE))) * 1e4 + 0.5) / 1e4)
+           |  (floor((CAST(CAST(n * sqp - sq * sp AS STRING) AS DOUBLE) /
+           |    sqrt(CAST(CAST(n * sqq - sq * sq AS STRING) AS DOUBLE) *
+           |         CAST(CAST(n * spp - sp * sp AS STRING) AS DOUBLE))) * 1e4 + 0.5) / 1e4)
            |    AS corr_qty_price,
-           |  (floor((CAST(CAST(n * sqp - sq * sp AS VARCHAR) AS DOUBLE) /
+           |  (floor((CAST(CAST(n * sqp - sq * sp AS STRING) AS DOUBLE) /
            |    (n * (n - 1)) / 100) * 1e2 + 0.5) / 1e2) AS covar_qty_price,
-           |  (floor((CAST(CAST(n * sdt - sd * st AS VARCHAR) AS DOUBLE) /
-           |    sqrt(CAST(CAST(n * sdd - sd * sd AS VARCHAR) AS DOUBLE) *
-           |         CAST(CAST(n * stt - st * st AS VARCHAR) AS DOUBLE))) * 1e4 + 0.5) / 1e4)
+           |  (floor((CAST(CAST(n * sdt - sd * st AS STRING) AS DOUBLE) /
+           |    sqrt(CAST(CAST(n * sdd - sd * sd AS STRING) AS DOUBLE) *
+           |         CAST(CAST(n * stt - st * st AS STRING) AS DOUBLE))) * 1e4 + 0.5) / 1e4)
            |    AS corr_disc_tax
            |FROM mo ORDER BY l_returnflag""".stripMargin),
     // exactness-rewrite cost pinned: 1.5x rerun trigger (NOTES_r10 §1)
@@ -531,7 +531,7 @@ object StatsQueries {
         .orderBy($"event_type")
     },
     Some("""SELECT event_type, count(*)::BIGINT AS n,
-           |       (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS mean_raw,
+           |       (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS mean_raw,
            |       true AS med_rank_ok, true AS mad_rank_ok,
            |       true AS outliers_bounded
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
@@ -634,7 +634,7 @@ object StatsQueries {
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag, count(*)::BIGINT AS n,
-           |       (floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(l_extendedprice) * 1e4 + 0.5) / 1e6) AS mean_raw,
+           |       (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / count(l_extendedprice) * 1e4 + 0.5) / 1e6) AS mean_raw,
            |       true AS lo_rank_ok, true AS hi_rank_ok,
            |       true AS mean_w_in_band
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
@@ -662,8 +662,10 @@ object StatsQueries {
         .withColumn("x_e6", floor($"l_extendedprice" * 100 + 0.5) * 10000L)
         .groupBy($"l_returnflag")
         .agg((max($"lo_e6") / 1e6).as("lo"), (max($"hi_e6") / 1e6).as("hi"),
-          (floor(sum($"x_e6").cast("double") / count($"x_e6") + 0.5) / 1e6).as("mean_raw"),
-          (floor(sum(greatest($"lo_e6", least($"hi_e6", $"x_e6"))).cast("double")
+          (floor(sum($"x_e6".cast("decimal(38,0)")).cast("double")
+            / count($"x_e6") + 0.5) / 1e6).as("mean_raw"),
+          (floor(sum(greatest($"lo_e6", least($"hi_e6", $"x_e6"))
+            .cast("decimal(38,0)")).cast("double")
             / count($"x_e6") + 0.5) / 1e6).as("mean_winsorized"),
           sum(when($"x_e6" < $"lo_e6" || $"x_e6" > $"hi_e6",
             1L).otherwise(0L)).as("n_clipped"))
@@ -682,9 +684,9 @@ object StatsQueries {
            |           AS x_e6
            |  FROM lineitem l JOIN b USING (l_returnflag))
            |SELECT l_returnflag, max(lo_e6) / 1e6 AS lo, max(hi_e6) / 1e6 AS hi,
-           |       (floor(CAST(sum(x_e6) AS DOUBLE) / count(x_e6) + 0.5) / 1e6)
+           |       (floor(CAST(CAST(sum(x_e6) AS STRING) AS DOUBLE) / count(x_e6) + 0.5) / 1e6)
            |         AS mean_raw,
-           |       (floor(CAST(sum(greatest(lo_e6, least(hi_e6, x_e6))) AS DOUBLE)
+           |       (floor(CAST(CAST(sum(greatest(lo_e6, least(hi_e6, x_e6))) AS STRING) AS DOUBLE)
            |          / count(x_e6) + 0.5) / 1e6) AS mean_winsorized,
            |       sum(CASE WHEN x_e6 < lo_e6 OR x_e6 > hi_e6
            |                THEN 1 ELSE 0 END)::BIGINT AS n_clipped
@@ -782,7 +784,7 @@ object StatsQueries {
     },
     Some("""WITH m AS (
            |  SELECT event_type, count(*)::DOUBLE AS n,
-           |         (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS m, (floor(CAST(CAST(count(*) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)::HUGEINT * CAST(floor(value * 100 + 0.5) AS BIGINT)) - sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE) / (count(*) * (count(*) - 1)) * 1e2 + 0.5) / 1e6) AS v
+           |         (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS m, (floor(CAST(CAST(count(*) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)::HUGEINT * CAST(floor(value * 100 + 0.5) AS BIGINT)) - sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / (count(*) * (count(*) - 1)) * 1e2 + 0.5) / 1e6) AS v
            |  FROM events WHERE event_type IN ('purchase', 'click')
            |  GROUP BY event_type),
            |ab AS (
@@ -1020,7 +1022,7 @@ object StatsQueries {
     },
     Some("""WITH g AS (
            |  SELECT event_type, count(*)::DOUBLE AS n,
-           |         (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS m, (floor(CAST(CAST(count(*) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)::HUGEINT * CAST(floor(value * 100 + 0.5) AS BIGINT)) - sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS DOUBLE) / (count(*) * (count(*) - 1)) * 1e2 + 0.5) / 1e6) AS v
+           |         (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS m, (floor(CAST(CAST(count(*) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)::HUGEINT * CAST(floor(value * 100 + 0.5) AS BIGINT)) - sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / (count(*) * (count(*) - 1)) * 1e2 + 0.5) / 1e6) AS v
            |  FROM events GROUP BY event_type),
            |k AS (SELECT count(*)::DOUBLE AS k, sum(n) AS n_total,
            |             sum(n * m) / sum(n) AS grand_mean
@@ -1197,7 +1199,7 @@ object StatsQueries {
         .orderBy($"day")
     },
     Some("""WITH daily AS (
-           |  SELECT ts::DATE AS day, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS x
+           |  SELECT ts::DATE AS day, (floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::VARCHAR::DOUBLE / count(value) * 1e4 + 0.5) / 1e6) AS x
            |  FROM events GROUP BY 1),
            |di AS (SELECT day, x, round(x * 1e6)::BIGINT AS xi FROM daily),
            |mu AS (SELECT round(sum(xi) / count(*))::BIGINT AS mui FROM di),

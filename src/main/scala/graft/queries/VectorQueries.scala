@@ -298,7 +298,7 @@ object VectorQueries {
             |  SELECT *, row_number() OVER
             |    (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) rn FROM scored)
             |  WHERE rn = 1)
-            |SELECT centroid_id, count(*) n, (floor(CAST(sum(CAST(floor(cos * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(cos) + 0.5) / 1e6) avg_cos
+            |SELECT centroid_id, count(*) n, (floor(CAST(CAST(sum(CAST(floor(cos * 1e6 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / count(cos) + 0.5) / 1e6) avg_cos
             |FROM best GROUP BY centroid_id ORDER BY centroid_id""".stripMargin))
 
   /** IVF top-k SEARCH (the ANN scale path): queries vec_id < 5 probe
