@@ -17,6 +17,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("sum128"),
+      new ExpressionInfo(classOf[Sum128].getName, "sum128"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"sum128 expects 1 argument, got ${children.length}")
+        Sum128(children.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("sorted_overlap_count"),
       new ExpressionInfo(classOf[SortedOverlapCount].getName, "sorted_overlap_count"),
       (children: Seq[Expression]) => SortedOverlapCount(children(0), children(1))))

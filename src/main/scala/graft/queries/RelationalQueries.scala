@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
+import graft.functions.Sum128.sum128
 import graft.operators.{CalendarOps, RelationalOps}
 
 /** The SURVEY §2C relational surface + the classic-operator checklist
@@ -31,17 +32,19 @@ object RelationalQueries {
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           (floor((sum($"l_quantity")) * 1e2 + 0.5) / 1e2).as("sum_qty"),
-          (sum(floor($"l_extendedprice" * 100 + 0.5)) / 1e2).as("sum_base_price"),
-          (floor(sum(floor($"l_extendedprice" * 100 + 0.5) * (lit(100L) - floor($"l_discount" * 100 + 0.5))).cast("double") / 100 + 0.5) / 1e2).as("sum_disc_price"),
-          // 3-factor product is ~1e11 per row: sum as DECIMAL(38,0) so the
-          // exact-integer sum survives any SF (long would overflow ~sf100)
-          (floor(sum((floor($"l_extendedprice" * 100 + 0.5) *
-              (lit(100L) - floor($"l_discount" * 100 + 0.5)))
-              .cast("decimal(38,0)") * (lit(100L) + floor($"l_tax" * 100 + 0.5)))
+          (sum128(floor($"l_extendedprice" * 100 + 0.5)).cast("double") / 1e2).as("sum_base_price"),
+          (floor(sum128(floor($"l_extendedprice" * 100 + 0.5) * (lit(100L) - floor($"l_discount" * 100 + 0.5))).cast("double") / 100 + 0.5) / 1e2).as("sum_disc_price"),
+          // money sums via the exact 128-bit integer aggregate: the
+          // 3-factor product is ~1e11 per row (a long SUM overflows
+          // ~sf100, a double sum goes order-nondeterministic past 2^53),
+          // and sum128 is bit-identical to the decimal(38,0) sum
+          (floor(sum128(floor($"l_extendedprice" * 100 + 0.5) *
+              (lit(100L) - floor($"l_discount" * 100 + 0.5)) *
+              (lit(100L) + floor($"l_tax" * 100 + 0.5)))
             .cast("double") / 1e4 + 0.5) / 1e2).as("sum_charge"),
           (floor((avg($"l_quantity")) * 1e4 + 0.5) / 1e4).as("avg_qty"),
-          (floor(sum(floor($"l_extendedprice" * 100 + 0.5)).cast("double") / count($"l_extendedprice") * 1e2 + 0.5) / 1e4).as("avg_price"),
-          (floor(sum(floor($"l_discount" * 100 + 0.5)).cast("double") / count($"l_discount") * 1e2 + 0.5) / 1e4).as("avg_disc"),
+          (floor(sum128(floor($"l_extendedprice" * 100 + 0.5)).cast("double") / count($"l_extendedprice") * 1e2 + 0.5) / 1e4).as("avg_price"),
+          (floor(sum128(floor($"l_discount" * 100 + 0.5)).cast("double") / count($"l_discount") * 1e2 + 0.5) / 1e4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -714,7 +717,7 @@ object RelationalQueries {
         // points) into the sum — a double sum's last ulp depends on
         // accumulation order, and rounding it at 2dp can land either side
         // of the boundary per engine/SF; the per-row product stays BIGINT
-        // (~1.1e9) but the accumulator widens to DECIMAL(38,0): a long
+        // (~1.1e9) but the accumulator widens to a 128-bit integer: a long
         // sum wraps silently around sf~4000, and DECIMAL→DOUBLE is
         // correctly rounded (the oracle twin routes its HUGEINT sum
         // through VARCHAR→DOUBLE, DuckDB's only correctly-rounded path)
@@ -723,7 +726,7 @@ object RelationalQueries {
             (lit(100L) - round($"l_discount" * 100).cast("long")))
         .groupBy($"supp_nation", $"cust_nation",
           year($"l_shipdate").as("l_year"))
-        .agg((floor((sum($"vol_u".cast("decimal(38,0)")).cast("double")
+        .agg((floor((sum128($"vol_u").cast("double")
             / 10000.0) * 1e2 + 0.5) / 1e2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"supp_nation", $"cust_nation", $"l_year")
@@ -771,13 +774,14 @@ object RelationalQueries {
           round($"l_extendedprice" * 100).cast("long") *
             (lit(100L) - round($"l_discount" * 100).cast("long")))
         .groupBy(year($"o_orderdate").as("o_year"))
-        // DECIMAL(38,0) accumulators for the same reason as q7: the long
-        // sum wraps ~sf4000, and DECIMAL→DOUBLE is Spark's correctly-
-        // rounded conversion (twin: HUGEINT sum → VARCHAR → DOUBLE)
+        // 128-bit integer accumulators for the same reason as q7: the
+        // long sum wraps ~sf4000, and sum128's DECIMAL(38,0)→DOUBLE is
+        // Spark's correctly-rounded conversion (twin: HUGEINT sum →
+        // VARCHAR → DOUBLE)
         .agg(
-          sum(when($"n_name" === "NATION_3", $"vol_u").otherwise(0L)
-            .cast("decimal(38,0)")).as("nvu"),
-          sum($"vol_u".cast("decimal(38,0)")).as("tvu"),
+          sum128(when($"n_name" === "NATION_3", $"vol_u").otherwise(0L))
+            .as("nvu"),
+          sum128($"vol_u").as("tvu"),
           count(lit(1)).as("n_items"))
         .select($"o_year",
           (floor(($"nvu".cast("double") / 10000.0) * 1e2 + 0.5) / 1e2).as("nation_vol"),

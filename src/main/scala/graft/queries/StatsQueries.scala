@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.core.Lineage.LineageOps
+import graft.functions.Sum128.sum128
 import graft.operators.{ProfileOps, TextOps}
 
 /** Statistical / multi-dimensional aggregation coverage: grouping sets
@@ -43,14 +44,16 @@ object StatsQueries {
       Tables(s, dir).lineitem
         .groupBy($"l_returnflag")
         .agg(
-          // exact integer moments in cents: n*Sum(c^2) - Sum(c)^2 as
-          // DECIMAL(38,0) (c^2 ~ 1e14/row - a long sum overflows ~sf1),
-          // then ONE identical IEEE /-sqrt chain per engine
+          // exact integer moments in cents: n*Sum(c^2) - Sum(c)^2 via the
+          // native 128-bit integer sum (c^2 ~ 1e14/row - a long sum
+          // overflows ~sf1; sum128 is bit-identical to the decimal(38,0)
+          // sum at primitive-long speed), then ONE identical IEEE
+          // /-sqrt chain per engine
           (count(lit(1)).cast("decimal(38,0)") *
-            sum((floor($"l_extendedprice" * 100 + 0.5) *
-              floor($"l_extendedprice" * 100 + 0.5)).cast("decimal(38,0)")) -
-            sum(floor($"l_extendedprice" * 100 + 0.5)).cast("decimal(38,0)") *
-            sum(floor($"l_extendedprice" * 100 + 0.5)).cast("decimal(38,0)"))
+            sum128(floor($"l_extendedprice" * 100 + 0.5) *
+              floor($"l_extendedprice" * 100 + 0.5)) -
+            sum128(floor($"l_extendedprice" * 100 + 0.5)) *
+            sum128(floor($"l_extendedprice" * 100 + 0.5)))
             .cast("double").as("a"),
           count(lit(1)).as("cnt"),
           (floor((min($"l_extendedprice")) * 1e2 + 0.5) / 1e2).as("min_price"),
@@ -336,16 +339,16 @@ object StatsQueries {
           floor($"l_tax" * 100 + 0.5).as("ti"))
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum($"qi").cast("decimal(38,0)").as("sq"),
-          sum($"pi").cast("decimal(38,0)").as("sp"),
-          sum($"di").cast("decimal(38,0)").as("sd"),
-          sum($"ti").cast("decimal(38,0)").as("st"),
-          sum(($"qi" * $"pi").cast("decimal(38,0)")).as("sqp"),
-          sum(($"qi" * $"qi").cast("decimal(38,0)")).as("sqq"),
-          sum(($"pi" * $"pi").cast("decimal(38,0)")).as("spp"),
-          sum(($"di" * $"ti").cast("decimal(38,0)")).as("sdt"),
-          sum(($"di" * $"di").cast("decimal(38,0)")).as("sdd"),
-          sum(($"ti" * $"ti").cast("decimal(38,0)")).as("stt"))
+          sum128($"qi").as("sq"),
+          sum128($"pi").as("sp"),
+          sum128($"di").as("sd"),
+          sum128($"ti").as("st"),
+          sum128($"qi" * $"pi").as("sqp"),
+          sum128($"qi" * $"qi").as("sqq"),
+          sum128($"pi" * $"pi").as("spp"),
+          sum128($"di" * $"ti").as("sdt"),
+          sum128($"di" * $"di").as("sdd"),
+          sum128($"ti" * $"ti").as("stt"))
         .select($"l_returnflag",
           (floor((($"n".cast("decimal(38,0)") * $"sqp" - $"sq" * $"sp").cast("double") /
             sqrt(($"n".cast("decimal(38,0)") * $"sqq" - $"sq" * $"sq").cast("double") *
@@ -662,10 +665,10 @@ object StatsQueries {
         .withColumn("x_e6", floor($"l_extendedprice" * 100 + 0.5) * 10000L)
         .groupBy($"l_returnflag")
         .agg((max($"lo_e6") / 1e6).as("lo"), (max($"hi_e6") / 1e6).as("hi"),
-          (floor(sum($"x_e6".cast("decimal(38,0)")).cast("double")
+          (floor(sum128($"x_e6").cast("double")
             / count($"x_e6") + 0.5) / 1e6).as("mean_raw"),
-          (floor(sum(greatest($"lo_e6", least($"hi_e6", $"x_e6"))
-            .cast("decimal(38,0)")).cast("double")
+          (floor(sum128(greatest($"lo_e6", least($"hi_e6", $"x_e6")))
+            .cast("double")
             / count($"x_e6") + 0.5) / 1e6).as("mean_winsorized"),
           sum(when($"x_e6" < $"lo_e6" || $"x_e6" > $"hi_e6",
             1L).otherwise(0L)).as("n_clipped"))
@@ -759,10 +762,9 @@ object StatsQueries {
         .agg(count(lit(1)).cast("double").as("n"),
           (floor(sum(floor($"value" * 100 + 0.5)).cast("double") / count($"value") * 1e4 + 0.5) / 1e6).as("m"),
           (floor((count(lit(1)).cast("decimal(38,0)") *
-              sum((floor($"value" * 100 + 0.5) * floor($"value" * 100 + 0.5))
-                .cast("decimal(38,0)")) -
-              sum(floor($"value" * 100 + 0.5)).cast("decimal(38,0)") *
-              sum(floor($"value" * 100 + 0.5)).cast("decimal(38,0)"))
+              sum128(floor($"value" * 100 + 0.5) * floor($"value" * 100 + 0.5)) -
+              sum128(floor($"value" * 100 + 0.5)) *
+              sum128(floor($"value" * 100 + 0.5)))
             .cast("double") / (count(lit(1)) * (count(lit(1)) - 1))
             * 1e2 + 0.5) / 1e6).as("v"))
       val a = m.filter($"event_type" === "purchase")
@@ -873,16 +875,17 @@ object StatsQueries {
         .orderBy($"rev_c", $"o_custkey")
       val ranked = rev.withColumn("i", row_number().over(w).cast("long"))
       // Σ i·rev_c and n·Σrev_c overflow BIGINT around sf10 (rank ~ n
-      // customers × cents-scale revenue); accumulate in decimal(38,0) —
-      // exact like DuckDB's HUGEINT promotion, so both engines convert
-      // the same exact integer to double for the closing division
+      // customers × cents-scale revenue); accumulate via the 128-bit
+      // integer sum — exact like DuckDB's HUGEINT promotion, so both
+      // engines convert the same exact integer to double for the
+      // closing division (the i·rev_c PRODUCT stays < 2⁶³ until ~sf1e4)
       ranked.agg(
           count(lit(1)).as("n_customers"),
-          (floor((sum($"rev_c") / 100.0) * 1e2 + 0.5) / 1e2).as("total_revenue"),
+          (floor((sum128($"rev_c").cast("double") / 100.0) * 1e2 + 0.5) / 1e2).as("total_revenue"),
           (floor((
-            sum($"i".cast("decimal(19,0)") * $"rev_c".cast("decimal(19,0)")) * 2.0 /
+            sum128($"i" * $"rev_c").cast("double") * 2.0 /
               (count(lit(1)).cast("decimal(38,0)") *
-                sum($"rev_c").cast("decimal(38,0)")).cast("double") -
+                sum128($"rev_c")).cast("double") -
               (count(lit(1)) + 1.0) / count(lit(1))) * 1e6 + 0.5) / 1e6).as("gini"))
     },
     Some("""WITH rev AS (
@@ -1001,10 +1004,9 @@ object StatsQueries {
         .agg(count(lit(1)).cast("double").as("n"),
           (floor(sum(floor($"value" * 100 + 0.5)).cast("double") / count($"value") * 1e4 + 0.5) / 1e6).as("m"),
           (floor((count(lit(1)).cast("decimal(38,0)") *
-              sum((floor($"value" * 100 + 0.5) * floor($"value" * 100 + 0.5))
-                .cast("decimal(38,0)")) -
-              sum(floor($"value" * 100 + 0.5)).cast("decimal(38,0)") *
-              sum(floor($"value" * 100 + 0.5)).cast("decimal(38,0)"))
+              sum128(floor($"value" * 100 + 0.5) * floor($"value" * 100 + 0.5)) -
+              sum128(floor($"value" * 100 + 0.5)) *
+              sum128(floor($"value" * 100 + 0.5)))
             .cast("double") / (count(lit(1)) * (count(lit(1)) - 1))
             * 1e2 + 0.5) / 1e6).as("v"))
       val k = g.agg(

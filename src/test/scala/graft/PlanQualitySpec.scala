@@ -620,6 +620,13 @@ class PlanQualitySpec extends SparkSpec {
       assert(r.getInt(2) === 1)
       assert(r.getLong(3) >= 0L && r.getLong(3) < (1L << 16))
       assert(r.getInt(4) === 2)
+      // aggregate registration: sum128 over values crossing 2^63
+      val agg = s2.sql(
+        s"""SELECT CAST(sum128(x) AS STRING) AS s
+           |FROM VALUES (${Long.MaxValue}L), (${Long.MaxValue}L), (5L) t(x)
+           |""".stripMargin).head()
+      assert(agg.getString(0) ===
+        (BigInt(Long.MaxValue) * 2 + 5).toString)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
