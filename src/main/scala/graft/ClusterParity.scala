@@ -35,6 +35,7 @@ object ClusterParity {
     "dedup_containment_verified", // SortedLongOverlapCount + OptimizerBarrier
     "text_quality_score",     // StringSetCount codegen kernel
     "dedup_minhash_delta_stored", // stored banded index: executor-side write+pruned read
+    "stats_correlation",      // Sum128: int128 partial-merge carries across executors
     "streaming_funnel_fsm")   // REAL flatMapGroupsWithState run (below)
 
   /** The one non-registry entry: an actual Structured Streaming run of

@@ -4,7 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
 
@@ -61,42 +63,155 @@ case class Sum128(child: Expression) extends DeclarativeAggregate
   override lazy val initialValues: Seq[Expression] =
     Seq(Literal(0L), Literal(0L), Literal(false))
 
-  private def legacyAdd(l: Expression, r: Expression): Expression =
-    Add(l, r, EvalMode.LEGACY)
-
-  private def unsignedLt(l: Expression, r: Expression): Expression =
-    LessThan(BitwiseXor(l, Literal(Long.MinValue)),
-             BitwiseXor(r, Literal(Long.MinValue)))
-
-  /** (hi, lo) + (addHi, addLo) as expressions over LongType. */
-  private def add128(curHi: Expression, curLo: Expression,
-                     addHi: Expression, addLo: Expression):
-      (Expression, Expression) = {
-    val newLo = legacyAdd(curLo, addLo)
-    val carry = If(unsignedLt(newLo, curLo), Literal(1L), Literal(0L))
-    val newHi = legacyAdd(legacyAdd(curHi, addHi), carry)
-    (newHi, newLo)
-  }
+  // Each buffer slot's update/merge is ONE dedicated codegen'd
+  // expression with the carry/sign/null logic inside its doGenCode —
+  // a single static call per slot instead of composed Add/If/BitwiseXor
+  // trees (less generated code, fewer branches).
+  //
+  // CODEGEN TRAP (hard-won): the child must be referenced by the SAME
+  // tree in every slot, with NO redundant wrapper. An extra
+  // Cast(child, Long) around an already-long child desyncs the
+  // common-subexpression key that HashAggregateExec's split-function
+  // codegen uses to pre-evaluate the child once and pass it as a
+  // parameter — the split method body then re-generates the child
+  // against a variable that was never passed, and the whole stage
+  // fails janino compilation ("unknown variable hashAgg_expr_N_0"),
+  // silently falling back to the interpreted path. Sum128Spec compiles
+  // a many-function aggregate's generated source to pin this.
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val xLong = Cast(child, LongType, evalMode = EvalMode.LEGACY)
-    // null input contributes 0 to both halves — no per-slot If needed
-    val x = If(IsNull(xLong), Literal(0L), xLong)
-    val signExt = ShiftRight(x, Literal(63)) // -1 for negative x, else 0
-    val (newHi, newLo) = add128(hi, lo, signExt, x)
-    Seq(newHi, newLo, Or(seen, IsNotNull(xLong)))
+    // the Column helper / SQL typecheck guarantee an integral child; a
+    // sub-long child still works (Int128*Update read it via genCode)
+    val xLong =
+      if (child.dataType == LongType) child
+      else Cast(child, LongType, evalMode = EvalMode.LEGACY)
+    Seq(Int128HiUpdate(hi, lo, xLong),
+        Int128LoUpdate(lo, xLong),
+        Or(seen, IsNotNull(xLong)))
   }
 
-  override lazy val mergeExpressions: Seq[Expression] = {
-    val (newHi, newLo) = add128(hi.left, lo.left, hi.right, lo.right)
-    Seq(newHi, newLo, Or(seen.left, seen.right))
-  }
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(Int128HiMerge(hi.left, lo.left, hi.right, lo.right),
+        Int128LoUpdate(lo.left, lo.right),
+        Or(seen.left, seen.right))
 
   override lazy val evaluateExpression: Expression =
     If(seen, Int128ToDecimal(hi, lo), Literal(null, DecimalType(38, 0)))
 
   override protected def withNewChildInternal(newChild: Expression): Sum128 =
     copy(child = newChild)
+}
+
+/** hi-half after adding a (nullable) 64-bit value x to (hi, lo):
+  * `hi + (x >> 63) + carryOut(lo + x)`; null x contributes 0. */
+case class Int128HiUpdate(hi: Expression, lo: Expression, x: Expression)
+    extends TernaryExpression {
+  override def first: Expression = hi
+  override def second: Expression = lo
+  override def third: Expression = x
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "int128_hi_update"
+
+  override def eval(input: InternalRow): Any = {
+    val h = hi.eval(input).asInstanceOf[Long]
+    val xv = x.eval(input)
+    if (xv == null) h
+    else Sum128.hiAfterAdd(h, lo.eval(input).asInstanceOf[Long],
+      xv.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val hGen = hi.genCode(ctx)
+    val lGen = lo.genCode(ctx)
+    val xGen = x.genCode(ctx)
+    ev.copy(isNull = FalseLiteral, code =
+      code"""
+            |${hGen.code}
+            |${lGen.code}
+            |${xGen.code}
+            |long ${ev.value} = ${hGen.value};
+            |if (!(${xGen.isNull})) {
+            |  ${ev.value} = graft.functions.Sum128.hiAfterAdd(
+            |    ${hGen.value}, ${lGen.value}, ${xGen.value});
+            |}
+          """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Int128HiUpdate =
+    copy(hi = f, lo = s, x = t)
+}
+
+/** hi-half after merging two (hi, lo) pairs: `hiL + hiR + carryOut(loL +
+  * loR)` (no sign extension — hiR already carries the value's sign). */
+case class Int128HiMerge(hiL: Expression, loL: Expression,
+                         hiR: Expression, loR: Expression)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(hiL, loL, hiR, loR)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def prettyName: String = "int128_hi_merge"
+
+  override def eval(input: InternalRow): Any =
+    Sum128.hiAfterMerge(
+      hiL.eval(input).asInstanceOf[Long], loL.eval(input).asInstanceOf[Long],
+      hiR.eval(input).asInstanceOf[Long], loR.eval(input).asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    ev.copy(isNull = FalseLiteral, code =
+      code"""
+            |${gens(0).code}
+            |${gens(1).code}
+            |${gens(2).code}
+            |${gens(3).code}
+            |long ${ev.value} = graft.functions.Sum128.hiAfterMerge(
+            |  ${gens(0).value}, ${gens(1).value},
+            |  ${gens(2).value}, ${gens(3).value});
+          """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Int128HiMerge =
+    copy(hiL = c(0), loL = c(1), hiR = c(2), loR = c(3))
+}
+
+/** lo-half after adding a (nullable) 64-bit value: wrapping `lo + x`;
+  * null x contributes 0. Also the merge form (loR is never null). */
+case class Int128LoUpdate(lo: Expression, x: Expression)
+    extends BinaryExpression {
+  override def left: Expression = lo
+  override def right: Expression = x
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "int128_lo_update"
+
+  override def eval(input: InternalRow): Any = {
+    val l = lo.eval(input).asInstanceOf[Long]
+    val xv = x.eval(input)
+    if (xv == null) l else l + xv.asInstanceOf[Long]
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val lGen = lo.genCode(ctx)
+    val xGen = x.genCode(ctx)
+    ev.copy(isNull = FalseLiteral, code =
+      code"""
+            |${lGen.code}
+            |${xGen.code}
+            |long ${ev.value} = ${lGen.value};
+            |if (!(${xGen.isNull})) { ${ev.value} += ${xGen.value}; }
+          """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int128LoUpdate =
+    copy(lo = newLeft, x = newRight)
 }
 
 /** Compose two's-complement (hi, lo) halves into DECIMAL(38,0). Runs once
@@ -129,6 +244,18 @@ object Sum128 {
   def sum128(c: Column): Column =
     bridge.column(Sum128(bridge.expression(c.cast("long")))
       .toAggregateExpression())
+
+  /** hi-half after (hi, lo) += x with sign extension of x. Carry-out of
+    * the unsigned lo-add is `unsigned(lo + x) < unsigned(lo)`. */
+  def hiAfterAdd(hi: Long, lo: Long, x: Long): Long =
+    hi + (x >> 63) + (if (java.lang.Long.compareUnsigned(lo + x, lo) < 0) 1L
+                      else 0L)
+
+  /** hi-half after (hiL, loL) += (hiR, loR) — hiR already carries the
+    * right value's sign, so no extension. */
+  def hiAfterMerge(hiL: Long, loL: Long, hiR: Long, loR: Long): Long =
+    hiL + hiR + (if (java.lang.Long.compareUnsigned(loL + loR, loL) < 0) 1L
+                 else 0L)
 
   /** Static codegen helper: (hi, lo) → Decimal(38,0). */
   def toDecimal(hi: Long, lo: Long): Decimal = {

@@ -94,6 +94,40 @@ class Sum128Spec extends SparkSpec with TableDrivenPropertyChecks {
     assert(row.getDecimal(0).longValueExact === 75000000000003L)
   }
 
+  test("wide aggregate with non-trivial children COMPILES under codegen") {
+    // regression pin: a redundant Cast around the child desynced the
+    // CSE key used by split-function codegen — janino failed and Spark
+    // silently fell back to the interpreted path (same results, no
+    // codegen). Compile the generated source directly; fallback hides
+    // nothing from this.
+    import org.apache.spark.sql.graft.bridge
+    val wide = spark.range(0, 100)
+      .select(($"id" % 3).as("k"), $"id".as("x"))
+    val aggs = (0 until 11).map(i =>
+      sum128(floor($"x" * 1.5 + lit(i))).as(s"s$i"))
+    val df = wide.groupBy($"k").agg(aggs.head, aggs.tail: _*)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // AQE hides spans inside (recursively nested) query stages — expand
+    // every stage's plan and compile each fragment
+    def expand(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val stages = p.collect {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          s.plan
+      }
+      p +: stages.flatMap(expand)
+    }
+    val nSpans = expand(finalPlan).map(bridge.compileWholeStageSpans).sum
+    assert(nSpans >= 2, s"expected codegen spans for partial+final agg, " +
+      s"got $nSpans in:\n$finalPlan")
+  }
+
   test("plan stays in whole-stage-codegen'd HashAggregateExec") {
     val df = spark.range(0, 1000)
       .select(($"id" % 5).as("k"), ($"id" * 1000000L).as("x"))
