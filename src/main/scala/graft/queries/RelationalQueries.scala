@@ -80,7 +80,7 @@ object RelationalQueries {
         .join(tt.orders, $"l_orderkey" === $"o_orderkey")
         .join(tt.customer, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"c_mktsegment")
-        .agg((floor(sum(floor($"l_extendedprice" * 100 + 0.5) * (lit(100L) - floor($"l_discount" * 100 + 0.5))).cast("double") / 100 + 0.5) / 1e2).as("revenue"))
+        .agg((floor(sum128(floor($"l_extendedprice" * 100 + 0.5) * (lit(100L) - floor($"l_discount" * 100 + 0.5))).cast("double") / 100 + 0.5) / 1e2).as("revenue"))
         .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
           $"c_mktsegment", $"revenue")
         .orderBy($"revenue".desc, $"l_orderkey")
@@ -109,7 +109,7 @@ object RelationalQueries {
         .join(broadcast(tt.nation), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(tt.region), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name")
-        .agg((floor(sum(floor($"l_extendedprice" * 100 + 0.5) * (lit(100L) - floor($"l_discount" * 100 + 0.5))).cast("double") / 100 + 0.5) / 1e2).as("revenue"),
+        .agg((floor(sum128(floor($"l_extendedprice" * 100 + 0.5) * (lit(100L) - floor($"l_discount" * 100 + 0.5))).cast("double") / 100 + 0.5) / 1e2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"r_name")
     },
@@ -1015,7 +1015,7 @@ object RelationalQueries {
         .select($"s_suppkey".as("suppkey"), $"n_name")
       graft.operators.SkewOps.saltedJoin(big, dim, "suppkey", 8)
         .groupBy($"n_name")
-        .agg((floor(sum($"rev").cast("double") / 100 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
+        .agg((floor(sum128($"rev").cast("double") / 100 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
         .orderBy($"n_name")
     },
     Some("""SELECT n_name, (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS STRING) AS DOUBLE) / 100 + 0.5) / 1e2)
@@ -1055,7 +1055,7 @@ object RelationalQueries {
         f"maxSz=${profile.maxSz} skewRatio=${profile.skewRatio}%.2f " +
         f"-> $plan join")
       joined.groupBy($"n_name")
-        .agg((floor(sum($"rev").cast("double") / 100 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
+        .agg((floor(sum128($"rev").cast("double") / 100 + 0.5) / 1e2).as("revenue"), count(lit(1)).as("n"))
         .orderBy($"n_name")
     },
     Some("""SELECT n_name, (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS STRING) AS DOUBLE) / 100 + 0.5) / 1e2)
