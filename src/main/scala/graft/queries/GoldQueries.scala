@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.core.Lineage.LineageOps
+import graft.functions.Sum128.sum128
 import graft.gold.GoldOps
 import graft.operators.{CalendarOps, RangeJoinOps, RelationalOps, TextOps}
 
@@ -594,7 +595,10 @@ object GoldQueries {
             unix_micros(date_add($"date", 1).cast("timestamp")))
             - unix_micros($"ts"))
       withDur.groupBy($"user_id", $"date")
-        .agg((floor(sum(floor($"value" * 100 + 0.5) * $"dur_us").cast("double")
+        // cents × µs-duration is up to ~8.6e14/row; the per-group total
+        // is day-bounded (~8.6e15) — within a hair of 2^53, so sum
+        // exactly rather than ride the double-sum margin
+        .agg((floor(sum128(floor($"value" * 100 + 0.5) * $"dur_us").cast("double")
             / 100 / sum($"dur_us") * 1e6 + 0.5) / 1e6).as("twap"),
           count(lit(1)).as("n_ticks"))
         .select($"user_id", date_format($"date", "yyyy-MM-dd").as("date"),
@@ -650,7 +654,7 @@ object GoldQueries {
         .groupBy($"l_returnflag")
         .agg(sum($"n").as("n"),
           (floor((sum($"s_qty")) * 1e2 + 0.5) / 1e2).as("sum_qty"),
-          (floor(sum($"s_price_c2").cast("double") / sum($"n") * 1e4 + 0.5) / 1e6).as("avg_price"),
+          (floor(sum128($"s_price_c2").cast("double") / sum($"n") * 1e4 + 0.5) / 1e6).as("avg_price"),
           (floor((min($"mn")) * 1e2 + 0.5) / 1e2).as("min_price"),
           (floor((max($"mx")) * 1e2 + 0.5) / 1e2).as("max_price"))
         .orderBy($"l_returnflag")
@@ -856,7 +860,9 @@ object GoldQueries {
       val dec = "decimal(38,0)"
       rets.groupBy($"user_id")
         .agg(count(lit(1)).as("n"),
-          sum($"r_e6").as("s1"),
+          sum128($"r_e6").as("s1"),
+          // r_e6² exceeds 2⁶³ PER ROW — outside sum128's long-summand
+          // domain; the decimal multiply must stay
           sum($"r_e6".cast(dec) * $"r_e6").as("s2"))
         .withColumn("a",
           ($"n".cast(dec) * $"s2" - $"s1".cast(dec) * $"s1".cast(dec))
