@@ -94,6 +94,20 @@ class Sum128Spec extends SparkSpec with TableDrivenPropertyChecks {
     assert(row.getDecimal(0).longValueExact === 75000000000003L)
   }
 
+  test("works as a window function, equal to the decimal-sum frame") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"i")
+      .rowsBetween(Long.MinValue, 0)
+    val df = (0 until 300)
+      .map(i => (i % 3, i, Long.MaxValue / 3 * (if (i % 2 == 0) 1 else -1)))
+      .toDF("k", "i", "x")
+    val bad = df
+      .withColumn("s", sum128($"x").over(w))
+      .withColumn("r", sum($"x".cast("decimal(38,0)")).over(w))
+      .where($"s" =!= $"r" || $"s".isNull =!= $"r".isNull)
+    assert(bad.count() === 0)
+  }
+
   test("wide aggregate with non-trivial children COMPILES under codegen") {
     // regression pin: a redundant Cast around the child desynced the
     // CSE key used by split-function codegen — janino failed and Spark
