@@ -56,14 +56,21 @@ object PackingOps {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
     val spark = docs.sparkSession
     import spark.implicits._
-    val local = docs
+    // Lineage.cut pins ONE materialization of the range partitioning:
+    // `local` is consumed by TWO actions (the offsets collect and the
+    // final join), and repartitionByRange picks its boundaries by
+    // SAMPLING — re-execution can sample different boundaries, making
+    // spark_partition_id/local_cum disagree with the collected offsets
+    // (observed at sf1 as token-gap bins: 1279 vs the oracle's 1322;
+    // invisible at small SF where the sample sees every row).
+    val local = graft.core.Lineage.cut(docs
       .select(col(idCol).as("doc_id"),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .repartitionByRange(partitions, col("doc_id"))
       .withColumn("part", spark_partition_id())
       .withColumn("local_cum", sum(col("n_tokens")).over(
         Window.partitionBy(col("part")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     // partition totals -> exclusive prefix offsets (tiny: one row per part)
     val totals = local.groupBy(col("part"))
       .agg(max(col("local_cum")).as("part_total"))

@@ -485,14 +485,20 @@ object VectorQueries {
        |    SELECT *, row_number() OVER
        |      (PARTITION BY vec_id, s ORDER BY d2, code) rn FROM scored)
        |  WHERE rn = 1),
-       |pairsub AS (SELECT q.vec_id query_id, en.vec_id neighbor_id,
+       |pairsub AS (SELECT q.vec_id query_id, en.vec_id neighbor_id, q.s s,
        |    list_sum([(q.sv[i+1]-cb.c[i+1])*(q.sv[i+1]-cb.c[i+1])
        |              FOR i IN generate_series(0, ${sub - 1})]) sd2
        |  FROM sl q
        |  JOIN enc en ON en.s = q.s AND en.vec_id <> q.vec_id
        |  JOIN cb ON cb.s = en.s AND cb.code = en.code
        |  WHERE q.vec_id < $nq),
-       |adc AS (SELECT query_id, neighbor_id, sum(sd2) adc2
+       |-- subspace-ORDERED fold, not a bare GROUP BY sum: matches the
+       |-- Spark leg's left-to-right zip_with/aggregate order bit-for-bit
+       |-- (an unordered double sum differs by ulps, which flips ranks
+       |-- between near-tied neighbors once the corpus is dense — the sf1
+       |-- sweep caught exactly that)
+       |adc AS (SELECT query_id, neighbor_id,
+       |          list_sum(list(sd2 ORDER BY s)) adc2
        |        FROM pairsub GROUP BY 1, 2)""".stripMargin
   }
 
@@ -716,14 +722,17 @@ object VectorQueries {
        |qsl AS (SELECT query_id, centroid_id, s,
        |          list_slice(rv, s*$sub+1, s*$sub+$sub) sv
        |        FROM qres, range($m) t(s)),
-       |pairsub AS (SELECT q.query_id, en.vec_id neighbor_id,
+       |pairsub AS (SELECT q.query_id, en.vec_id neighbor_id, q.s s,
        |    list_sum([(q.sv[i+1]-cb.c[i+1])*(q.sv[i+1]-cb.c[i+1])
        |              FOR i IN generate_series(0, ${sub - 1})]) sd2
        |  FROM qsl q
        |  JOIN enc en ON en.centroid_id = q.centroid_id AND en.s = q.s
        |             AND en.vec_id <> q.query_id
        |  JOIN cb ON cb.s = en.s AND cb.code = en.code),
-       |adc AS (SELECT query_id, neighbor_id, sum(sd2) adc2
+       |-- subspace-ORDERED fold (see pqAdcCtes): bit-equal to the Spark
+       |-- leg's left-to-right aggregate, so ranks can't flip on ulps
+       |adc AS (SELECT query_id, neighbor_id,
+       |          list_sum(list(sd2 ORDER BY s)) adc2
        |        FROM pairsub GROUP BY 1, 2)""".stripMargin
   }
 
