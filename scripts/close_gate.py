@@ -41,8 +41,12 @@ def main():
     rnd = int(sys.argv[1])
     errs = []
 
-    # 1. correctness artifact: driver's, else the builder's own
+    # 1. correctness artifact: driver's, else the builder's own. Any ONE
+    #    clean candidate satisfies the gate; problems with the OTHER
+    #    candidates are warnings, not failures (a stale-empty driver
+    #    artifact must not veto a clean builder artifact).
     ok_correctness = False
+    cand_problems = []
     for cand in (f"CORRECTNESS_r{rnd:02d}.json", f"CORRECTNESS_r{rnd}.json",
                  f"CORRECTNESS_r{rnd:02d}_builder.json",
                  f"CORRECTNESS_r{rnd}_builder.json"):
@@ -52,26 +56,32 @@ def main():
         try:
             data = load(cand)
         except Exception as e:
-            errs.append(f"{cand}: unparseable JSON ({e})")
+            cand_problems.append(f"{cand}: unparseable JSON ({e})")
             continue
         if not data:
-            errs.append(f"{cand}: EMPTY artifact — verifies nothing")
+            cand_problems.append(f"{cand}: EMPTY artifact — verifies nothing")
             continue
         queries = data.get("queries", data)
         if not queries:
-            errs.append(f"{cand}: zero queries recorded")
+            cand_problems.append(f"{cand}: zero queries recorded")
             continue
         nfail = data.get("fail")
         if nfail is None:  # driver shape: per-query dicts
             nfail = sum(1 for v in queries.values()
                         if isinstance(v, dict) and v.get("hash_match") is False)
         if nfail:
-            errs.append(f"{cand}: {nfail} FAILs recorded — not a clean close")
+            cand_problems.append(
+                f"{cand}: {nfail} FAILs recorded — not a clean close")
             continue
         print(f"OK correctness: {cand} ({len(queries)} queries, 0 fail)")
         ok_correctness = True
         break
-    if not ok_correctness and not errs:
+    if ok_correctness:
+        for w in cand_problems:
+            print(f"WARN (other candidate): {w}")
+    elif cand_problems:
+        errs.extend(cand_problems)
+    else:
         errs.append(f"no correctness artifact for round {rnd} "
                     f"(CORRECTNESS_r{rnd}.json or _builder variant)")
 
@@ -104,6 +114,50 @@ def main():
             print(f"OK anchor: {na} queries in both artifacts")
     except Exception as e:
         errs.append(f"anchor check failed: {e}")
+
+    # 3b. bench RECENCY: the committed full-suite bench must postdate the
+    #     last src/ commit (r11 shipped a bench predating the round's
+    #     headline perf feature; presence+count checks missed it). The
+    #     bench artifact embeds the HEAD hash it ran at ("git_head"); the
+    #     last commit touching src/ must be an ancestor of (or equal to)
+    #     that hash. Fallback for pre-r12 artifacts without the field:
+    #     file mtime vs the src commit's time.
+    try:
+        full = load("bench_full.json")
+        src_info = subprocess.run(
+            ["git", "log", "-1", "--format=%H %ct", "--", "src"],
+            cwd=REPO, capture_output=True, text=True).stdout.split()
+        if src_info:
+            src_hash, src_time = src_info[0], int(src_info[1])
+            head = full.get("git_head")
+            if head:
+                anc = subprocess.run(
+                    ["git", "merge-base", "--is-ancestor", src_hash, head],
+                    cwd=REPO, capture_output=True)
+                if anc.returncode != 0:
+                    errs.append(
+                        f"bench_full.json is STALE: ran at {head[:12]} which "
+                        f"does not contain the last src/ commit "
+                        f"{src_hash[:12]} — re-run the full bench")
+                else:
+                    print(f"OK bench recency: bench ran at {head[:12]} "
+                          f"⊇ last src commit {src_hash[:12]}")
+                if full.get("git_dirty"):
+                    print("WARN bench recency: bench ran with a DIRTY "
+                          "working tree — its head hash under-describes "
+                          "the measured code")
+            else:
+                mtime = os.path.getmtime(os.path.join(REPO, "bench_full.json"))
+                if mtime < src_time:
+                    errs.append(
+                        "bench_full.json is STALE: no git_head field and "
+                        f"mtime predates the last src/ commit — re-run "
+                        "the full bench")
+                else:
+                    print("OK bench recency (mtime fallback): artifact "
+                          "postdates the last src/ commit")
+    except Exception as e:
+        errs.append(f"bench recency check failed: {e}")
 
     # 4. conversion-determinism audit (the r11 class: DuckDB's direct
     #    HUGEINT->DOUBLE is not correctly rounded; every sum()->DOUBLE in

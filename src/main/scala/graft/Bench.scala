@@ -159,7 +159,20 @@ object Bench {
       .mkString("{", ",", "}")
     val rerunJson = ",\"reruns\":" + flagged.map(jstr).mkString("[", ",", "]") +
       ",\"vs_round_prior\":" + flaggedAnchor.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"deployed_sec":$deployedSec,"gate_sec":$gateSec,"queries":$qs$errJson$rerunJson,"sf":"$sfDir"}"""
+    // the artifact names the commit it measured (close_gate's recency
+    // check: the last src/ commit must be an ancestor of this hash — a
+    // bench predating the code it claims to measure can't close a round)
+    def gitLine(args: String*): Option[String] =
+      try {
+        val p = new ProcessBuilder(("git" +: args): _*).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Throwable => None }
+    val gitJson = gitLine("rev-parse", "HEAD").map { h =>
+      val dirty = gitLine("status", "--porcelain").exists(_.nonEmpty)
+      s""","git_head":${jstr(h)},"git_dirty":$dirty"""
+    }.getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"deployed_sec":$deployedSec,"gate_sec":$gateSec,"queries":$qs$errJson$rerunJson$gitJson,"sf":"$sfDir"}"""
     println(line)
     // driver output tails can truncate the per-query map on long registries;
     // also persist the full line as a tracked artifact so every round's

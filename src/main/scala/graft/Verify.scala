@@ -46,20 +46,27 @@ object Verify {
     // never a silent coverage drop); anything thrown past that is a bug
     // in the merge itself and must crash Verify, not be swallowed.
     val dynamic = SparkEntry.dynamicOracleSql(spark, sfDir)
-    val entries = (SparkEntry.oracleSql ++ dynamic)
-      .filter { case (k, _) => only.isEmpty || only(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(",")
     // A subset re-dump into an existing full dump MERGES into the prior
     // oracle file instead of replacing it — overwriting with the filtered
-    // map silently downgrades every other query to a rows-only check
-    // (JSON duplicate keys resolve last-wins, so appending updates).
+    // map silently downgrades every other query to a rows-only check.
+    // The prior file is PARSED into a map and subset keys overwritten in
+    // place (never string-concatenated: duplicate keys depend on
+    // last-wins readers, grow the file on every rerun, and let a
+    // malformed prior propagate silently — a malformed prior crashes
+    // here instead).
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
-    val prior =
-      if (only.nonEmpty && Files.exists(oraclePath))
-        Files.readString(oraclePath).trim.stripPrefix("{").stripSuffix("}")
-      else ""
-    val merged = Seq(prior, entries).filter(_.nonEmpty).mkString(",")
-    Files.writeString(oraclePath, s"{$merged}")
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (only.nonEmpty && Files.exists(oraclePath)) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(oraclePath))
+      require(node.isObject, s"$oraclePath: prior oracle dump is not a JSON object")
+      node.fields().forEachRemaining(e => merged += e.getKey -> e.getValue.asText())
+    }
+    (SparkEntry.oracleSql ++ dynamic)
+      .filter { case (k, _) => only.isEmpty || only(k) }
+      .foreach { case (k, v) => merged += k -> v }
+    Files.writeString(oraclePath,
+      merged.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -529,13 +529,27 @@ object DedupOps {
     * the as-appended multi-file layout gives back most of the win. */
   def writeBandedIndex(increment: DataFrame, idCol: String, sigCol: String,
                        bands: Int, rowsPerBand: Int, path: String,
-                       filesPerBand: Int = 8, append: Boolean = false): Unit =
+                       filesPerBand: Int = 8, append: Boolean = false): Unit = {
     bandedPostings(increment, idCol, sigCol, bands, rowsPerBand)
       .repartitionByRange(bands * filesPerBand, col("band"), col("bucket"))
       .sortWithinPartitions(col("bucket"))
       .write.mode(if (append) "append" else "overwrite")
       .partitionBy("band")
       .parquet(path)
+    markComplete(increment.sparkSession, path)
+  }
+
+  /** Completeness marker for the stored index, written EXPLICITLY after a
+    * successful write: under `partitionOverwriteMode=dynamic` Spark's
+    * dynamic-overwrite commit path emits no `_SUCCESS`, so
+    * [[recoverBandedIndex]]'s decision table cannot rely on the
+    * committer's marker being there. */
+  private def markComplete(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+  }
 
   /** Maintenance for the stored index: every append lays down its OWN
     * bucket-range file set, so after many increments a band holds
@@ -570,6 +584,7 @@ object DedupOps {
       .repartitionByRange(bands * filesPerBand, col("band"), col("bucket"))
       .sortWithinPartitions(col("bucket"))
       .write.mode("overwrite").partitionBy("band").parquet(tmp)
+    markComplete(spark, tmp)
     onPhase("written")
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
@@ -588,18 +603,32 @@ object DedupOps {
   }
 
   /** Recovery for a [[compactBandedIndex]] interrupted at any point.
-    * Decision table (SUCCESS = `__compact__/_SUCCESS` marker present):
-    *   - live index present: the swap never started, or finished without
+    * Decision table (COMPLETE = the directory's `_SUCCESS` marker is
+    * present — [[writeBandedIndex]] and the compaction's temp write lay
+    * one down explicitly after every successful write, so a bare
+    * `exists` is never trusted as "live"; a directory left PARTIAL by a
+    * crashed non-atomic rename has files but no decision weight):
+    *   - live index COMPLETE: the swap never started, or finished without
     *     its cleanup — delete stray `__compact__` / `__old__` siblings.
-    *   - live index missing, compacted set COMPLETE: crash happened
-    *     between the two renames — roll FORWARD (rename `__compact__` in,
-    *     drop `__old__`).
-    *   - live index missing, compacted set absent/partial: roll BACK
-    *     (rename `__old__` in, drop the partial `__compact__`).
+    *   - live index missing/partial, compacted set COMPLETE: crash
+    *     happened around the rename-in — drop any partial live set and
+    *     roll FORWARD (rename `__compact__` in, drop `__old__`).
+    *   - live index missing/partial, `__old__` present: roll BACK (drop
+    *     the partial live/compact sets, rename `__old__` in).
+    *   - live files present but NO complete copy anywhere: fail loudly —
+    *     never silently keep a partial index as if it were whole.
     *   - nothing present at all: IllegalStateException — the index never
     *     existed at this path (a typo'd path must fail loudly, not
     *     "recover" to an empty index).
-    * Idempotent: safe to call when no swap was in flight. */
+    * Idempotent: safe to call when no swap was in flight.
+    *
+    * Scope of the crash-safety claim: exact on atomic-directory-rename
+    * filesystems (HDFS, local). On S3A a directory "rename" is a
+    * non-atomic copy+delete, so a crash MID-rename can leave a directory
+    * that is partial yet carries its `_SUCCESS` object, or destroy the
+    * only complete copy mid-aside — the marker gate narrows but cannot
+    * close that window. At object-store scale, swap a MANIFEST pointer
+    * instead of renaming directories (the table-format approach). */
   def recoverBandedIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -608,17 +637,28 @@ object DedupOps {
     val src = new org.apache.hadoop.fs.Path(base + ".__compact__")
     val old = new org.apache.hadoop.fs.Path(base + ".__old__")
     val fs = dst.getFileSystem(conf)
-    if (fs.exists(dst)) {
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (complete(dst)) {
       fs.delete(src, true)
       fs.delete(old, true)
-    } else if (fs.exists(new org.apache.hadoop.fs.Path(src, "_SUCCESS"))) {
+    } else if (complete(src)) {
+      fs.delete(dst, true) // partial rename-in debris, if any
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"recovery roll-forward failed: $src -> $path")
       fs.delete(old, true)
     } else if (fs.exists(old)) {
+      fs.delete(dst, true) // partial rename-in debris, if any
       if (!fs.rename(old, dst))
         throw new java.io.IOException(s"recovery roll-back failed: $old -> $path")
       fs.delete(src, true)
+    } else if (fs.exists(dst)) {
+      // live files but no _SUCCESS and no complete sibling: unreachable
+      // on an atomic-rename FS; on S3A this is a mid-rename casualty —
+      // refuse to bless a partial index as whole
+      throw new IllegalStateException(
+        s"banded index at $path is PARTIAL (no _SUCCESS) and no complete " +
+          "copy exists to recover from")
     } else if (fs.exists(src)) {
       // partial __compact__, no live, no __old__: unreachable from the
       // compaction's phase order — refuse to guess

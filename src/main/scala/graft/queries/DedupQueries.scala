@@ -66,8 +66,8 @@ object DedupQueries {
   // (the LP unroll below) re-expands the whole pipeline 2^k times — the
   // sf0.1 >900 s ORACLE-TIMEOUT was exponential planning, not data size.
   // Materialized, the same unroll runs in ~10 s at sf0.1.
-  private def pairCteBody(t: Double): String =
-    s"""d AS MATERIALIZED (SELECT doc_id, string_split(text,' ') toks FROM documents),
+  private[queries] def pairCteBody(t: Double, src: String = "documents"): String =
+    s"""d AS MATERIALIZED (SELECT doc_id, string_split(text,' ') toks FROM $src),
        |sh AS MATERIALIZED (SELECT doc_id,
        |         list_distinct([array_to_string(toks[i:i+1],' ')
        |                        FOR i IN generate_series(1, len(toks)-1)]) s
@@ -99,7 +99,7 @@ object DedupQueries {
     * `converged` feeds a sentinel row in each consumer that turns an
     * un-converged unroll into a LOUD row mismatch, never a silent pass.
     * Yields `labeled(doc_id, rep)` over ALL documents + `converged`. */
-  private def ccCteBody(iters: Int): String = {
+  private[queries] def ccCteBody(iters: Int, src: String = "documents"): String = {
     val steps = (1 to iters).map { k =>
       s"""l$k AS MATERIALIZED (SELECT l.id, least(l.lab, coalesce(min(n.lab), l.lab)) AS lab
          |  FROM l${k - 1} l LEFT JOIN edges e ON e.src = l.id
@@ -108,7 +108,7 @@ object DedupQueries {
     }.mkString(",\n")
     s"""edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
        |          UNION SELECT b, a FROM prs),
-       |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lab FROM documents),
+       |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lab FROM $src),
        |$steps,
        |converged AS MATERIALIZED (SELECT count(*) AS n_moved FROM l$iters j
        |              JOIN l${iters - 1} p USING (id) WHERE j.lab <> p.lab),
@@ -686,10 +686,17 @@ object DedupQueries {
             (count(lit(1)) * lit(1e6)))) * 1e6 + 0.5) / 1e6).as("avg_quality"))
         .orderBy($"lang")
     },
-    Some(s"""WITH RECURSIVE g0 AS (
+    // Every CTE AS MATERIALIZED and the recursive `reach` replaced with
+    // the unrolled min-label propagation (ccCteBody) — the recursive
+    // reachability twin was worst-case quadratic AND re-inlined its whole
+    // upstream per reference, the sf1 ORACLE-TIMEOUT class (NOTES_r11
+    // §2/§11). `pairCteBody(0.5, gate)` divides the same two exact
+    // integers as the list_intersect form; the `converged` sentinel turns
+    // an un-converged unroll into a loud row mismatch, never a silent pass.
+    Some(s"""WITH g0 AS MATERIALIZED (
             |  SELECT doc_id, lang, text, string_split(text,' ') toks
             |  FROM documents),
-            |gate AS (
+            |gate AS MATERIALIZED (
             |  SELECT doc_id, lang, text FROM (
             |    SELECT *, list_sum(list_transform(
             |      list_concat(toks, [array_to_string(toks[i:i+1],' ')
@@ -698,24 +705,9 @@ object DedupQueries {
             |              (('0x' || substr(md5(tk),1,8))::BIGINT % 1024)::VARCHAR),
             |            1,8))::BIGINT % 2001 - 1000)) z
             |    FROM g0) WHERE z > 0),
-            |sh AS (SELECT doc_id,
-            |         list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
-            |                        FOR i IN generate_series(1, len(string_split(text,' '))-1)]) s
-            |       FROM gate),
-            |post AS (SELECT doc_id, unnest(s) tok FROM sh),
-            |cand AS (SELECT DISTINCT l.doc_id a, r.doc_id b
-            |         FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id),
-            |prs AS (SELECT a, b
-            |        FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
-            |        WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
-            |              / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
-            |edges AS (SELECT a AS src, b AS dst FROM prs
-            |          UNION SELECT b, a FROM prs),
-            |reach AS (
-            |  SELECT src AS id, src AS r FROM edges
-            |  UNION
-            |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-            |qual AS (
+            |${pairCteBody(0.5, "gate")},
+            |${ccCteBody(8, "gate")},
+            |qual AS MATERIALIZED (
             |  SELECT doc_id, lang,
             |    (floor((least(length(text)::DOUBLE/500.0, 1.0)*0.5
             |      + (1.0 - least((floor((length(regexp_replace(text,'[a-zA-Z0-9 ]','','g'))::DOUBLE
@@ -725,10 +717,6 @@ object DedupQueries {
             |                    / len(string_split(text,' '))) * 1e6 + 0.5) / 1e6)*4.0, 1.0)*0.2) * 1e6 + 0.5) / 1e6) AS quality,
             |    len(string_split(text,' '))::INT AS n_tokens
             |  FROM gate),
-            |labeled AS (
-            |  SELECT g.doc_id, coalesce(min(reach.r), g.doc_id) AS rep
-            |  FROM gate g LEFT JOIN reach ON reach.id = g.doc_id
-            |  GROUP BY g.doc_id),
             |ranked AS (
             |  SELECT l.rep, l.doc_id, q.lang, q.quality, q.n_tokens,
             |         row_number() OVER (PARTITION BY l.rep
@@ -738,7 +726,10 @@ object DedupQueries {
             |       sum(n_tokens::BIGINT)::BIGINT AS total_tokens,
             |       (floor((sum((floor((quality*1e6) * 1e0 + 0.5) / 1e0)::BIGINT) / (count(*) * 1e6)) * 1e6 + 0.5) / 1e6)
             |         AS avg_quality
-            |FROM ranked WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin))
+            |FROM ranked WHERE rn = 1 GROUP BY lang
+            |UNION ALL
+            |SELECT '~unconverged', -1, -1, -1.0 FROM converged WHERE n_moved > 0
+            |ORDER BY lang""".stripMargin))
 
   /** Batch-incremental near-dup ([[DedupOps.lshProbeCandidates]]): the
     * new crawl increment (fixture split: doc_id % 3 == 0) probed against

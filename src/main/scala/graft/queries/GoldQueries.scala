@@ -90,7 +90,14 @@ object GoldQueries {
     },
     Some {
       val stopIn = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
-      s"""WITH q AS (
+      // every CTE AS MATERIALIZED (DuckDB inlines per reference site —
+      // the sf1 ORACLE-TIMEOUT class, NOTES_r11 §2) and the near-dup
+      // stage in the count-based postings form proven at sf1 by
+      // dedup_ngram_jaccard's pairCteBody: a Jaccard ≥ 0.9 pair shares
+      // ≥1 shingle, so the token-equijoin prefilter is lossless, and
+      // c / (na + nb − c) divides the same two exact integers as the
+      // list_intersect form (s is list_distinct'd).
+      s"""WITH q AS MATERIALIZED (
          |  SELECT * FROM (
          |    SELECT d.*,
          |      (floor((least(length(text)::DOUBLE/500.0, 1.0)*0.5
@@ -101,18 +108,25 @@ object GoldQueries {
          |                / len(string_split(text,' '))) * 1e6 + 0.5) / 1e6)*4.0, 1.0)*0.2) * 1e6 + 0.5) / 1e6) AS quality
          |    FROM documents d)
          |  WHERE quality >= 0.5),
-         |exact_kept AS (
+         |exact_kept AS MATERIALIZED (
          |  SELECT * FROM (
          |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM q)
          |  WHERE doc_id = keep),
-         |sh AS (SELECT doc_id,
+         |sh AS MATERIALIZED (
+         |       SELECT doc_id,
          |         list_distinct([array_to_string(toks[i:i+1],' ')
          |                        FOR i IN generate_series(1, len(toks)-1)]) s
          |       FROM (SELECT doc_id, string_split(text,' ') toks FROM exact_kept)),
-         |losers AS (
-         |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-         |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.9)
+         |sz AS MATERIALIZED (SELECT doc_id, len(s) AS n FROM sh),
+         |post AS MATERIALIZED (SELECT doc_id, unnest(s) tok FROM sh),
+         |common AS MATERIALIZED (
+         |  SELECT l.doc_id a, r.doc_id b, count(*) AS c
+         |  FROM post l JOIN post r ON l.tok = r.tok AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS MATERIALIZED (
+         |  SELECT DISTINCT b AS doc_id
+         |  FROM common JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+         |  WHERE c::DOUBLE / (za.n + zb.n - c) >= 0.9)
          |SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
          |FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin

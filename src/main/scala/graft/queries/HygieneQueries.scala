@@ -19,24 +19,24 @@ object HygieneQueries {
     * `WITH RECURSIVE`): distinct word-3-gram postings over all documents
     * plus the fixture benchmark side (every 50th doc). */
   private val trigramCteBody =
-    """t3 AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
-      |sh3 AS (SELECT doc_id,
+    """t3 AS MATERIALIZED (SELECT doc_id, string_split(text,' ') toks FROM documents),
+      |sh3 AS MATERIALIZED (SELECT doc_id,
       |         list_distinct([array_to_string(toks[i:i+2],' ')
       |                        FOR i IN generate_series(1, len(toks)-2)]) s
       |       FROM t3),
-      |post3 AS (SELECT doc_id, unnest(s) sh FROM sh3),
-      |bench3 AS (SELECT doc_id AS bench_id, sh FROM post3 WHERE doc_id % 50 = 0)""".stripMargin
+      |post3 AS MATERIALIZED (SELECT doc_id, unnest(s) sh FROM sh3),
+      |bench3 AS MATERIALIZED (SELECT doc_id AS bench_id, sh FROM post3 WHERE doc_id % 50 = 0)""".stripMargin
 
   /** Shared DuckDB CTE body: Gopher metrics + the passing-doc set.
     * The thresholds (20..1000 tokens, 3..10 mean length, rep ≤ 0.05,
     * dominance ≤ 0.12) appear HERE and in HygieneOps.gopherRules — the
     * one pair of places to keep in lockstep. */
   private val gopherCteBody =
-    """gtoks AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
-      |gcnt AS (SELECT doc_id, tok, count(*) n FROM gtoks GROUP BY 1, 2),
-      |gdom AS (SELECT doc_id, (floor((max(n)::DOUBLE / sum(n)) * 1e6 + 0.5) / 1e6) top_token_ratio
+    """gtoks AS MATERIALIZED (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+      |gcnt AS MATERIALIZED (SELECT doc_id, tok, count(*) n FROM gtoks GROUP BY 1, 2),
+      |gdom AS MATERIALIZED (SELECT doc_id, (floor((max(n)::DOUBLE / sum(n)) * 1e6 + 0.5) / 1e6) top_token_ratio
       |         FROM gcnt GROUP BY doc_id),
-      |gmet AS (
+      |gmet AS MATERIALIZED (
       |  SELECT doc_id,
       |    len(string_split(text,' ')) AS n_tokens,
       |    (floor(((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
@@ -47,7 +47,7 @@ object HygieneQueries {
       |                              FOR i IN generate_series(1, len(string_split(text,' '))-1)]))::DOUBLE
       |           / (len(string_split(text,' ')) - 1)) * 1e6 + 0.5) / 1e6) END AS rep_2gram
       |  FROM documents),
-      |gpass AS (
+      |gpass AS MATERIALIZED (
       |  SELECT gmet.doc_id FROM gmet JOIN gdom USING (doc_id)
       |  WHERE n_tokens BETWEEN 20 AND 1000
       |    AND mean_token_len BETWEEN 3.0 AND 10.0
@@ -276,44 +276,36 @@ object HygieneQueries {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
         .orderBy($"lang", $"split")
     },
-    Some(s"""WITH RECURSIVE $gopherCteBody,
+    // Every CTE AS MATERIALIZED and the recursive `creach` replaced with
+    // the unrolled min-label propagation (DedupQueries.ccCteBody) — the
+    // recursive reachability + per-reference CTE re-inlining was the sf1
+    // ORACLE-TIMEOUT class (NOTES_r11 §2/§11). pairCteBody(0.9,
+    // exact_kept) is the count-based pair form proven at sf1 by
+    // dedup_ngram_jaccard; the `converged` sentinel turns an un-converged
+    // unroll into a loud row mismatch, never a silent pass.
+    Some(s"""WITH $gopherCteBody,
             |$trigramCteBody,
-            |train AS (
+            |train AS MATERIALIZED (
             |  SELECT d.* FROM documents d JOIN gpass USING (doc_id)
             |  WHERE doc_id % 50 <> 0),
-            |contam AS (
+            |contam AS MATERIALIZED (
             |  SELECT DISTINCT doc_id FROM (
             |    SELECT p.doc_id, b.bench_id FROM post3 p
             |    JOIN train t ON t.doc_id = p.doc_id
             |    JOIN bench3 b ON p.sh = b.sh AND p.doc_id <> b.bench_id
             |    GROUP BY p.doc_id, b.bench_id HAVING count(*) >= 5)),
-            |clean AS (SELECT * FROM train
+            |clean AS MATERIALIZED (
+            |          SELECT * FROM train
             |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-            |exact_kept AS (
+            |exact_kept AS MATERIALIZED (
             |  SELECT * FROM (
             |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM clean)
             |  WHERE doc_id = keep),
-            |sh2 AS (SELECT doc_id,
-            |          list_distinct([array_to_string(string_split(text,' ')[i:i+1],' ')
-            |                         FOR i IN generate_series(1, len(string_split(text,' '))-1)]) s
-            |        FROM exact_kept),
-            |post2 AS (SELECT doc_id, unnest(s) tok FROM sh2),
-            |cand2 AS (SELECT DISTINCT l.doc_id a, r.doc_id b
-            |          FROM post2 l JOIN post2 r ON l.tok = r.tok AND l.doc_id < r.doc_id),
-            |prs AS (
-            |  SELECT a, b FROM cand2
-            |  JOIN sh2 sa ON sa.doc_id = a JOIN sh2 sb ON sb.doc_id = b
-            |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
-            |        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.9),
-            |cedges AS (SELECT a AS src, b AS dst FROM prs
-            |           UNION SELECT b, a FROM prs),
-            |creach AS (
-            |  SELECT src AS id, src AS r FROM cedges
-            |  UNION
-            |  SELECT e.dst, creach.r FROM creach JOIN cedges e ON e.src = creach.id),
-            |nonrep AS (SELECT id FROM (
-            |  SELECT id, min(r) AS rep FROM creach GROUP BY id) WHERE id <> rep),
-            |surv AS (SELECT * FROM exact_kept
+            |${DedupQueries.pairCteBody(0.9, "exact_kept")},
+            |${DedupQueries.ccCteBody(8, "exact_kept")},
+            |nonrep AS (SELECT doc_id AS id FROM labeled WHERE doc_id <> rep),
+            |surv AS MATERIALIZED (
+            |         SELECT * FROM exact_kept
             |         WHERE doc_id NOT IN (SELECT id FROM nonrep))
             |SELECT lang,
             |       CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':split'),1,8))::BIGINT % 1000 < 800
@@ -321,7 +313,10 @@ object HygieneQueries {
             |            WHEN ('0x'||substr(md5(doc_id::VARCHAR || ':split'),1,8))::BIGINT % 1000 < 900
             |              THEN 'val' ELSE 'test' END AS split,
             |       count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
-            |FROM surv GROUP BY lang, split ORDER BY lang, split""".stripMargin),
+            |FROM surv GROUP BY lang, split
+            |UNION ALL
+            |SELECT '~unconverged', '~', -1, -1 FROM converged WHERE n_moved > 0
+            |ORDER BY lang, split""".stripMargin),
     headline = true)
 
   /** DSIR-style importance resampling toward the English slice: hashed

@@ -119,6 +119,43 @@ class BandedIndexSpec extends SparkSpec {
     }
   }
 
+  test("a PARTIAL live directory (no _SUCCESS — the non-atomic-rename " +
+       "casualty) is never blessed as whole: recovery rolls forward over " +
+       "it when a complete compact set exists, and fails loudly when no " +
+       "complete copy exists anywhere") {
+    import java.nio.file.{Files, Paths}
+    val batch = signed.limit(50)
+    // partial dst + COMPLETE __compact__ → roll forward, drop the debris
+    val idx = Files.createTempDirectory("graft-bidx-partial").toString
+    DedupOps.writeBandedIndex(signed, "doc_id", "sig", 4, 4, idx,
+      filesPerBand = 2)
+    val before = DedupOps.lshProbeCandidatesStored(spark, idx, batch,
+      "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+    // stage a completed compact sibling, then mutilate the live dir the
+    // way a crashed copy+delete rename would: drop its _SUCCESS marker
+    case class Crash() extends RuntimeException
+    intercept[Crash] {
+      DedupOps.compactBandedIndex(spark, idx, filesPerBand = 2,
+        onPhase = p => if (p == "written") throw Crash())
+    }
+    Files.delete(Paths.get(idx, "_SUCCESS"))
+    DedupOps.recoverBandedIndex(spark, idx)
+    val after = DedupOps.lshProbeCandidatesStored(spark, idx, batch,
+      "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+    assert(after === before, "roll-forward over a partial live dir changed the probe set")
+    for (sib <- Seq(".__compact__", ".__old__"))
+      assert(!Files.exists(Paths.get(idx + sib)))
+    // partial dst, NO complete sibling → refuse to bless it as whole
+    val lone = Files.createTempDirectory("graft-bidx-lone").toString
+    DedupOps.writeBandedIndex(signed, "doc_id", "sig", 4, 4, lone,
+      filesPerBand = 2)
+    Files.delete(Paths.get(lone, "_SUCCESS"))
+    val ex = intercept[IllegalStateException] {
+      DedupOps.recoverBandedIndex(spark, lone)
+    }
+    assert(ex.getMessage.contains("PARTIAL"))
+  }
+
   test("small batch pushes a bucket IN-list to the parquet scan; the " +
        "semi-join regime (maxPushdownBuckets=0) returns the same pairs") {
     val idx = java.nio.file.Files.createTempDirectory("graft-bidx2").toString
