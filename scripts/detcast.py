@@ -102,6 +102,198 @@ def double_conversions(text):
             yield k + 1, m.end(), text[k + 1:j + 1]
 
 
+# ---------------------------------------------------------------------------
+# Implicit-promotion pass (the r11 ADVICE class): a BARE sum() — HUGEINT in
+# DuckDB — entering float arithmetic converts through the broken
+# HUGEINT->DOUBLE path with NO cast in the text for the explicit pass to
+# see. `sum(x) / 1e2`, `sum(a*b) * 2.0 / (count(*) * sum(c))` are live
+# examples. Detection: for each sum() with no immediate cast suffix and no
+# enclosing CAST, scan the surrounding arithmetic chain (crossing parens,
+# stopping at commas/keywords/comparisons) for a float-division `/` or a
+# float literal — either promotes the HUGEINT to DOUBLE implicitly. Flags
+# are adjudicated exactly like the explicit pass: route the oracle through
+# ::VARCHAR::DOUBLE or add an IMPLICIT_ALLOW entry with a boundedness
+# reason (sums < 2^53 convert identically on both paths). Sites whose
+# summand is already DOUBLE-typed (no integer promotion exists) are also
+# IMPLICIT_ALLOW material — the script cannot see column types.
+# ---------------------------------------------------------------------------
+IMPLICIT_ALLOW = [
+    # ---- summand is DOUBLE-typed: the sum is DOUBLE, no conversion ----
+    ("RelationalQueries.scala", "sum(l_quantity)",
+     "l_quantity is DOUBLE-typed; DOUBLE sum, no integer promotion"),
+    ("RelationalQueries.scala", "sum(CASE WHEN l_returnflag",
+     "l_quantity CASE arms are DOUBLE-typed; DOUBLE sum"),
+    ("GoldQueries.scala", "sum(l_quantity)",
+     "l_quantity is DOUBLE-typed; DOUBLE sum, no integer promotion"),
+    ("EventQueries.scala", "sum(w) OVER (PARTITION BY src)",
+     "w is count(*)::DOUBLE (markov edge weight); DOUBLE sum"),
+    ("StatsQueries.scala", "sum(n * m)",
+     "anova group moments: n is count(*)::DOUBLE, m prerounded DOUBLE"),
+    ("StatsQueries.scala", "sum(n)",
+     "anova n is count(*)::DOUBLE; DOUBLE sum"),
+    ("StatsQueries.scala", "sum((n - 1) * v)",
+     "anova n, v are DOUBLE-typed prerounded moments; DOUBLE sum"),
+    ("StatsQueries.scala", "sum(n * (m - grand_mean)",
+     "anova SSB summand is DOUBLE-typed prerounded moments; DOUBLE sum"),
+    ("HygieneQueries.scala", "sum(ln(p_tgt)",
+     "DSIR summand is a DOUBLE log-ratio; DOUBLE sum"),
+    # ---- integer sums adjudicated bounded (< 2^53 at any plausible SF) --
+    ("EventQueries.scala", "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 1e2",
+     "per-window/session/campaign event cents: ~1e10 at sf1, 2^53 "
+     "needs ~sf1e5 within one group"),
+    ("RelationalQueries.scala",
+     "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2",
+     "per-measure order cents: ~2e11 at sf1, 2^53 at ~sf4e4"),
+    ("GoldQueries.scala", "sum(dur_us)",
+     "TWAP divisor: inter-tick micros per (user, day) <= 8.64e10 << 2^53"),
+    ("HygieneQueries.scala", "sum(n))",
+     "gopher dominance divisor: per-doc token count ~1e3 << 2^53"),
+    ("StatsQueries.scala", "sum(nt)",
+     "lift-decile doc counts: < corpus size << 2^53"),
+    ("StatsQueries.scala", "sum(xi) / count(*)",
+     "half-sample/bootstrap mean numerator: ~1e4-cents x rows, 2^53 "
+     "needs ~1e12 rows (~sf1e6)"),
+    ("RelationalQueries.scala",
+     "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 1e2",
+     "per-measure event cents (f4 unpivot): ~1e10 at sf1, 2^53 ~sf1e5"),
+    ("DedupQueries.scala", "sum((floor((quality*1e6)",
+     "1e6-scaled per-doc quality: 2^53 needs ~9e9 kept docs (~sf2e5)"),
+]
+
+STOP = re.compile(
+    r'\b(AS|FROM|WHERE|GROUP|ORDER|THEN|ELSE|END|WHEN|CASE|AND|OR|ON|JOIN|'
+    r'UNION|WINDOW|HAVING|LIMIT|BETWEEN|IN|IS|SELECT|BY|DESC|ASC|FILTER|'
+    r'PARTITION|ROWS|RANGE|OVER|NOT)\b', re.IGNORECASE)
+FLOAT_LIT = re.compile(r'(?<![\w.])(\d+\.\d+|\d+(?:\.\d+)?[eE][+-]?\d+|\.\d+)')
+CAST_RE = re.compile(r'(?<![\w.])CAST\s*\(', re.IGNORECASE)
+
+
+def _chain_window(text, s_start, s_end):
+    """The arithmetic chain surrounding [s_start, s_end): walk both ways
+    crossing parentheses freely, halting at commas, comparisons, or SQL
+    clause keywords. Returns (back_segment, fwd_segment)."""
+    j = s_start - 1
+    back_stop = s_start
+    while j >= 0:
+        c = text[j]
+        if c in ',<>=;':
+            break
+        if c.isalpha() or c == '_':
+            k = j
+            while k >= 0 and (text[k].isalnum() or text[k] == '_'):
+                k -= 1
+            word = text[k + 1:j + 1]
+            if STOP.fullmatch(word):
+                break
+            j = k
+            back_stop = j + 1
+            continue
+        j -= 1
+        back_stop = j + 1
+    k = s_end
+    fwd_stop = s_end
+    while k < len(text):
+        c = text[k]
+        if c in ',<>=;':
+            break
+        mm = re.match(r'[A-Za-z_][A-Za-z0-9_]*', text[k:])
+        if mm:
+            if STOP.fullmatch(mm.group(0)):
+                break
+            k += mm.end()
+            fwd_stop = k
+            continue
+        k += 1
+        fwd_stop = k
+    return text[back_stop:s_start], text[s_end:fwd_stop]
+
+
+def _float_context(segment):
+    """True if this chain segment pushes integer arithmetic to DOUBLE:
+    a float division `/` (DuckDB `/` is float division; `//` is exact)
+    or a float literal."""
+    no_intdiv = segment.replace('//', ' ')
+    return '/' in no_intdiv or bool(FLOAT_LIT.search(no_intdiv))
+
+
+def implicit_violations(path, text):
+    # map each CAST extent to its target type so enclosed sums can defer
+    casts = []
+    for m in CAST_RE.finditer(text):
+        end = match_paren(text, m.end() - 1)
+        t = re.search(r'\bAS\s+(\w+)\s*$', text[m.end():end - 1].strip(),
+                      re.IGNORECASE)
+        if t:
+            casts.append((m.end(), end, t.group(1).upper()))
+    # (...)::VARCHAR / ::STRING routed GROUPS: every sum inside the
+    # parenthesized operand is string-routed (e.g. the gini denominator
+    # `(count(*) * sum(rev_c))::VARCHAR::DOUBLE`)
+    for m in re.finditer(r'::\s*(VARCHAR|STRING)', text, re.IGNORECASE):
+        j = m.start() - 1
+        while j >= 0 and text[j] in ' \t\n|':
+            j -= 1
+        if j >= 0 and text[j] == ')':
+            depth, k = 1, j - 1
+            while k >= 0 and depth > 0:
+                if text[k] == ')':
+                    depth += 1
+                elif text[k] == '(':
+                    depth -= 1
+                k -= 1
+            casts.append((k + 1, j + 1, 'VARCHAR'))
+    out = []
+    for m in SUM.finditer(text):
+        s_start, s_end = m.start(), match_paren(text, m.end() - 1)
+        inner_raw = text[m.end():s_end]
+        # Scala-side sums (sum($"x"), sum(lit(..))) are the ENGINE leg —
+        # Spark's conversions are correctly rounded, out of audit scope
+        if '$' in inner_raw or 'lit(' in inner_raw:
+            continue
+        # comment / scaladoc lines, not SQL text
+        ls = text.rfind('\n', 0, s_start) + 1
+        line_prefix = text[ls:s_start]
+        if '//' in line_prefix or line_prefix.lstrip().startswith('*'):
+            continue
+        # OVER clause is part of the sum term
+        om = re.match(r'\s*OVER\s*(\(|[A-Za-z_]\w*)', text[s_end:],
+                      re.IGNORECASE)
+        if om:
+            if om.group(1) == '(':
+                s_end = match_paren(text, s_end + om.end(1) - 1)
+            else:
+                s_end = s_end + om.end(1)
+        # ::cast suffix on the sum or an enclosing group (pop ')' first):
+        # VARCHAR routes, integral widens exactly or fails loudly, DOUBLE
+        # belongs to the explicit pass
+        if re.match(r'[\s)]*::', text[s_end:]):
+            continue
+        # enclosed in a CAST? STRING/VARCHAR routes; integral is exact;
+        # DOUBLE belongs to the explicit pass
+        if any(cs <= s_start and s_end <= ce for cs, ce, _ in casts):
+            continue
+        inner = text[m.end():s_end]
+        back, fwd = _chain_window(text, s_start, s_end)
+        if not (_float_context(back) or _float_context(fwd)):
+            continue
+        # a DOUBLE-typed summand (contains a float literal or float
+        # division) makes the sum DOUBLE — no integer promotion exists,
+        # UNLESS the interior is floor/round-closed back to integer via a
+        # BIGINT cast (those were filtered by the CAST check above only
+        # if the cast encloses the SUM, not the summand) — conservative:
+        # treat explicit interior integer casts as integer sums
+        interior_int = re.search(r'::\s*(U?BIGINT|INT\w*)|AS\s+BIGINT',
+                                 inner, re.IGNORECASE)
+        if _float_context(inner) and not interior_int:
+            continue  # DOUBLE sum already; conversion is a no-op
+        snippet = ' '.join(text[s_start:min(s_end + 24, len(text))].split())
+        if any(path.endswith(f) and key in snippet
+               for f, key, _ in IMPLICIT_ALLOW):
+            continue
+        line = text.count('\n', 0, s_start) + 1
+        out.append((line, "IMPLICIT " + snippet[:150]))
+    return out
+
+
 def audit(path, text):
     violations = []
     for start, end, expr in double_conversions(text):
@@ -115,6 +307,7 @@ def audit(path, text):
             continue
         line = text.count('\n', 0, start) + 1
         violations.append((line, snippet[:160]))
+    violations.extend(implicit_violations(path, text))
     return violations
 
 

@@ -22,13 +22,17 @@ import org.apache.spark.sql.types._
   * whole-stage-codegen'd HashAggregateExec with primitive buffer slots —
   * Decimal exactness at long-sum speed.
   *
-  * Semantics: input is cast to LONG (callers pass exact integer-valued
-  * columns — cents, 1e6-scaled grids, integer products < 2⁶³); nulls are
+  * Semantics: input must be INTEGRAL — byte/short/int/long (cents,
+  * 1e6-scaled grids, integer products < 2⁶³); a fractional type is a
+  * TYPE-CHECK FAILURE at analysis, never a silent truncation. Nulls are
   * ignored; an all-null/empty group yields NULL (matches `sum`). The
   * result is DECIMAL(38,0), bit-identical to
   * `sum(x.cast("decimal(38,0)"))` for every |total| < 10³⁸ (the
   * representable cap; int128 overflows only past ~1.7e38, far beyond any
-  * 100 TB total — ~1e10/row × 1e12 rows = 1e22).
+  * 100 TB total — ~1e10/row × 1e12 rows = 1e22). Past ±10³⁸ the
+  * evaluate leg THROWS where the decimal sum would NULL under non-ANSI
+  * Spark — see [[Sum128.toDecimal]] for why that divergence is
+  * deliberate.
   *
   * The lo-half add wraps intentionally (that is how the carry is
   * detected), so the adds are built with `EvalMode.LEGACY` — immune to
@@ -239,10 +243,15 @@ object Sum128 {
   import org.apache.spark.sql.graft.bridge
 
   /** Column API: exact integer sum for columns whose per-group total may
-    * cross 2⁶³. Accepts integral columns or exact integer-valued doubles
-    * (floor products), which are cast to long. */
+    * cross 2⁶³. Input must already be INTEGRAL: the aggregate's type
+    * check rejects fractional types at ANALYSIS time with a clear
+    * message. The helper used to `cast("long")` for the caller, which
+    * silently TRUNCATED a non-integer-valued double — a caller with an
+    * exact integer-valued double (`floor` already returns LONG, so this
+    * is rare) must now write the cast explicitly, which is the loud
+    * contract the truncation hazard demands. */
   def sum128(c: Column): Column =
-    bridge.column(Sum128(bridge.expression(c.cast("long")))
+    bridge.column(Sum128(bridge.expression(c))
       .toAggregateExpression())
 
   /** hi-half after (hi, lo) += x with sign extension of x. Carry-out of
@@ -257,7 +266,14 @@ object Sum128 {
     hiL + hiR + (if (java.lang.Long.compareUnsigned(loL + loR, loL) < 0) 1L
                  else 0L)
 
-  /** Static codegen helper: (hi, lo) → Decimal(38,0). */
+  /** Static codegen helper: (hi, lo) → Decimal(38,0).
+    *
+    * Overflow contract (documented divergence): past ±10³⁸ this THROWS
+    * (`Decimal` rejects precision > 38) where non-ANSI
+    * `sum(x.cast("decimal(38,0)"))` yields NULL. Deliberate: a total
+    * that large means ~1e16 max-long rows — certainly corruption — and
+    * a query-killing exception beats a silent NULL propagating through
+    * downstream arithmetic. Pinned by Sum128Spec. */
   def toDecimal(hi: Long, lo: Long): Decimal = {
     val bi = java.math.BigInteger.valueOf(hi).shiftLeft(64)
       .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.core.Lineage.LineageOps
 import graft.functions.Sum128.sum128
+import graft.functions.SumSq128.sumSq128
 import graft.gold.GoldOps
 import graft.operators.{CalendarOps, RangeJoinOps, RelationalOps, TextOps}
 
@@ -876,8 +877,10 @@ object GoldQueries {
         .agg(count(lit(1)).as("n"),
           sum128($"r_e6").as("s1"),
           // r_e6² exceeds 2⁶³ PER ROW — outside sum128's long-summand
-          // domain; the decimal multiply must stay
-          sum($"r_e6".cast(dec) * $"r_e6").as("s2"))
+          // domain, which is exactly what sumsq128 exists for: the
+          // square happens INSIDE the kernel in 128-bit, so the last
+          // per-row BigDecimal multiply in the registry is gone
+          sumSq128($"r_e6").as("s2"))
         .withColumn("a",
           ($"n".cast(dec) * $"s2" - $"s1".cast(dec) * $"s1".cast(dec))
             .cast("double"))

@@ -50,7 +50,7 @@ object RelationalQueries {
     },
     Some("""SELECT l_returnflag, l_linestatus,
            | (floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2) AS sum_qty,
-           | (sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 1e2) AS sum_base_price,
+           | (CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / 1e2) AS sum_base_price,
            | (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS STRING) AS DOUBLE) / 100 + 0.5) / 1e2) AS sum_disc_price,
            | (floor(CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
            |     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))

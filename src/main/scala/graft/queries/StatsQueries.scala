@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.core.Lineage.LineageOps
 import graft.functions.Sum128.sum128
+import graft.functions.SumSq128.sumSq128
+import graft.functions.SumProd128.sumProd128
 import graft.operators.{ProfileOps, TextOps}
 
 /** Statistical / multi-dimensional aggregation coverage: grouping sets
@@ -30,7 +32,7 @@ object StatsQueries {
     },
     Some("""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
            |       coalesce(o_orderstatus, 'ALL') AS status,
-           |       (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2) AS revenue, count(*) AS n
+           |       (CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / 1e2) AS revenue, count(*) AS n
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
            |ORDER BY segment, status""".stripMargin),
@@ -45,13 +47,11 @@ object StatsQueries {
         .groupBy($"l_returnflag")
         .agg(
           // exact integer moments in cents: n*Sum(c^2) - Sum(c)^2 via the
-          // native 128-bit integer sum (c^2 ~ 1e14/row - a long sum
-          // overflows ~sf1; sum128 is bit-identical to the decimal(38,0)
-          // sum at primitive-long speed), then ONE identical IEEE
-          // /-sqrt chain per engine
+          // native 128-bit kernels (sumsq128 squares INSIDE the kernel in
+          // 128-bit, so c^2 never rides a wrapping long multiply), then
+          // ONE identical IEEE /-sqrt chain per engine
           (count(lit(1)).cast("decimal(38,0)") *
-            sum128(floor($"l_extendedprice" * 100 + 0.5) *
-              floor($"l_extendedprice" * 100 + 0.5)) -
+            sumSq128(floor($"l_extendedprice" * 100 + 0.5)) -
             sum128(floor($"l_extendedprice" * 100 + 0.5)) *
             sum128(floor($"l_extendedprice" * 100 + 0.5)))
             .cast("double").as("a"),
@@ -226,7 +226,7 @@ object StatsQueries {
               |       coalesce(o_orderpriority, 'ALL') AS priority,
               |       CAST(grouping_id(c_mktsegment, o_orderpriority) AS INT)
               |         AS gid,
-              |       (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2) AS revenue, count(*) AS n
+              |       (CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / 1e2) AS revenue, count(*) AS n
               |FROM ord_cust_gs
               |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
               |                        (c_mktsegment), ())
@@ -235,7 +235,7 @@ object StatsQueries {
     Some("""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
            |       coalesce(o_orderpriority, 'ALL') AS priority,
            |       grouping_id(c_mktsegment, o_orderpriority)::INT AS gid,
-           |       (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2) AS revenue, count(*) AS n
+           |       (CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS STRING) AS DOUBLE) / 1e2) AS revenue, count(*) AS n
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
            |                        (c_mktsegment), ())
@@ -343,12 +343,14 @@ object StatsQueries {
           sum128($"pi").as("sp"),
           sum128($"di").as("sd"),
           sum128($"ti").as("st"),
-          sum128($"qi" * $"pi").as("sqp"),
-          sum128($"qi" * $"qi").as("sqq"),
-          sum128($"pi" * $"pi").as("spp"),
-          sum128($"di" * $"ti").as("sdt"),
-          sum128($"di" * $"di").as("sdd"),
-          sum128($"ti" * $"ti").as("stt"))
+          // cross/second moments through the exact-128-bit-product
+          // kernels: no per-row product can wrap a long, at any SF
+          sumProd128($"qi", $"pi").as("sqp"),
+          sumSq128($"qi").as("sqq"),
+          sumSq128($"pi").as("spp"),
+          sumProd128($"di", $"ti").as("sdt"),
+          sumSq128($"di").as("sdd"),
+          sumSq128($"ti").as("stt"))
         .select($"l_returnflag",
           (floor((($"n".cast("decimal(38,0)") * $"sqp" - $"sq" * $"sp").cast("double") /
             sqrt(($"n".cast("decimal(38,0)") * $"sqq" - $"sq" * $"sq").cast("double") *
@@ -478,7 +480,7 @@ object StatsQueries {
            |  FROM by_score)
            |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
            |       (floor((sum(np * (cum_neg + nn / 2.0))
-           |             / (sum(np) * sum(nn))) * 1e6 + 0.5) / 1e6) AS auc
+           |             / (sum(np) * sum(nn))::VARCHAR::DOUBLE) * 1e6 + 0.5) / 1e6) AS auc
            |FROM cum""".stripMargin))
 
   /** Robust outlier detection — median / MAD (median absolute deviation),
@@ -762,7 +764,7 @@ object StatsQueries {
         .agg(count(lit(1)).cast("double").as("n"),
           (floor(sum(floor($"value" * 100 + 0.5)).cast("double") / count($"value") * 1e4 + 0.5) / 1e6).as("m"),
           (floor((count(lit(1)).cast("decimal(38,0)") *
-              sum128(floor($"value" * 100 + 0.5) * floor($"value" * 100 + 0.5)) -
+              sumSq128(floor($"value" * 100 + 0.5)) -
               sum128(floor($"value" * 100 + 0.5)) *
               sum128(floor($"value" * 100 + 0.5)))
             .cast("double") / (count(lit(1)) * (count(lit(1)) - 1))
@@ -876,14 +878,16 @@ object StatsQueries {
       val ranked = rev.withColumn("i", row_number().over(w).cast("long"))
       // Σ i·rev_c and n·Σrev_c overflow BIGINT around sf10 (rank ~ n
       // customers × cents-scale revenue); accumulate via the 128-bit
-      // integer sum — exact like DuckDB's HUGEINT promotion, so both
+      // kernels — exact like DuckDB's HUGEINT promotion, so both
       // engines convert the same exact integer to double for the
-      // closing division (the i·rev_c PRODUCT stays < 2⁶³ until ~sf1e4)
+      // closing division (sumprod128 multiplies in 128-bit, so even the
+      // per-row i·rev_c product — long-wrapping from ~sf1e4 — is exact
+      // at any SF)
       ranked.agg(
           count(lit(1)).as("n_customers"),
           (floor((sum128($"rev_c").cast("double") / 100.0) * 1e2 + 0.5) / 1e2).as("total_revenue"),
           (floor((
-            sum128($"i" * $"rev_c").cast("double") * 2.0 /
+            sumProd128($"i", $"rev_c").cast("double") * 2.0 /
               (count(lit(1)).cast("decimal(38,0)") *
                 sum128($"rev_c")).cast("double") -
               (count(lit(1)) + 1.0) / count(lit(1))) * 1e6 + 0.5) / 1e6).as("gini"))
@@ -897,8 +901,9 @@ object StatsQueries {
            |         row_number() OVER (ORDER BY rev_c, o_custkey) AS i
            |  FROM rev)
            |SELECT count(*)::BIGINT AS n_customers,
-           |       (floor((sum(rev_c) / 100.0) * 1e2 + 0.5) / 1e2) AS total_revenue,
-           |       (floor((sum(i * rev_c) * 2.0 / (count(*) * sum(rev_c))
+           |       (floor((sum(rev_c)::VARCHAR::DOUBLE / 100.0) * 1e2 + 0.5) / 1e2) AS total_revenue,
+           |       (floor((sum(i * rev_c)::VARCHAR::DOUBLE * 2.0
+           |               / (count(*) * sum(rev_c))::VARCHAR::DOUBLE
            |             - (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6) AS gini
            |FROM ranked""".stripMargin))
 
@@ -1004,7 +1009,7 @@ object StatsQueries {
         .agg(count(lit(1)).cast("double").as("n"),
           (floor(sum(floor($"value" * 100 + 0.5)).cast("double") / count($"value") * 1e4 + 0.5) / 1e6).as("m"),
           (floor((count(lit(1)).cast("decimal(38,0)") *
-              sum128(floor($"value" * 100 + 0.5) * floor($"value" * 100 + 0.5)) -
+              sumSq128(floor($"value" * 100 + 0.5)) -
               sum128(floor($"value" * 100 + 0.5)) *
               sum128(floor($"value" * 100 + 0.5)))
             .cast("double") / (count(lit(1)) * (count(lit(1)) - 1))
@@ -1335,11 +1340,11 @@ object StatsQueries {
       val tot = perB.agg(count(lit(1)).as("bn"), sum($"mb").as("s1"))
       val se = perB.crossJoin(broadcast(tot))
         .select(($"bn" * $"mb" - $"s1").as("d"), $"bn")
-        // d² accumulates in DECIMAL(38,0), not LongType: d is a long, so
-        // d² fits 38 digits exactly, but Σd² can pass 2⁶³ on plausible
-        // value scales — the oracle side widens to HUGEINT to match
-        .groupBy($"bn").agg(sum($"d".cast("decimal(20,0)")
-          * $"d".cast("decimal(20,0)")).as("sd2"))
+        // d² accumulates through sumsq128 (exact 128-bit square +
+        // int128 sum): d is a long whose square can pass 2⁶³ on
+        // plausible value scales — previously a per-row DECIMAL(38,0)
+        // multiply; the oracle side widens to HUGEINT to match
+        .groupBy($"bn").agg(sumSq128($"d").as("sd2"))
         .select((floor((sqrt(
           $"sd2".cast("double") / ($"bn" * $"bn" * ($"bn" - 1)) / 2.0)
           / 1e6) * 1e6 + 0.5) / 1e6).as("se"))

@@ -87,11 +87,40 @@ class Sum128Spec extends SparkSpec with TableDrivenPropertyChecks {
     assert(row.isNullAt(0))
   }
 
-  test("integer-valued doubles (floor products) cast exactly") {
-    // the call sites pass floor(price*100) doubles; exact below 2^53
-    val df = Seq(1.0e14, 3.0, -2.5e13).toDF("x") // integer-valued
-    val row = df.agg(sum128($"x").as("s")).head()
-    assert(row.getDecimal(0).longValueExact === 75000000000003L)
+  test("input contract: a fractional column is REJECTED at analysis, " +
+       "never silently truncated") {
+    // the helper used to cast("long") for the caller — a non-integer
+    // double like 2.5 truncated to 2 with no diagnostic (VERDICT r11
+    // watch-item). The aggregate now rejects non-integral inputs at
+    // type-check time with an actionable message.
+    val df = Seq(2.5, 3.0, -2.5e13).toDF("x")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(sum128($"x").as("s")).collect()
+    }
+    assert(ex.getMessage.contains("sum128 expects an integral column"),
+      s"unexpected analysis error: ${ex.getMessage}")
+    // a caller with exact integer-valued doubles writes the cast
+    // explicitly — loud in the code, exact below 2^53
+    val ok = Seq(1.0e14, 3.0, -2.5e13).toDF("x")
+      .agg(sum128($"x".cast("long")).as("s")).head()
+    assert(ok.getDecimal(0).longValueExact === 75000000000003L)
+  }
+
+  test("toDecimal past +/-10^38 THROWS (documented fail-loud divergence " +
+       "from the NULLing non-ANSI decimal sum)") {
+    // 2^127-ish magnitude: hi = Long.MinValue is -2^127 + lo
+    intercept[ArithmeticException] {
+      Sum128.toDecimal(Long.MinValue, 0L)
+    }
+    // and just past the decimal cap from the positive side: 10^38
+    val tenPow38 = BigInt(10).pow(38)
+    intercept[ArithmeticException] {
+      Sum128.toDecimal((tenPow38 >> 64).toLong, tenPow38.toLong)
+    }
+    // the cap itself minus one is representable
+    val cap = tenPow38 - 1
+    assert(Sum128.toDecimal((cap >> 64).toLong, cap.toLong)
+      .toBigDecimal === BigDecimal(cap))
   }
 
   test("works as a window function, equal to the decimal-sum frame") {
