@@ -64,6 +64,25 @@ object ProbeBench {
         hist.filter($"doc_id" % increments === i),
         "doc_id", "sig", 4, 4, idx, append = i != 0))._1
     }
+    // SELF-MAINTAINED twin: same increments through the scheduling
+    // policy (growthFactor=2 at filesPerBand=8 → compact past 64 files)
+    // — the deployed shape; its probe must track the compacted curve,
+    // not the multifile one
+    val idxM = java.nio.file.Files
+      .createTempDirectory("graft-probe-bench-maint").toString
+    var nCompactions = 0
+    val maintSecs = (0 until increments).map { i =>
+      time {
+        if (graft.operators.DedupOps.appendBandedIndexMaintained(
+          hist.filter($"doc_id" % increments === i),
+          "doc_id", "sig", 4, 4, idxM, growthFactor = 2)) nCompactions += 1
+      }._1
+    }
+    val maintSec = probe(graft.operators.DedupOps.lshProbeCandidatesStored(
+      spark, idxM, batch, "doc_id", "sig", 4, 4))
+    val nPairsMaint = graft.operators.DedupOps.lshProbeCandidatesStored(
+      spark, idxM, batch, "doc_id", "sig", 4, 4).count()
+
     val memSec = probe(graft.operators.DedupOps.lshProbeCandidates(
       hist, batch, "doc_id", "sig", 4, 4))
     val multiSec = probe(graft.operators.DedupOps.lshProbeCandidatesStored(
@@ -78,15 +97,20 @@ object ProbeBench {
       hist, batch, "doc_id", "sig", 4, 4).count()
     require(nPairs == nPairsMem,
       s"stored/in-memory probes disagree: $nPairs vs $nPairsMem")
+    require(nPairsMaint == nPairsMem,
+      s"maintained/in-memory probes disagree: $nPairsMaint vs $nPairsMem")
     println(s"""{"metric":"probe_bench","sf":"$sfDir",""" +
       s""""hist_docs":$nHist,"batch_docs":$nBatch,""" +
       s""""increments":$increments,""" +
       s""""build_index_sec":${buildSecs.sum},""" +
       s""""build_last_increment_sec":${buildSecs.last},""" +
+      s""""maintained_build_sec":${maintSecs.sum},""" +
+      s""""maintained_compactions":$nCompactions,""" +
       s""""probe_inmemory_sec":$memSec,""" +
       s""""probe_stored_multifile_sec":$multiSec,""" +
       s""""compact_sec":$compactSec,""" +
-      s""""probe_stored_compacted_sec":$storedSec,"pairs":$nPairs}""")
+      s""""probe_stored_compacted_sec":$storedSec,""" +
+      s""""probe_stored_maintained_sec":$maintSec,"pairs":$nPairs}""")
     spark.stop()
   }
 

@@ -539,6 +539,43 @@ object DedupOps {
     markComplete(increment.sparkSession, path)
   }
 
+  /** Self-maintaining append for the stored index — the compaction
+    * SCHEDULING POLICY the crossover measurement demands
+    * (PROBEBENCH.json: the stored probe only beats in-memory re-banding
+    * PROVIDED compaction runs; the as-appended multi-file layout gives
+    * most of the win back). Appends the increment, then compacts when
+    * the physical layout has degraded past `growthFactor` × the
+    * single-writer layout: parquet files > bands × filesPerBand ×
+    * growthFactor. Each append lays down ≤ bands × filesPerBand files,
+    * so the policy bounds the probe's per-band file fan-out at
+    * ~growthFactor × filesPerBand and amortizes one whole-index rewrite
+    * over `growthFactor` increments — O(history/increment) amortized
+    * write cost, same asymptotics as LSM level compaction. Returns true
+    * iff a compaction ran (callers log/meter it).
+    *
+    * First call may create the index (append=false when `path` has no
+    * complete index yet); crashed prior swaps are healed first by
+    * [[compactBandedIndex]]'s recovery preamble. */
+  def appendBandedIndexMaintained(increment: DataFrame, idCol: String,
+      sigCol: String, bands: Int, rowsPerBand: Int, path: String,
+      filesPerBand: Int = 8, growthFactor: Int = 4,
+      onPhase: String => Unit = _ => ()): Boolean = {
+    val spark = increment.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val exists =
+      fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))
+    writeBandedIndex(increment, idCol, sigCol, bands, rowsPerBand, path,
+      filesPerBand, append = exists)
+    val nFiles = fs.globStatus(
+      new org.apache.hadoop.fs.Path(root, "band=*/*.parquet")).length
+    if (nFiles > bands.toLong * filesPerBand * growthFactor) {
+      compactBandedIndex(spark, path, filesPerBand, onPhase)
+      true
+    } else false
+  }
+
   /** Completeness marker for the stored index, written EXPLICITLY after a
     * successful write: under `partitionOverwriteMode=dynamic` Spark's
     * dynamic-overwrite commit path emits no `_SUCCESS`, so

@@ -119,6 +119,43 @@ class BandedIndexSpec extends SparkSpec {
     }
   }
 
+  test("self-maintaining append: the growth-factor policy compacts when " +
+       "the layout degrades and never changes probe results") {
+    import java.nio.file.{Files, Paths}
+    val batch = signed.limit(50)
+    val idx = Files.createTempDirectory("graft-bidx-maintained").toString
+    def nFiles() = java.nio.file.Files.walk(Paths.get(idx))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    // bands=4, filesPerBand=2, growthFactor=2 → compact past 16 files;
+    // each append lays down ≤ 8, so the trigger must fire within the
+    // first 8 increments and keep the layout bounded thereafter
+    val compactions = (0 until 8).map { m =>
+      DedupOps.appendBandedIndexMaintained(
+        signed.filter($"doc_id" % 8 === m), "doc_id", "sig", 4, 4, idx,
+        filesPerBand = 2, growthFactor = 2)
+    }
+    assert(compactions.exists(identity),
+      "the growth trigger never fired across 8 appends")
+    assert(nFiles() <= 4L * 2 * 2 + 8,
+      s"maintained layout unbounded: ${nFiles()} files")
+    // parity: the maintained index probes identically to in-memory
+    // re-banding over the full corpus
+    val stored = DedupOps.lshProbeCandidatesStored(spark, idx, batch,
+      "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+    val mem = DedupOps.lshProbeCandidates(signed, batch,
+      "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+    assert(stored === mem)
+    assert(stored.nonEmpty)
+    // a generous growth factor is a no-op policy: no compaction fires
+    val idx2 = Files.createTempDirectory("graft-bidx-noop").toString
+    val fired = (0 until 3).map { m =>
+      DedupOps.appendBandedIndexMaintained(
+        signed.filter($"doc_id" % 3 === m), "doc_id", "sig", 4, 4, idx2,
+        filesPerBand = 2, growthFactor = 1000)
+    }
+    assert(!fired.exists(identity))
+  }
+
   test("a PARTIAL live directory (no _SUCCESS — the non-atomic-rename " +
        "casualty) is never blessed as whole: recovery rolls forward over " +
        "it when a complete compact set exists, and fails loudly when no " +
