@@ -26,6 +26,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Sum128(children.head).toAggregateExpression()
       }))
     ext.injectFunction((
+      new FunctionIdentifier("sumsq128"),
+      new ExpressionInfo(classOf[SumSq128].getName, "sumsq128"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"sumsq128 expects 1 argument, got ${children.length}")
+        SumSq128(children.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sumprod128"),
+      new ExpressionInfo(classOf[SumProd128].getName, "sumprod128"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"sumprod128 expects 2 arguments, got ${children.length}")
+        SumProd128(children(0), children(1)).toAggregateExpression()
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("sorted_overlap_count"),
       new ExpressionInfo(classOf[SortedOverlapCount].getName, "sorted_overlap_count"),
       (children: Seq[Expression]) => SortedOverlapCount(children(0), children(1))))

@@ -627,6 +627,17 @@ class PlanQualitySpec extends SparkSpec {
            |""".stripMargin).head()
       assert(agg.getString(0) ===
         (BigInt(Long.MaxValue) * 2 + 5).toString)
+      // second/cross moments: per-row square past 2^63 stays exact
+      val agg2 = s2.sql(
+        s"""SELECT CAST(sumsq128(x) AS STRING) AS sq,
+           |       CAST(sumprod128(x, y) AS STRING) AS sp
+           |FROM VALUES (${Long.MaxValue}L, 3L), (-4L, ${Long.MinValue}L)
+           |  t(x, y)
+           |""".stripMargin).head()
+      assert(agg2.getString(0) ===
+        (BigInt(Long.MaxValue).pow(2) + 16).toString)
+      assert(agg2.getString(1) ===
+        (BigInt(Long.MaxValue) * 3 + BigInt(-4) * BigInt(Long.MinValue)).toString)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
