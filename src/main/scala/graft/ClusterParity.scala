@@ -35,7 +35,11 @@ object ClusterParity {
     "dedup_containment_verified", // SortedLongOverlapCount + OptimizerBarrier
     "text_quality_score",     // StringSetCount codegen kernel
     "dedup_minhash_delta_stored", // stored banded index: executor-side write+pruned read
-    "stats_correlation",      // Sum128: int128 partial-merge carries across executors
+    "stats_correlation",      // full int128 family: Sum128 + SumSq128 +
+                              // SumProd128 partial-merge carries across
+                              // executors in ONE aggregate
+    "gold_sharpe_ratio",      // SumSq128 over per-user groups (the
+                              // >2^63-per-row-square domain) + window lag
     "streaming_funnel_fsm")   // REAL flatMapGroupsWithState run (below)
 
   /** The one non-registry entry: an actual Structured Streaming run of
