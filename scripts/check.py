@@ -13,6 +13,12 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# GRAFT_DUCKDB_PRAGMAS: semicolon-separated SET statements for large-SF
+# sweeps (e.g. "SET threads=8;SET temp_directory='.tmp'" — DuckDB's
+# per-thread operator buffers are what OOM first on 150k-doc oracles)
+for stmt in os.environ.get("GRAFT_DUCKDB_PRAGMAS", "").split(";"):
+    if stmt.strip():
+        con.execute(stmt)
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
