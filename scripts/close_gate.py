@@ -41,49 +41,66 @@ def main():
     rnd = int(sys.argv[1])
     errs = []
 
-    # 1. correctness artifact: driver's, else the builder's own. Any ONE
-    #    clean candidate satisfies the gate; problems with the OTHER
-    #    candidates are warnings, not failures (a stale-empty driver
-    #    artifact must not veto a clean builder artifact).
+    # 1. correctness artifact: driver's, else the builder's own. A clean
+    #    candidate satisfies the gate; STALE/EMPTY/UNPARSEABLE other
+    #    candidates are demoted to warnings (a stale-empty driver artifact
+    #    must not veto a clean builder artifact) — but a candidate that
+    #    records REAL FAILs is a hard error unless the clean artifact is
+    #    at least as recent as the failing one. Before this rule, a
+    #    builder's self-reported clean artifact could silently override an
+    #    independent driver artifact that recorded failures.
     ok_correctness = False
-    cand_problems = []
-    for cand in (f"CORRECTNESS_r{rnd:02d}.json", f"CORRECTNESS_r{rnd}.json",
-                 f"CORRECTNESS_r{rnd:02d}_builder.json",
-                 f"CORRECTNESS_r{rnd}_builder.json"):
+    clean_mtime = None
+    soft_problems = []           # empty / unparseable / zero-queries
+    fail_problems = []           # (message, mtime) — nfail > 0
+    for cand in dict.fromkeys(  # dedupe: r{N:02d} ≡ r{N} for N ≥ 10
+            (f"CORRECTNESS_r{rnd:02d}.json", f"CORRECTNESS_r{rnd}.json",
+             f"CORRECTNESS_r{rnd:02d}_builder.json",
+             f"CORRECTNESS_r{rnd}_builder.json")):
         p = os.path.join(REPO, cand)
         if not os.path.exists(p):
             continue
         try:
             data = load(cand)
         except Exception as e:
-            cand_problems.append(f"{cand}: unparseable JSON ({e})")
+            soft_problems.append(f"{cand}: unparseable JSON ({e})")
             continue
         if not data:
-            cand_problems.append(f"{cand}: EMPTY artifact — verifies nothing")
+            soft_problems.append(f"{cand}: EMPTY artifact — verifies nothing")
             continue
         queries = data.get("queries", data)
         if not queries:
-            cand_problems.append(f"{cand}: zero queries recorded")
+            soft_problems.append(f"{cand}: zero queries recorded")
             continue
         nfail = data.get("fail")
         if nfail is None:  # driver shape: per-query dicts
             nfail = sum(1 for v in queries.values()
                         if isinstance(v, dict) and v.get("hash_match") is False)
         if nfail:
-            cand_problems.append(
-                f"{cand}: {nfail} FAILs recorded — not a clean close")
+            fail_problems.append(
+                (f"{cand}: {nfail} FAILs recorded — not a clean close",
+                 os.path.getmtime(p)))
             continue
-        print(f"OK correctness: {cand} ({len(queries)} queries, 0 fail)")
-        ok_correctness = True
-        break
+        if not ok_correctness:  # first clean candidate wins (driver first)
+            print(f"OK correctness: {cand} ({len(queries)} queries, 0 fail)")
+            ok_correctness = True
+            clean_mtime = os.path.getmtime(p)
     if ok_correctness:
-        for w in cand_problems:
+        for w in soft_problems:
             print(f"WARN (other candidate): {w}")
-    elif cand_problems:
-        errs.extend(cand_problems)
+        for msg, mt in fail_problems:
+            if mt > clean_mtime:
+                errs.append(f"{msg} (and it is NEWER than the clean "
+                            "artifact — a clean candidate cannot override "
+                            "more recent recorded failures)")
+            else:
+                print(f"WARN (superseded by newer clean artifact): {msg}")
     else:
-        errs.append(f"no correctness artifact for round {rnd} "
-                    f"(CORRECTNESS_r{rnd}.json or _builder variant)")
+        errs.extend(soft_problems)
+        errs.extend(msg for msg, _ in fail_problems)
+        if not soft_problems and not fail_problems:
+            errs.append(f"no correctness artifact for round {rnd} "
+                        f"(CORRECTNESS_r{rnd}.json or _builder variant)")
 
     # 2. bench artifact sanity
     for cand in (f"BENCH_r{rnd:02d}.json", f"BENCH_r{rnd}.json"):

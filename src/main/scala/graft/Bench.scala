@@ -162,16 +162,36 @@ object Bench {
     // the artifact names the commit it measured (close_gate's recency
     // check: the last src/ commit must be an ancestor of this hash — a
     // bench predating the code it claims to measure can't close a round)
+    // git is run against the repo that CONTAINS this code, not whatever
+    // directory the JVM happened to start in — launched from outside the
+    // repo root, a cwd-relative rev-parse fails silently, git_head is
+    // omitted, and close_gate degrades to the weaker mtime fallback with
+    // no indication why. Walk up from user.dir to the nearest .git.
+    val repoRoot: java.io.File = {
+      var d = new java.io.File(sys.props("user.dir")).getCanonicalFile
+      var found: Option[java.io.File] = None
+      while (d != null && found.isEmpty) {
+        if (new java.io.File(d, ".git").exists()) found = Some(d)
+        d = d.getParentFile
+      }
+      found.getOrElse(new java.io.File(sys.props("user.dir")))
+    }
     def gitLine(args: String*): Option[String] =
       try {
-        val p = new ProcessBuilder(("git" +: args): _*).start()
+        val p = new ProcessBuilder(("git" +: args): _*)
+          .directory(repoRoot).start()
         val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
         if (p.waitFor() == 0) Some(out) else None
       } catch { case _: Throwable => None }
     val gitJson = gitLine("rev-parse", "HEAD").map { h =>
       val dirty = gitLine("status", "--porcelain").exists(_.nonEmpty)
       s""","git_head":${jstr(h)},"git_dirty":$dirty"""
-    }.getOrElse("")
+    }.getOrElse {
+      System.err.println(s"[bench] WARNING: git rev-parse failed under " +
+        s"$repoRoot — artifact will carry no git_head and close_gate " +
+        "falls back to mtime recency")
+      ""
+    }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"deployed_sec":$deployedSec,"gate_sec":$gateSec,"queries":$qs$errJson$rerunJson$gitJson,"sf":"$sfDir"}"""
     println(line)
     // driver output tails can truncate the per-query map on long registries;
