@@ -5,20 +5,53 @@ compares each query's parquet output against its DuckDB oracle.
 
 Usage: python3 scripts/check.py [sfDir] [outDir]
 """
-import json, sys, glob, os
+import json, sys, glob, os, re, subprocess
 import duckdb
 import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
+# Sweep mode = a per-oracle timeout is set (GRAFT_ORACLE_TIMEOUT > 0);
+# read it early because the default pragmas key off it.
+TIMEOUT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+
 con = duckdb.connect()
-# GRAFT_DUCKDB_PRAGMAS: semicolon-separated SET statements for large-SF
-# sweeps (e.g. "SET threads=8;SET temp_directory='.tmp'" — DuckDB's
-# per-thread operator buffers are what OOM first on 150k-doc oracles)
-for stmt in os.environ.get("GRAFT_DUCKDB_PRAGMAS", "").split(";"):
+# GRAFT_DUCKDB_PRAGMAS: semicolon-separated SET statements, overriding the
+# defaults below. In SWEEP mode the thread cap is ON BY DEFAULT: the r12
+# sf3 triage root-caused both stragglers (graph_kcore OOM ~100 GB,
+# dedup_keep_best_quality > 900 s) to DuckDB's per-thread operator buffers
+# at 32 threads — `SET threads=8` value-passed both, so heavy sweeps start
+# there instead of rediscovering it. Spill goes to ./.tmp (gitignored).
+pragmas = os.environ.get("GRAFT_DUCKDB_PRAGMAS")
+if pragmas is None and TIMEOUT > 0:
+    pragmas = "SET threads=8;SET temp_directory='.tmp'"
+    print(f"[check] sweep-mode DuckDB defaults: {pragmas} "
+          "(override with GRAFT_DUCKDB_PRAGMAS)")
+for stmt in (pragmas or "").split(";"):
     if stmt.strip():
         con.execute(stmt)
+
+# Sweep-mode ceiling audit: every detcast adjudication carries a numeric
+# SF ceiling; sweeping at or above one means the boundedness argument no
+# longer holds and a value divergence is EXPECTED, so fail before wasting
+# the sweep (the r11 gini class, pre-discovered). SF parsed from the data
+# dir name (…/sf3 → 3).
+if TIMEOUT > 0:
+    m = re.search(r"sf([0-9]*\.?[0-9]+)$", os.path.basename(sf.rstrip("/")))
+    if m:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "detcast.py"),
+             "--sf", m.group(1)]
+            + sorted(glob.glob(f"{repo}/src/main/scala/graft/queries/*.scala")))
+        if r.returncode != 0:
+            sys.exit(f"[check] detcast ceiling audit FAILED at sf{m.group(1)} "
+                     "— an adjudicated bound does not hold at this sweep SF; "
+                     "route the oracle or re-adjudicate before sweeping")
+    else:
+        print(f"[check] WARNING: cannot parse an SF out of '{sf}' — "
+              "detcast ceiling audit skipped")
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
@@ -36,11 +69,10 @@ def canon(df):
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
-# Optional per-oracle wall-clock cap (seconds) for large-SF sweeps: the
+# Per-oracle wall-clock cap (seconds, set above) for large-SF sweeps: the
 # ENGINE result is already on disk — a timeout marks the DuckDB twin as
 # infeasible at this SF (reported separately, never a FAIL). 0 = no cap.
 import threading
-TIMEOUT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
 timeouts = []
 
 fails, passes, skips = [], [], []

@@ -189,6 +189,16 @@ def main():
     else:
         print("OK detcast: " + det.stdout.strip())
 
+    # 4b. the ceiling machinery itself must work (a synthetic over-ceiling
+    #     entry must trip) and every adjudication must carry a ceiling
+    ct = subprocess.run([sys.executable,
+                         os.path.join(REPO, "scripts/test_detcast_ceilings.py")],
+                        capture_output=True, text=True)
+    if ct.returncode != 0:
+        errs.append("detcast ceiling self-test FAILED:\n" + ct.stderr.strip())
+    else:
+        print("OK " + ct.stdout.strip())
+
     # 5. clean working tree
     st = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
                         capture_output=True, text=True).stdout.strip()

@@ -15,41 +15,52 @@ inside the .scala query files' SQL strings and fails loudly on any site
 that (a) is not string-routed and (b) is not in the ALLOW list below.
 Every ALLOW entry must state why the sum stays under 2^53 at any
 plausible SF (bounded window frame, row-count magnitude, or the sum is
-already DOUBLE-typed so the cast is a no-op). New unsafe sites fail the
-close gate until routed or adjudicated here.
+already DOUBLE-typed so the cast is a no-op) AND encode that bound as a
+MACHINE-CHECKED numeric SF ceiling (the 4th tuple element; None = the
+bound does not scale with SF). A sweep at SF >= an entry's ceiling
+disables that entry, so the audit fails loud BEFORE the sweep would
+discover the divergence the hard way (the r11 gini class, automated).
+New unsafe sites fail the close gate until routed or adjudicated here.
 
-Usage: python3 scripts/detcast.py src/main/scala/graft/queries/*.scala
+Usage: python3 scripts/detcast.py [--sf N] src/main/scala/graft/queries/*.scala
+  --sf N   audit for a sweep at scale factor N: allow entries whose
+           ceiling is <= N are treated as UNROUTED (scripts/check.py
+           passes this automatically in sweep mode).
 Exit 0 = every site routed or allowlisted; exit 1 lists violations.
 """
 import re
 import sys
 
-# (file suffix, substring that identifies the site, boundedness reason)
+# (file suffix, site-identifying substring, boundedness reason, SF ceiling)
+# ceiling: the sweep scale factor at/above which the boundedness argument
+# no longer holds (None = SF-independent bound, e.g. a fixed window frame
+# or a DOUBLE-typed summand). Audits run with --sf N DISABLE every entry
+# whose ceiling is <= N.
 ALLOW = [
     ("GoldQueries.scala", "AS BIGINT)) OVER w AS DOUBLE",
-     "7-row window frame: <= 7 rows of cents, ~1e7 max"),
+     "7-row window frame: <= 7 rows of cents, ~1e7 max", None),
     ("GoldQueries.scala", "(sum(xi) OVER w)::DOUBLE",
-     "7-row window frame over 1e6-scaled daily means, ~1e9 max"),
+     "7-row window frame over 1e6-scaled daily means, ~1e9 max", None),
     ("GoldQueries.scala", "sum(di)::DOUBLE",
      "grouped by day-of-week over the dataset's date span; di ~1e8, "
-     "ceiling ~1e5 years of days"),
+     "ceiling ~1e5 years of days", None),
     ("EventQueries.scala", "sum(cents)::DOUBLE",
      "per-group mean of ~1e4-magnitude cents: 2^53 needs ~1e12 rows "
-     "per group (~sf1e7)"),
+     "per group (~sf1e7)", 1e7),
     ("StatsQueries.scala", "sum(np)::DOUBLE",
-     "np/nt are per-decile row counts: < total rows << 2^53"),
+     "np/nt are per-decile row counts: < total rows << 2^53", 1e9),
     ("StatsQueries.scala", "sum(term)::DOUBLE",
-     "term is DOUBLE-typed (log2/chi2 contribution); cast is a no-op"),
+     "term is DOUBLE-typed (log2/chi2 contribution); cast is a no-op", None),
     ("StatsQueries.scala", "sum((greatest(c_ref::DOUBLE",
-     "summand is DOUBLE-typed (PSI contribution); sum is DOUBLE"),
+     "summand is DOUBLE-typed (PSI contribution); sum is DOUBLE", None),
     ("HygieneQueries.scala", "sum(n_docs)::DOUBLE",
-     "corpus document count << 2^53 at any SF"),
+     "corpus document count << 2^53 at any SF", 1e11),
     ("TextQueries.scala", "(sum(w*w))::DOUBLE",
-     "w is a DOUBLE tf-idf weight; sum is DOUBLE already"),
+     "w is a DOUBLE tf-idf weight; sum is DOUBLE already", None),
     ("VectorQueries.scala", "list_sum([CASE WHEN list_sum([v[j+1]*",
-     "64-element list_sum of DOUBLE components; DOUBLE already"),
+     "64-element list_sum of DOUBLE components; DOUBLE already", None),
     ("ExtQueries.scala", "list_sum([ascii(text[i]",
-     "per-row byte sum, bounded by document length"),
+     "per-row byte sum, bounded by document length", None),
 ]
 
 SUM = re.compile(r'(?<![\w.])sum\s*\(', re.IGNORECASE)
@@ -120,44 +131,44 @@ def double_conversions(text):
 IMPLICIT_ALLOW = [
     # ---- summand is DOUBLE-typed: the sum is DOUBLE, no conversion ----
     ("RelationalQueries.scala", "sum(l_quantity)",
-     "l_quantity is DOUBLE-typed; DOUBLE sum, no integer promotion"),
+     "l_quantity is DOUBLE-typed; DOUBLE sum, no integer promotion", None),
     ("RelationalQueries.scala", "sum(CASE WHEN l_returnflag",
-     "l_quantity CASE arms are DOUBLE-typed; DOUBLE sum"),
+     "l_quantity CASE arms are DOUBLE-typed; DOUBLE sum", None),
     ("GoldQueries.scala", "sum(l_quantity)",
-     "l_quantity is DOUBLE-typed; DOUBLE sum, no integer promotion"),
+     "l_quantity is DOUBLE-typed; DOUBLE sum, no integer promotion", None),
     ("EventQueries.scala", "sum(w) OVER (PARTITION BY src)",
-     "w is count(*)::DOUBLE (markov edge weight); DOUBLE sum"),
+     "w is count(*)::DOUBLE (markov edge weight); DOUBLE sum", None),
     ("StatsQueries.scala", "sum(n * m)",
-     "anova group moments: n is count(*)::DOUBLE, m prerounded DOUBLE"),
+     "anova group moments: n is count(*)::DOUBLE, m prerounded DOUBLE", None),
     ("StatsQueries.scala", "sum(n)",
-     "anova n is count(*)::DOUBLE; DOUBLE sum"),
+     "anova n is count(*)::DOUBLE; DOUBLE sum", None),
     ("StatsQueries.scala", "sum((n - 1) * v)",
-     "anova n, v are DOUBLE-typed prerounded moments; DOUBLE sum"),
+     "anova n, v are DOUBLE-typed prerounded moments; DOUBLE sum", None),
     ("StatsQueries.scala", "sum(n * (m - grand_mean)",
-     "anova SSB summand is DOUBLE-typed prerounded moments; DOUBLE sum"),
+     "anova SSB summand is DOUBLE-typed prerounded moments; DOUBLE sum", None),
     ("HygieneQueries.scala", "sum(ln(p_tgt)",
-     "DSIR summand is a DOUBLE log-ratio; DOUBLE sum"),
+     "DSIR summand is a DOUBLE log-ratio; DOUBLE sum", None),
     # ---- integer sums adjudicated bounded (< 2^53 at any plausible SF) --
     ("EventQueries.scala", "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 1e2",
      "per-window/session/campaign event cents: ~1e10 at sf1, 2^53 "
-     "needs ~sf1e5 within one group"),
+     "needs ~sf1e5 within one group", 1e5),
     ("RelationalQueries.scala",
      "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2",
-     "per-measure order cents: ~2e11 at sf1, 2^53 at ~sf4e4"),
+     "per-measure order cents: ~2e11 at sf1, 2^53 at ~sf4e4", 4e4),
     ("GoldQueries.scala", "sum(dur_us)",
-     "TWAP divisor: inter-tick micros per (user, day) <= 8.64e10 << 2^53"),
+     "TWAP divisor: inter-tick micros per (user, day) <= 8.64e10 << 2^53", None),
     ("HygieneQueries.scala", "sum(n))",
-     "gopher dominance divisor: per-doc token count ~1e3 << 2^53"),
+     "gopher dominance divisor: per-doc token count ~1e3 << 2^53", None),
     ("StatsQueries.scala", "sum(nt)",
-     "lift-decile doc counts: < corpus size << 2^53"),
+     "lift-decile doc counts: < corpus size << 2^53", 1e11),
     ("StatsQueries.scala", "sum(xi) / count(*)",
      "half-sample/bootstrap mean numerator: ~1e4-cents x rows, 2^53 "
-     "needs ~1e12 rows (~sf1e6)"),
+     "needs ~1e12 rows (~sf1e6)", 1e6),
     ("RelationalQueries.scala",
      "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 1e2",
-     "per-measure event cents (f4 unpivot): ~1e10 at sf1, 2^53 ~sf1e5"),
+     "per-measure event cents (f4 unpivot): ~1e10 at sf1, 2^53 ~sf1e5", 1e5),
     ("DedupQueries.scala", "sum((floor((quality*1e6)",
-     "1e6-scaled per-doc quality: 2^53 needs ~9e9 kept docs (~sf2e5)"),
+     "1e6-scaled per-doc quality: 2^53 needs ~9e9 kept docs (~sf2e5)", 2e5),
 ]
 
 STOP = re.compile(
@@ -286,8 +297,15 @@ def implicit_violations(path, text):
         if _float_context(inner) and not interior_int:
             continue  # DOUBLE sum already; conversion is a no-op
         snippet = ' '.join(text[s_start:min(s_end + 24, len(text))].split())
-        if any(path.endswith(f) and key in snippet
-               for f, key, _ in IMPLICIT_ALLOW):
+        hit = next((e for e in IMPLICIT_ALLOW
+                    if path.endswith(e[0]) and e[1] in snippet), None)
+        if hit is not None:
+            if _ceiling_ok(hit):
+                continue
+            line = text.count('\n', 0, s_start) + 1
+            out.append((line, "CEILING-EXCEEDED (adjudicated bounded only "
+                        f"below sf{hit[3]:g}, sweep is sf{SWEEP_SF:g}) "
+                        + snippet[:120]))
             continue
         line = text.count('\n', 0, s_start) + 1
         out.append((line, "IMPLICIT " + snippet[:150]))
@@ -303,17 +321,37 @@ def audit(path, text):
                      expr, re.IGNORECASE):
             continue  # string-routed: correctly rounded on both engines
         snippet = ' '.join(text[start:end].split())
-        if any(path.endswith(f) and key in snippet for f, key, _ in ALLOW):
+        hit = next((e for e in ALLOW
+                    if path.endswith(e[0]) and e[1] in snippet), None)
+        if hit is not None and _ceiling_ok(hit):
             continue
         line = text.count('\n', 0, start) + 1
-        violations.append((line, snippet[:160]))
+        if hit is not None:
+            violations.append((line, "CEILING-EXCEEDED (adjudicated bounded "
+                               f"only below sf{hit[3]:g}, sweep is "
+                               f"sf{SWEEP_SF:g}) " + snippet[:120]))
+        else:
+            violations.append((line, snippet[:160]))
     violations.extend(implicit_violations(path, text))
     return violations
 
 
+# The sweep SF under audit (None = gate mode: every adjudication holds).
+SWEEP_SF = None
+
+
+def _ceiling_ok(entry):
+    ceiling = entry[3]
+    return ceiling is None or SWEEP_SF is None or SWEEP_SF < ceiling
+
+
 if __name__ == '__main__':
+    argv = sys.argv[1:]
+    if argv and argv[0] == '--sf':
+        SWEEP_SF = float(argv[1])
+        argv = argv[2:]
     bad = 0
-    for path in sys.argv[1:]:
+    for path in argv:
         with open(path) as f:
             src = f.read()
         for line, snippet in audit(path, src):
@@ -325,5 +363,7 @@ if __name__ == '__main__':
               "::VARCHAR::DOUBLE (oracle-only) or add an ALLOW entry with "
               "a boundedness reason", file=sys.stderr)
         sys.exit(1)
+    scope = (f" at sweep sf{SWEEP_SF:g} (every adjudication ceiling holds)"
+             if SWEEP_SF is not None else "")
     print("detcast: every sum()->DOUBLE conversion is string-routed or "
-          "adjudicated bounded")
+          "adjudicated bounded" + scope)

@@ -516,10 +516,15 @@ object DedupOps {
     * sorted on `bucket` (`repartitionByRange` + `sortWithinPartitions`),
     * so every row group carries tight bucket min/max stats and a probe's
     * bucket IN-list prunes at the parquet-footer level — the read cost of
-    * a probe is the occupied row groups, not the corpus. `append = true`
-    * adds an increment's postings without touching prior files; pair it
-    * with an [[graft.io.PartitionLedger]] mark per increment so re-runs
-    * are idempotent (spec'd in BandedIndexSpec).
+    * a probe is the occupied row groups, not the corpus. Commit is
+    * MANIFEST-POINTER (see the commit-layer notes below): each call
+    * writes one immutable `seg-*` directory and publishes a new manifest
+    * generation; `append = true` lists the prior generation's segments
+    * plus the new one, `append = false` lists only the new one (an
+    * explicit reset — prior segments become garbage and are swept).
+    * A crash at any point leaves the previous generation live and intact.
+    * Pair appends with an [[graft.io.PartitionLedger]] mark per increment
+    * so re-runs are idempotent (spec'd in BandedIndexSpec).
     *
     * When to use (measured — PROBEBENCH.json, history:batch = 99:1,
     * 8 increments): the COMPACTED stored probe beats re-banding the
@@ -530,13 +535,187 @@ object DedupOps {
   def writeBandedIndex(increment: DataFrame, idCol: String, sigCol: String,
                        bands: Int, rowsPerBand: Int, path: String,
                        filesPerBand: Int = 8, append: Boolean = false): Unit = {
+    val spark = increment.sparkSession
+    val fs = indexFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    // appending to a pre-manifest (directory-swap era) index is refused —
+    // its commit state can't be trusted; an explicit OVERWRITE discards
+    // whatever is there by intent, so legacy debris is simply cleared
+    if (append) requireNotLegacy(fs, base)
+    val prior = latestManifest(fs, base)
+    val gen = prior.map(_.maxSeenGen).getOrElse(0) + 1
+    val seg = segName(gen)
     bandedPostings(increment, idCol, sigCol, bands, rowsPerBand)
       .repartitionByRange(bands * filesPerBand, col("band"), col("bucket"))
       .sortWithinPartitions(col("bucket"))
-      .write.mode(if (append) "append" else "overwrite")
+      .write.mode("overwrite")
       .partitionBy("band")
-      .parquet(path)
-    markComplete(increment.sparkSession, path)
+      .parquet(new org.apache.hadoop.fs.Path(base, seg).toString)
+    val live = (if (append) prior.map(_.segments).getOrElse(Nil) else Nil) :+ seg
+    publishManifest(fs, base, gen, live)
+    gcUnreferenced(fs, base, live.toSet)
+    if (!append) { // sweep legacy root-level band dirs + marker, if any
+      fs.globStatus(new org.apache.hadoop.fs.Path(base, "band=*"))
+        .foreach(st => fs.delete(st.getPath, true))
+      fs.delete(new org.apache.hadoop.fs.Path(base, "_SUCCESS"), false)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Manifest-pointer commit layer for the stored index — the table-format
+  // approach (cf. Iceberg/Delta's metadata pointer). The index root holds
+  // immutable `seg-*` postings directories plus `_manifests/NNNNNNNN.json`
+  // generation files; the LIVE state is the highest-numbered PARSEABLE
+  // manifest, nothing is ever inferred from directory contents, and no
+  // directory is ever renamed. Commit = publish one tiny new manifest
+  // file; every earlier crash point leaves only unreferenced garbage that
+  // [[recoverBandedIndex]] (or the next write's post-publish GC) sweeps.
+  // Correctness does NOT rely on an atomic file rename: a torn/partial
+  // manifest fails to parse and the reader falls back to the previous
+  // generation — by construction a torn manifest means its writer crashed
+  // MID-PUBLISH, i.e. before that transaction's GC, so every segment the
+  // previous generation references is still on disk. (The publish still
+  // goes through write-temp + single-FILE rename as a fast path; on an
+  // object store that rename is one atomic object copy.)
+  // Single writer assumed, as with any external-maintenance index; readers
+  // are lock-free and always see a committed generation.
+  // ---------------------------------------------------------------------
+
+  private[graft] case class BandedManifest(generation: Int,
+      segments: Seq[String], maxSeenGen: Int)
+
+  private def indexFs(spark: org.apache.spark.sql.SparkSession,
+                      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(base: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(base, "_manifests")
+
+  private def segName(gen: Int): String =
+    f"seg-$gen%08d-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Pre-manifest (r12-era) indexes committed via directory swap — a
+    * layout this reader must never silently misread as "no index". */
+  private def requireNotLegacy(fs: org.apache.hadoop.fs.FileSystem,
+                               base: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(manifestDir(base)) && fs.exists(base) &&
+        fs.globStatus(new org.apache.hadoop.fs.Path(base, "band=*"))
+          .nonEmpty)
+      throw new IllegalStateException(
+        s"banded index at $base uses the pre-manifest directory-swap " +
+          "layout — rebuild it with writeBandedIndex (the manifest-pointer " +
+          "layout); in-place migration is deliberately not attempted")
+
+  /** The live generation: highest-numbered manifest that PARSES. A torn
+    * top manifest (crashed mid-publish — its transaction never committed)
+    * is skipped with a warning; `maxSeenGen` still counts it so the next
+    * publish never reuses its number. */
+  private[graft] def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Option[BandedManifest] = {
+    val md = manifestDir(base)
+    if (!fs.exists(md)) return None
+    val gens = fs.listStatus(md).map(_.getPath.getName)
+      .filter(_.matches("\\d{8}\\.json"))
+      .map(_.stripSuffix(".json").toInt)
+      .sorted(Ordering[Int].reverse)
+    if (gens.isEmpty) return None
+    val maxSeen = gens.head
+    gens.iterator.flatMap { g =>
+      val p = new org.apache.hadoop.fs.Path(md, f"$g%08d.json")
+      try {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(txt)
+        val segs = {
+          val it = node.get("segments").elements()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }
+        Some(BandedManifest(g, segs, maxSeen))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[banded-index] skipping torn/unparseable " +
+            s"manifest $p (${e.getMessage}) — falling back to the " +
+            "previous generation")
+          None
+      }
+    }.nextOption()
+  }
+
+  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, gen: Int,
+      segments: Seq[String]): Unit = {
+    val md = manifestDir(base)
+    fs.mkdirs(md)
+    val json = segments.map(s => "\"" + s + "\"")
+      .mkString(s"""{"generation":$gen,"segments":[""", ",", "]}")
+    val tmp = new org.apache.hadoop.fs.Path(md,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(md, f"$gen%08d.json")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"manifest publish failed: $tmp -> $dst (concurrent writer?)")
+    }
+  }
+
+  /** Sweep everything the live generation does not reference: orphaned
+    * `seg-*` directories (crashed writes/compactions), tmp manifest
+    * files, and manifests older than the live one (their segments are
+    * gone once this runs, so keeping them would only invite a misread). */
+  private def gcUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, live: Set[String]): Unit = {
+    fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("seg-") && !live(n)) fs.delete(st.getPath, true)
+    }
+    val md = manifestDir(base)
+    val liveGen = latestManifest(fs, base).map(_.generation).getOrElse(0)
+    if (fs.exists(md)) fs.listStatus(md).foreach { st =>
+      val n = st.getPath.getName
+      val stale = n.startsWith(".tmp-") ||
+        (n.matches("\\d{8}\\.json") &&
+          n.stripSuffix(".json").toInt < liveGen)
+      if (stale) fs.delete(st.getPath, false)
+    }
+  }
+
+  /** The live postings of the stored index at `path` — resolves the
+    * manifest and reads exactly the referenced segments (each carries its
+    * own `band=*` hive layout, so the partition column survives the
+    * multi-root read). Fails loudly when no committed generation exists:
+    * uncommitted `seg-*` debris from a crashed initial write is NOT an
+    * index. */
+  def readBandedIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    val fs = indexFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    requireNotLegacy(fs, base)
+    val m = latestManifest(fs, base).getOrElse(
+      throw new IllegalStateException(s"no committed banded index at $path"))
+    // one scan per segment, unioned: each segment is its own partition-
+    // discovery root (multi-root discovery rejects sibling roots), and
+    // Catalyst pushes probe filters through the Union into every scan
+    m.segments.map(s => spark.read.parquet(
+        new org.apache.hadoop.fs.Path(base, s).toString))
+      .reduce(_ unionByName _)
+  }
+
+  /** Absolute paths of the live generation's segment directories —
+    * exposed for specs and maintenance tooling. */
+  private[graft] def liveSegments(spark: org.apache.spark.sql.SparkSession,
+                                  path: String): Seq[String] = {
+    val fs = indexFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    latestManifest(fs, base).map(_.segments.map(s =>
+      new org.apache.hadoop.fs.Path(base, s).toString)).getOrElse(Nil)
   }
 
   /** Self-maintaining append for the stored index — the compaction
@@ -554,38 +733,29 @@ object DedupOps {
     * iff a compaction ran (callers log/meter it).
     *
     * First call may create the index (append=false when `path` has no
-    * complete index yet); crashed prior swaps are healed first by
-    * [[compactBandedIndex]]'s recovery preamble. */
+    * COMMITTED generation yet — the manifest, not directory contents, is
+    * what decides: a crashed prior write or compaction leaves the last
+    * committed manifest live, so this never mistakes crash debris for a
+    * fresh path and never overwrites history). */
   def appendBandedIndexMaintained(increment: DataFrame, idCol: String,
       sigCol: String, bands: Int, rowsPerBand: Int, path: String,
       filesPerBand: Int = 8, growthFactor: Int = 4,
       onPhase: String => Unit = _ => ()): Boolean = {
     val spark = increment.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    val exists =
-      fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))
+    val fs = indexFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    requireNotLegacy(fs, base)
+    val exists = latestManifest(fs, base).isDefined
     writeBandedIndex(increment, idCol, sigCol, bands, rowsPerBand, path,
       filesPerBand, append = exists)
-    val nFiles = fs.globStatus(
-      new org.apache.hadoop.fs.Path(root, "band=*/*.parquet")).length
+    val nFiles = latestManifest(fs, base).map(_.segments).getOrElse(Nil)
+      .map(s => fs.globStatus(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(base, s), "band=*/*.parquet")).length)
+      .sum
     if (nFiles > bands.toLong * filesPerBand * growthFactor) {
       compactBandedIndex(spark, path, filesPerBand, onPhase)
       true
     } else false
-  }
-
-  /** Completeness marker for the stored index, written EXPLICITLY after a
-    * successful write: under `partitionOverwriteMode=dynamic` Spark's
-    * dynamic-overwrite commit path emits no `_SUCCESS`, so
-    * [[recoverBandedIndex]]'s decision table cannot rely on the
-    * committer's marker being there. */
-  private def markComplete(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(p, true).close()
   }
 
   /** Maintenance for the stored index: every append lays down its OWN
@@ -597,112 +767,89 @@ object DedupOps {
     * layout [[writeBandedIndex]] produces for a single increment),
     * restoring disjoint per-file bucket ranges.
     *
-    * Crash safety (two-phase swap — single renames only, works on
-    * HDFS/S3A/local alike): the compacted set is written to
-    * `path.__compact__` (with Spark's `_SUCCESS` marker), then the live
-    * index is renamed ASIDE to `path.__old__`, then the compacted set is
-    * renamed in, then `__old__` is deleted. At EVERY crash point at least
-    * one complete copy of the index exists on disk, and
-    * [[recoverBandedIndex]] — run automatically at the start of each
-    * compaction, or standalone after a crash — rolls the swap forward
-    * (compacted set complete) or back (it wasn't). The r9→r10 form
-    * deleted the live index BEFORE renaming the replacement in; a crash
-    * in that window lost the whole index. */
+    * Crash safety (manifest-pointer commit — no directory is ever renamed
+    * or deleted before its replacement is COMMITTED): the compacted set is
+    * written as a fresh immutable `seg-*` directory, then a new manifest
+    * generation naming only it is published, then the superseded segments
+    * are swept. A crash before publish leaves the old generation live and
+    * the new segment as unreferenced garbage; a crash after publish
+    * leaves the new generation live and the old segments as garbage —
+    * readers see a committed generation at EVERY point, on object stores
+    * as well as HDFS/local, because commit is one small-file creation
+    * rather than a directory swap. (The r11/r12 form renamed directories
+    * through `__old__`/`__compact__` siblings; on S3A a directory rename
+    * is a non-atomic copy+delete, so a crash mid-rename could leave no
+    * complete copy — the exact window the manifest closes.) */
   def compactBandedIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, filesPerBand: Int = 8,
                          onPhase: String => Unit = _ => ()): Unit = {
-    recoverBandedIndex(spark, path) // heal any prior crashed swap first
-    val postings = spark.read.parquet(path)
+    val fs = indexFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    requireNotLegacy(fs, base)
+    val m = latestManifest(fs, base).getOrElse(
+      throw new IllegalStateException(s"no committed banded index at $path"))
+    val postings = readBandedIndex(spark, path)
       .select(col("id"), col("band"), col("bucket"))
     val bands = postings.agg(countDistinct(col("band"))).head().getLong(0).toInt
-    val base = path.stripSuffix("/")
-    val tmp = base + ".__compact__"
+    val gen = m.maxSeenGen + 1
+    val seg = segName(gen)
     postings
       .repartitionByRange(bands * filesPerBand, col("band"), col("bucket"))
       .sortWithinPartitions(col("bucket"))
-      .write.mode("overwrite").partitionBy("band").parquet(tmp)
-    markComplete(spark, tmp)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(new org.apache.hadoop.fs.Path(base, seg).toString)
     onPhase("written")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val src = new org.apache.hadoop.fs.Path(tmp)
-    val old = new org.apache.hadoop.fs.Path(base + ".__old__")
-    val fs = dst.getFileSystem(conf)
-    if (!fs.rename(dst, old))
-      throw new java.io.IOException(s"compaction aside failed: $path -> $old")
-    onPhase("aside")
-    if (!fs.rename(src, dst)) {
-      fs.rename(old, dst) // immediate rollback; recover() heals if THIS dies
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
-    }
-    onPhase("swapped")
-    fs.delete(old, true)
+    publishManifest(fs, base, gen, Seq(seg))
+    onPhase("published")
+    gcUnreferenced(fs, base, Set(seg))
   }
 
-  /** Recovery for a [[compactBandedIndex]] interrupted at any point.
-    * Decision table (COMPLETE = the directory's `_SUCCESS` marker is
-    * present — [[writeBandedIndex]] and the compaction's temp write lay
-    * one down explicitly after every successful write, so a bare
-    * `exists` is never trusted as "live"; a directory left PARTIAL by a
-    * crashed non-atomic rename has files but no decision weight):
-    *   - live index COMPLETE: the swap never started, or finished without
-    *     its cleanup — delete stray `__compact__` / `__old__` siblings.
-    *   - live index missing/partial, compacted set COMPLETE: crash
-    *     happened around the rename-in — drop any partial live set and
-    *     roll FORWARD (rename `__compact__` in, drop `__old__`).
-    *   - live index missing/partial, `__old__` present: roll BACK (drop
-    *     the partial live/compact sets, rename `__old__` in).
-    *   - live files present but NO complete copy anywhere: fail loudly —
-    *     never silently keep a partial index as if it were whole.
-    *   - nothing present at all: IllegalStateException — the index never
-    *     existed at this path (a typo'd path must fail loudly, not
-    *     "recover" to an empty index).
-    * Idempotent: safe to call when no swap was in flight.
-    *
-    * Scope of the crash-safety claim: exact on atomic-directory-rename
-    * filesystems (HDFS, local). On S3A a directory "rename" is a
-    * non-atomic copy+delete, so a crash MID-rename can leave a directory
-    * that is partial yet carries its `_SUCCESS` object, or destroy the
-    * only complete copy mid-aside — the marker gate narrows but cannot
-    * close that window. At object-store scale, swap a MANIFEST pointer
-    * instead of renaming directories (the table-format approach). */
+  /** Recovery after a crashed write or compaction — under the manifest
+    * protocol this is pure GARBAGE COLLECTION, because no crash point can
+    * damage committed state: the decision is read from the manifest chain,
+    * never inferred from directory contents.
+    *   - a committed generation exists: verify every referenced segment
+    *     directory is present (absence means external tampering — fail
+    *     loudly, never degrade to a subset of the index), then sweep
+    *     unreferenced `seg-*` dirs, tmp manifests, and superseded
+    *     manifest generations.
+    *   - `seg-*` debris but NO committed generation: a crashed INITIAL
+    *     write — there is no index; fail loudly (the caller's ledger will
+    *     re-run the increment) rather than bless uncommitted data.
+    *   - pre-manifest (directory-swap era) layout: refuse with a rebuild
+    *     instruction — never guess at a foreign commit protocol's state.
+    *   - nothing at all: IllegalStateException — a typo'd path must fail
+    *     loudly, not "recover" to an empty index.
+    * Idempotent; safe (and cheap) to run before any maintenance pass.
+    * Not crash-sensitive itself: everything it deletes is garbage by
+    * definition, so a crash mid-recovery just leaves some garbage for the
+    * next run. */
   def recoverBandedIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val base = path.stripSuffix("/")
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val src = new org.apache.hadoop.fs.Path(base + ".__compact__")
-    val old = new org.apache.hadoop.fs.Path(base + ".__old__")
-    val fs = dst.getFileSystem(conf)
-    def complete(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    if (complete(dst)) {
-      fs.delete(src, true)
-      fs.delete(old, true)
-    } else if (complete(src)) {
-      fs.delete(dst, true) // partial rename-in debris, if any
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"recovery roll-forward failed: $src -> $path")
-      fs.delete(old, true)
-    } else if (fs.exists(old)) {
-      fs.delete(dst, true) // partial rename-in debris, if any
-      if (!fs.rename(old, dst))
-        throw new java.io.IOException(s"recovery roll-back failed: $old -> $path")
-      fs.delete(src, true)
-    } else if (fs.exists(dst)) {
-      // live files but no _SUCCESS and no complete sibling: unreachable
-      // on an atomic-rename FS; on S3A this is a mid-rename casualty —
-      // refuse to bless a partial index as whole
-      throw new IllegalStateException(
-        s"banded index at $path is PARTIAL (no _SUCCESS) and no complete " +
-          "copy exists to recover from")
-    } else if (fs.exists(src)) {
-      // partial __compact__, no live, no __old__: unreachable from the
-      // compaction's phase order — refuse to guess
-      throw new IllegalStateException(
-        s"banded index at $path unrecoverable: only a partial compact set exists")
-    } else {
-      throw new IllegalStateException(s"no banded index at $path")
+    val fs = indexFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    requireNotLegacy(fs, base)
+    latestManifest(fs, base) match {
+      case Some(m) =>
+        val missing = m.segments.filterNot(s =>
+          fs.exists(new org.apache.hadoop.fs.Path(base, s)))
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"banded index at $path is CORRUPT: committed generation " +
+              s"${m.generation} references missing segment(s) " +
+              s"${missing.mkString(", ")} — segments are deleted only " +
+              "after the superseding generation commits, so this means " +
+              "external deletion; refusing to serve a subset of the index")
+        gcUnreferenced(fs, base, m.segments.toSet)
+      case None if fs.exists(base) &&
+          fs.globStatus(new org.apache.hadoop.fs.Path(base, "seg-*"))
+            .nonEmpty =>
+        throw new IllegalStateException(
+          s"no COMMITTED banded index at $path — only uncommitted segment " +
+            "debris from a crashed initial write; re-run the initial " +
+            "writeBandedIndex (its post-publish GC sweeps the debris)")
+      case None =>
+        throw new IllegalStateException(s"no banded index at $path")
     }
   }
 
@@ -726,7 +873,7 @@ object DedupOps {
       maxPushdownBuckets: Int = 10000): DataFrame = {
     val bp = bandedPostings(batch, idCol, sigCol, bands, rowsPerBand,
       "batch_id").cut(eager = false)
-    val hist = spark.read.parquet(path)
+    val hist = readBandedIndex(spark, path)
       .select(col("id").as("hist_id"), col("band"), col("bucket"))
     val keys = bp.select(col("band"), col("bucket")).distinct()
     val probeKeys = keys.limit(maxPushdownBuckets + 1).collect()

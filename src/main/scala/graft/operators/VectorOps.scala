@@ -88,6 +88,21 @@ object VectorOps {
     (r, math.min(8, 63 / r))
   }
 
+  /** Fixture-pinned SF-aware band WIDTH for a FIXED band count: the
+    * banding semantics stay those the fixed-band query documents (bands
+    * never change), while the per-band bucket width r grows with
+    * log₂(N/occupancy) so Σ n_b² ≈ N·occupancy stays LINEAR in N — the
+    * same sizing law as [[lshAutoParams]] with the second dial pinned.
+    * minBits anchors the small-N behavior: below N ≈ occupancy·2^minBits
+    * the width is exactly minBits, so bench-SF results are bit-identical
+    * to the historical fixed parameterization. Cap 15 keeps 4 bands
+    * inside a positive packed long (4·15 = 60 ≤ 63). */
+  def lshBandWidth(n: Long, occupancy: Int = 320, minBits: Int = 4): Int = {
+    require(n > 0 && occupancy > 0 && minBits > 0)
+    math.max(minBits, math.min(15,
+      math.ceil(math.log(n.toDouble / occupancy) / math.log(2.0)).toInt))
+  }
+
   /** Symmetric int8 quantization of an embedding: scale = 127/max|x|
     * per vector; returns struct(codes array<int> in [-127,127], scale).
     * 4× smaller at rest than float32 — the storage posture for 100 TB of

@@ -111,21 +111,25 @@ object VectorQueries {
             |WHERE (floor((${dcos("a.v", "b.v")}) * 1e6 + 0.5) / 1e6) >= 0.4
             |ORDER BY id_a, id_b""".stripMargin))
 
-  /** Sign-random-projection LSH: 16 deterministic pseudo-hyperplanes,
-    * 4 bands × 4 bits; pairs sharing any band bucket are candidates,
-    * verified at cosine ≥ 0.4. The one shuffle is on (band, bucket).
+  /** Sign-random-projection LSH with FIXED 4 bands: pairs sharing any
+    * band bucket are candidates, verified at cosine ≥ 0.4. The one
+    * shuffle is on (band, bucket).
     *
-    * Sizing contract: candidate cost is Σ_buckets n_b² with 2⁴ buckets
-    * per band FIXED — correct only while bucket occupancy N/16 stays
-    * modest. At 10× the bench SF this fixed parameterization measured
-    * ~61× (quadratic, as the math says it must). Deploying at larger N
-    * means growing the signature so occupancy stays bounded: bits ≈
-    * 4·⌈log₂(N/occupancy_target)/4⌉ with bands = bits/4 (rpSignature
-    * takes the bit count; the plan is otherwise unchanged). The fixture
-    * query keeps the 16/4 parameterization because its oracle twin pins
-    * the banding SEMANTICS, not a deployment size; the deployed
-    * embedding near-dup path at scale is pipeline_semdedup_embeddings
-    * (IVF-blocked, near-linear at the headroom SF). */
+    * Sizing contract: candidate cost is Σ_buckets n_b², so the per-band
+    * bucket WIDTH must grow with the corpus — r =
+    * [[VectorOps.lshBandWidth]](N) = clamp(⌈log₂(N/320)⌉, 4, 15) keeps
+    * Σ n_b² ≈ N·320 linear in N. The band COUNT stays pinned at 4 (the
+    * banding semantics this fixture documents); at bench SFs (N ≤ 5120)
+    * the clamp floors r at 4, reproducing the historical 16-bucket
+    * parameterization bit-for-bit. The fully-fixed 16-bit form — whose
+    * Σ n_b² is quadratic and measured ~61× at 10× bench SF before this
+    * re-parameterization — is pinned in RpLshFixedWidthSpec on a bounded
+    * fixture instead of here. The corpus count is ONE scalar aggregate
+    * collected to size the plan; the DuckDB twin recomputes the same r
+    * from its own count(*), so outputs match at every SF. The deployed
+    * self-sizing variant (bands grow too) is `sim_lsh_rp_auto`; the
+    * highest-recall near-dup path at scale remains IVF-blocked semdedup
+    * (`pipeline_semdedup_embeddings`). */
   private val lsh = Q(
     "sim_lsh_rp",
     (s, dir) => {
@@ -133,10 +137,11 @@ object VectorQueries {
       val e = emb(s, dir).select($"vec_id",
         VectorOps.toDouble($"embedding").as("v"))
         .withColumn("nrm", VectorOps.norm($"v"))
-      val signed = e.withColumn("sig", VectorOps.rpSignature($"v", 16))
+      val r = VectorOps.lshBandWidth(e.count())
+      val signed = e.withColumn("sig", VectorOps.rpSignature($"v", r * 4))
       val banded = signed.select($"vec_id",
         posexplode(array((0 until 4).map(b =>
-          pmod(shiftright($"sig", 4 * b), lit(16L))): _*)))
+          pmod(shiftright($"sig", r * b), lit(1L << r))): _*)))
         .select($"vec_id", $"pos".as("band"), $"col".as("bucket"))
       // dedupe candidate pairs BEFORE computing cosine, then join vectors
       // back — cosine runs once per unique pair, not once per shared band
@@ -153,14 +158,17 @@ object VectorQueries {
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+            |p AS (SELECT GREATEST(4, LEAST(15, CEIL(LOG2(count(*) / 320.0))::INT)) r
+            |      FROM e),
             |sig AS (SELECT vec_id, v,
             |  list_sum([CASE WHEN list_sum([v[j+1]*((((i*31 + j*17) % 13) - 6)::DOUBLE)
             |                               FOR j IN generate_series(0, len(v)-1)]) > 0
             |                 THEN (2**i)::BIGINT ELSE 0 END
-            |            FOR i IN generate_series(0,15)]) sig
-            |  FROM e),
-            |banded AS (SELECT vec_id, v, b band, (sig // (2**(4*b))::BIGINT) % 16 bucket
-            |           FROM sig, generate_series(0,3) g(b)),
+            |            FOR i IN generate_series(0, p.r*4 - 1)]) sig
+            |  FROM e, p),
+            |bx AS (SELECT vec_id, sig, unnest(range(0, 4)) band, p.r r FROM sig, p),
+            |banded AS (SELECT vec_id, band,
+            |             (sig // (2**(r*band))::BIGINT) % (2**r)::BIGINT bucket FROM bx),
             |cand AS (SELECT DISTINCT l.vec_id a, r.vec_id b
             |         FROM banded l JOIN banded r
             |           ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
