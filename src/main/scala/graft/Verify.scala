@@ -17,6 +17,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the thread count dominates large-SF dump time (an sf3 run at the
+    // default 4 is ~6x slower than at 24) — say it loud in every log
+    System.err.println(s"[verify] master=local[$cpus] " +
+      "(SPARK_GRAFT_CPUS to change), sfDir=" + sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
