@@ -199,6 +199,24 @@ def main():
     else:
         print("OK " + ct.stdout.strip())
 
+    # 4c. ceiling PLACEMENT is measured against the real sf1 dataset and
+    #     the 2^53 edge behavior matches the doctrine (r14; the check that
+    #     caught the f4-unpivot entry sized off the wrong table, 350x
+    #     unsafe). Skipped with a warning if target/sf1 was never built.
+    if os.path.isfile(os.path.join(REPO, "target/sf1/.complete")):
+        cb = subprocess.run([sys.executable,
+                             os.path.join(REPO, "scripts/test_ceiling_boundary.py"),
+                             os.path.join(REPO, "target/sf1")],
+                            capture_output=True, text=True)
+        if cb.returncode != 0:
+            errs.append("ceiling boundary test FAILED:\n" +
+                        (cb.stdout + cb.stderr).strip()[-2000:])
+        else:
+            print("OK ceiling boundary: " +
+                  cb.stdout.strip().splitlines()[-1])
+    else:
+        print("WARN ceiling boundary test skipped: target/sf1 not built")
+
     # 5. clean working tree
     st = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
                         capture_output=True, text=True).stdout.strip()

@@ -166,7 +166,14 @@ IMPLICIT_ALLOW = [
      "needs ~1e12 rows (~sf1e6)", 1e6),
     ("RelationalQueries.scala",
      "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 1e2",
-     "per-measure event cents (f4 unpivot): ~1e10 at sf1, 2^53 ~sf1e5", 1e5),
+     "per-measure LINEITEM cents (f4 unpivot): the l_extendedprice "
+     "measure sums the whole table's cents — MEASURED 3.18e13 at sf1 "
+     "(test_ceiling_boundary.py), 2^53 at ~sf283; the engine legs keep "
+     "agreeing far past that (both correctly round the same exact "
+     "integer, single-limb hugeint verified), but cents exactness ends "
+     "at 2^53, so the ceiling pins there. r14 fix: the prior 1e5 entry "
+     "had sized this as ~1e10 event cents — wrong table, ~350x unsafe",
+     2.5e2),
     ("DedupQueries.scala", "sum((floor((quality*1e6)",
      "1e6-scaled per-doc quality: 2^53 needs ~9e9 kept docs (~sf2e5)", 2e5),
 ]

@@ -16,7 +16,14 @@ cd "$(dirname "$0")/.."
 
 SF=target/sf10
 OUT=target/verify_sf10
-[ -d "$SF" ] || python3 scripts/gen_sf1.py /root/testdata/sf0.1 "$SF" 100
+# gate on the completion sentinel, not the directory: a partially-written
+# target/sf10 from a killed generator run would otherwise silently
+# value-check against truncated data
+if [ ! -f "$SF/.complete" ]; then
+  rm -rf "$SF"
+  python3 scripts/gen_sf1.py /root/testdata/sf0.1 "$SF" 100
+  touch "$SF/.complete"
+fi
 
 PROBE="f13_zero_fill_grid events_tumbling_hourly events_session_windows \
 events_last_touch_attribution f4_unpivot_measures pipeline_curated_corpus \

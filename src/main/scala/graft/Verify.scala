@@ -26,7 +26,10 @@ object Verify {
     // oracle entries for the (sub)set — for backfilling oracle_sql.json
     // over result dirs a parallel/killed staged pass already produced
     // (assemble full-registry maps with scripts/merge_oracle.py).
-    val oracleOnly = sys.env.get("GRAFT_ORACLE_ONLY").exists(_.nonEmpty)
+    // only "1"/"true" enable (case-insensitive): =0/=false must NOT
+    // silently skip every result dump
+    val oracleOnly = sys.env.get("GRAFT_ORACLE_ONLY")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     if (oracleOnly) System.err.println("[verify] GRAFT_ORACLE_ONLY set — " +
       "skipping result dumps, writing oracle entries only")
     else SparkEntry.queries

@@ -151,7 +151,7 @@ object DedupOps {
     * only). Candidates are verified exactly on the full shingle sets, so
     * results are identical to the naive all-shared-token join. */
   def jaccardPairs(docs: DataFrame, idCol: String, setCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, nDocs: Long = -1L): DataFrame = {
     // ceil() guard: at exact-integer boundaries (t·sz or α integral) a 1-ulp
     // float overshoot would shorten a prefix / tighten a bound and silently
     // DROP a genuinely similar pair — subtract ε before every ceil
@@ -187,6 +187,29 @@ object DedupOps {
           lengthCompatible(threshold, "l", "r") && positionOk)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+    // verify-strategy crossover (same doctrine as the dense cutoff): the
+    // attach-join verify has the smaller constants (codegen'd kernel, two
+    // SMJs) but carries each pair's full array through the second sort —
+    // candidate volume here grows ~N² on hot corpora (fixed-vocabulary
+    // measured: 3.5M pairs at 50k docs → 354M at 500k → ~150 GB of wide
+    // sort rows, the one-box sf10 ceiling). Above the cutoff the blocked
+    // cogroup verify keeps pair rows 16 bytes end to end. Both paths are
+    // property-tested identical, so this is purely a cost decision.
+    val n = if (nDocs >= 0L) nDocs else docs.select(col(idCol)).count()
+    if (n < docs.sparkSession.conf
+        .get("spark.graft.dedup.verifyJoinCutoff", "100000").toLong)
+      verifyCandidatesJoin(candidates, sets, threshold)
+    else verifyCandidates(candidates, sets, threshold)
+  }
+
+  /** Attach-join verify: join the full encoded arrays to each candidate
+    * pair and run the codegen'd merge kernel — the low-constant form for
+    * moderate candidate volume. Each pair row carries `s_a` through the
+    * second join's shuffle, so cost is candidates × arrayBytes; above
+    * `spark.graft.dedup.verifyJoinCutoff` docs [[jaccardPairs]] switches
+    * to [[verifyCandidates]], which never shuffles a (pair, array) row. */
+  private def verifyCandidatesJoin(candidates: DataFrame, sets: DataFrame,
+                                   threshold: Double): DataFrame =
     candidates
       .join(sets.select(col("id").as("id_a"), col("s").as("s_a"),
         col("sz").as("sz_a")), "id_a")
@@ -198,7 +221,98 @@ object DedupOps {
         graft.functions.SortedLongOverlapCount(col("s_a"), col("s_b")).cast("double"))
       .withColumn("raw", col("common") / (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("raw") >= threshold)
-      .select(col("id_a"), col("id_b"), (floor((col("raw")) * 1e6 + 0.5) / 1e6).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        (floor((col("raw")) * 1e6 + 0.5) / 1e6).as("jaccard"))
+
+  /** Exact verification of candidate pairs against their encoded sets
+    * without ever shuffling a (pair, shingle-array) row — the stage the
+    * plain relational form cannot keep narrow. Two attach-joins would
+    * carry each pair's full array through the second join's shuffle:
+    * measured 500k docs / 354M candidates → ~150 GB of sort-spill (the
+    * sf10 one-box ceiling). Here the pair rows stay 16 bytes end to end
+    * and each referenced set array moves AT MOST ONCE PER BUCKET
+    * (Vernica, Carey & Li, SIGMOD 2010 §5.2's record-routing verify,
+    * re-expressed on `cogroupSorted`):
+    *
+    *  - pairs are bucketed by `xxhash64(id_a) % P` (P =
+    *    `spark.graft.dedup.verifyBuckets`, default shuffle partitions, so
+    *    raising parallelism for a bigger corpus also shrinks per-task
+    *    state);
+    *  - the a-side set partition is the same hash — co-partitioned, no
+    *    replication; it becomes a per-bucket id→array map of ~|S|/P
+    *    bytes (the ONLY materialized state);
+    *  - b-side demand is the DISTINCT (bucket, id_b) list, so a set
+    *    referenced by many pairs of one bucket ships once, and the
+    *    b-stream is merge-consumed against pairs sorted by id_b — never
+    *    materialized.
+    *
+    * Shuffle volume: |candidates|·16 B + |S| + min(|candidates|,
+    * N·P)·rowBytes, vs |candidates|·rowBytes for the join form. The
+    * merge kernel is the Scala twin of the codegen'd
+    * [[graft.functions.SortedLongOverlapCount]] (same sorted-long merge,
+    * same duplicate semantics), and the ratio/rounding arithmetic
+    * reproduces the previous column expressions op for op (int sum cast
+    * to double, subtract, divide; floor(x·1e6+0.5)/1e6) so results stay
+    * bit-identical to the dense path and the DuckDB oracles. */
+  private def verifyCandidates(candidates: DataFrame, sets: DataFrame,
+                               threshold: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = candidates.sparkSession
+    val nBuckets = spark.conf.getOption("spark.graft.dedup.verifyBuckets")
+      .getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "200")).toInt
+    val idType = candidates.schema("id_a").dataType
+
+    val pairs = candidates.select(
+      pmod(xxhash64(col("id_a")), lit(nBuckets)).cast("int").as("bucket"),
+      col("id_a"), col("id_b"))
+    // ship each b-side array once per bucket that needs it, not once per pair
+    val demand = pairs.select(col("bucket"), col("id_b")).distinct()
+    val bSide = demand
+      .join(sets.select(col("id").as("id_b"), col("s")), "id_b")
+      .select(col("bucket"), lit(1).as("side"), col("id_b").as("id"), col("s"))
+    val aSide = sets.select(
+      pmod(xxhash64(col("id")), lit(nBuckets)).cast("int").as("bucket"),
+      lit(0).as("side"), col("id"), col("s"))
+    val members = aSide.unionByName(bSide)
+
+    val keyEnc = Encoders.scalaInt
+    val pairsK = pairs.groupByKey((r: Row) => r.getInt(0))(keyEnc)
+    val membersK = members.groupByKey((r: Row) => r.getInt(0))(keyEnc)
+    val outSchema = StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType),
+      StructField("jaccard", DoubleType)))
+    val t = threshold
+    pairsK.cogroupSorted(membersK)(col("id_b"), col("id_a"))(
+        col("side"), col("id")) { (_, pairIt, memIt) =>
+      // members sorted (side, id): the co-partitioned a-side map first,
+      // then the demand-shipped b-side stream in id order
+      val mem = memIt.buffered
+      val aMap = new java.util.HashMap[Any, Array[Long]]()
+      while (mem.hasNext && mem.head.getInt(1) == 0) {
+        val r = mem.next()
+        aMap.put(r.get(2), r.getSeq[Long](3).toArray)
+      }
+      var bId: Any = null
+      var bArr: Array[Long] = null
+      pairIt.flatMap { p =>
+        val ida = p.get(1); val idb = p.get(2)
+        // pairs are sorted by id_b and every demanded id is present, so
+        // a mismatch only ever means "advance the b-stream"
+        while (bId != idb) { val r = mem.next(); bId = r.get(2); bArr = r.getSeq[Long](3).toArray }
+        val sa = aMap.get(ida)
+        var i = 0; var j = 0; var c = 0
+        while (i < sa.length && j < bArr.length) {
+          val x = sa(i); val y = bArr(j)
+          if (x == y) { c += 1; i += 1; j += 1 }
+          else if (x < y) i += 1 else j += 1
+        }
+        val common = c.toDouble
+        val raw = common / ((sa.length + bArr.length).toDouble - common)
+        if (raw >= t) Some(Row(ida, idb, math.floor(raw * 1e6 + 0.5) / 1e6))
+        else None
+      }
+    }(Encoders.row(outSchema)).toDF()
   }
 
   /** Cost-based exact pair generator: [[jaccardPairsDense]] and
@@ -216,10 +330,12 @@ object DedupOps {
     * base table; unused set/shingle projections are pruned out). */
   def jaccardPairsAuto(docs: DataFrame, idCol: String, setCol: String,
                        threshold: Double,
-                       denseCutoff: Long = -1L): DataFrame =
-    if (docs.select(col(idCol)).count() < resolveDenseCutoff(docs, denseCutoff))
+                       denseCutoff: Long = -1L): DataFrame = {
+    val n = docs.select(col(idCol)).count()
+    if (n < resolveDenseCutoff(docs, denseCutoff))
       jaccardPairsDense(docs, idCol, setCol, threshold)
-    else jaccardPairs(docs, idCol, setCol, threshold)
+    else jaccardPairs(docs, idCol, setCol, threshold, nDocs = n)
+  }
 
   /** The dense/prefix crossover is a runtime-tunable session conf (the
     * same shape as `spark.sql.autoBroadcastJoinThreshold`): callers pass
@@ -647,23 +763,36 @@ object DedupOps {
     }.nextOption()
   }
 
-  private def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
+  /** Publish one manifest generation. DIRECT create with
+    * `overwrite = false` — not write-temp + rename: Hadoop's local
+    * `rename` bottoms out in POSIX `renameTo`, which silently REPLACES an
+    * existing destination, so a racing writer that lost the
+    * read-prior-generation race would clobber the winner's committed
+    * manifest (and its GC would then sweep the winner's segments). The
+    * non-overwriting create makes a duplicate generation a LOUD failure
+    * on every Hadoop filesystem, and a crash mid-write just leaves a torn
+    * top manifest — which [[latestManifest]] already skips, falling back
+    * to the previous generation (that fallback is what made the rename's
+    * atomicity optional in the first place). Single writer remains the
+    * documented contract; this turns a violated contract into an error
+    * instead of silent data loss (spec: BandedIndexSpec "racing
+    * appenders"). */
+  private[graft] def publishManifest(fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path, gen: Int,
       segments: Seq[String]): Unit = {
     val md = manifestDir(base)
     fs.mkdirs(md)
     val json = segments.map(s => "\"" + s + "\"")
       .mkString(s"""{"generation":$gen,"segments":[""", ",", "]}")
-    val tmp = new org.apache.hadoop.fs.Path(md,
-      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
     val dst = new org.apache.hadoop.fs.Path(md, f"$gen%08d.json")
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"manifest publish failed: $tmp -> $dst (concurrent writer?)")
-    }
+    val out =
+      try fs.create(dst, false)
+      catch { case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"manifest publish failed: generation $gen already exists at " +
+            s"$dst (concurrent writer?)", e)
+      }
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** Sweep everything the live generation does not reference: orphaned

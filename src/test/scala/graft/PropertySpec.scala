@@ -131,6 +131,17 @@ class PropertySpec extends SparkSpec {
         val ppjoin = pairs(graft.operators.DedupOps
           .jaccardPairs(df, "doc_id", "sh", t))
         assert(ppjoin === dense, s"ppjoin != dense at t=$t on $docsList")
+        // the verify-strategy crossover is branch-invariant too: forcing
+        // the blocked cogroup verify (cutoff 0) must reproduce the
+        // attach-join verify (cutoff ∞) bit for bit — this is what guards
+        // the Scala merge kernel + ratio arithmetic against the codegen'd
+        // SortedLongOverlapCount + column-expression form
+        spark.conf.set("spark.graft.dedup.verifyJoinCutoff", "0")
+        val ppjoinCogroup =
+          try pairs(graft.operators.DedupOps.jaccardPairs(df, "doc_id", "sh", t))
+          finally spark.conf.unset("spark.graft.dedup.verifyJoinCutoff")
+        assert(ppjoinCogroup === dense,
+          s"cogroup verify != join verify at t=$t on $docsList")
         // inverted index generates ⊇ candidates of any true pair
         val inverted = graft.operators.DedupOps
           .invertedIndexPairs(df, "doc_id", "sh")

@@ -321,4 +321,41 @@ class BandedIndexSpec extends SparkSpec {
     assert(pushed.as[(Long, Long)].collect().toSet ===
       semi.as[(Long, Long)].collect().toSet)
   }
+
+  test("racing appenders: the generation-number loser fails LOUDLY and " +
+      "leaves no torn state — the winner's commit stays live") {
+    // The protocol documents single-writer; this pins what happens when
+    // that contract is violated: two appenders that both read generation
+    // N race to publish N+1. The manifest create is non-overwriting, so
+    // the loser gets an IOException naming the collision — it must never
+    // silently replace the winner's manifest (POSIX renameTo would),
+    // because the loser's GC would then sweep the winner's segments.
+    val idx = java.nio.file.Files.createTempDirectory("graft-bidx-race").toString
+    DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === 1),
+      "doc_id", "sig", 4, 4, idx) // generation 1
+    // writer A wins the race: a real append commits generation 2
+    DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === 2),
+      "doc_id", "sig", 4, 4, idx, append = true)
+    val base = new org.apache.hadoop.fs.Path(idx)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val winner = DedupOps.latestManifest(fs, base).get
+    assert(winner.generation === 2)
+    // writer B also saw generation 1 and now tries to publish ITS gen 2
+    val e = intercept[java.io.IOException] {
+      DedupOps.publishManifest(fs, base, 2, Seq("seg-00000002-deadbeef"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(e.getMessage.contains("generation 2"))
+    // no torn state: the winner's manifest is untouched (same segment
+    // list), every live segment still exists, and the probe still serves
+    val after = DedupOps.latestManifest(fs, base).get
+    assert(after.generation === 2)
+    assert(after.segments === winner.segments)
+    for (seg <- DedupOps.liveSegments(spark, idx))
+      assert(new java.io.File(seg).isDirectory, s"live segment missing: $seg")
+    val batch = signed.filter($"doc_id" % 3 === 0)
+    val mem = DedupOps.lshProbeCandidates(signed.filter($"doc_id" % 3 =!= 0),
+      batch, "doc_id", "sig", 4, 4).as[(Long, Long)].collect().toSet
+    assert(probeSet(idx, batch) === mem)
+  }
 }
