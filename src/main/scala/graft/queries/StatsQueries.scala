@@ -85,15 +85,22 @@ object StatsQueries {
     // exactness-rewrite cost pinned: 1.5x rerun trigger (NOTES_r10 §1)
     headline = true)
 
+  /** Exact interpolated percentiles via [[ProfileOps.exactPercentiles]]
+    * (counts → windowed cumulative ranks → straddling-value lookup)
+    * instead of the `percentile` aggregate, whose per-task value→count
+    * maps made this the r13 watch-list 5.4× outlier on a near-unique
+    * column. Output bit-identical to the aggregate form (PropertySpec
+    * percentile identity); rounding unchanged. */
   private val percentiles = Q(
     "stats_percentiles",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir).orders
-        .groupBy($"o_orderstatus")
-        .agg(
-          (floor((expr("percentile(o_totalprice, 0.5)")) * 1e4 + 0.5) / 1e4).as("p50"),
-          (floor((expr("percentile(o_totalprice, 0.9)")) * 1e4 + 0.5) / 1e4).as("p90"))
+      ProfileOps.exactPercentiles(Tables(s, dir).orders,
+          "o_orderstatus", "o_totalprice",
+          Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"))
+        .select($"o_orderstatus",
+          (floor($"p50_raw" * 1e4 + 0.5) / 1e4).as("p50"),
+          (floor($"p90_raw" * 1e4 + 0.5) / 1e4).as("p90"))
         .orderBy($"o_orderstatus")
     },
     Some("""SELECT o_orderstatus,

@@ -37,6 +37,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("percentile identity: windowed exactPercentiles == the percentile " +
+      "aggregate on random multisets with ties") {
+    // guards the op-for-op replication of Percentile.getPercentile
+    // (position arithmetic, straddling ranks, BOTH special cases) behind
+    // stats_percentiles' narrow relational form — bit equality, no eps
+    val entry = for {
+      g <- Gen.choose(0, 2)
+      // coarse value grid forces DUPLICATES (the lo/hi rank-span case)
+      // mixed with fine doubles (the interpolation case)
+      v <- Gen.oneOf(Gen.choose(0, 9).map(_ * 0.5),
+        Gen.choose(0.0, 100.0))
+    } yield (s"g$g", v)
+    val data = Gen.choose(5, 60).flatMap(n => Gen.listOfN(n, entry))
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    forAll(data, n = 6) { rows =>
+      val df = rows.toDF("grp", "v")
+      val aggCols = ps.map(p => expr(s"percentile(v, $p)").as(s"p$p"))
+      val agg = df.groupBy($"grp").agg(aggCols.head, aggCols.tail: _*)
+        .orderBy($"grp")
+        .collect().map(_.toSeq).toSeq
+      val win = graft.operators.ProfileOps.exactPercentiles(df, "grp", "v",
+          ps.map(p => p -> s"p$p"))
+        .orderBy($"grp")
+        .collect().map(_.toSeq).toSeq
+      assert(win === agg, s"windowed != aggregate percentiles on $rows")
+    }
+  }
+
   test("unpivot ∘ pivot is the identity on arbitrary wide frames") {
     val rowsGen = Gen.nonEmptyListOf(Gen.zip(
       Gen.choose(0L, 50L), Gen.choose(-1e6, 1e6), Gen.choose(-1e6, 1e6)))
