@@ -38,6 +38,9 @@ env SPARK_GRAFT_CPUS=24 SPARK_DRIVER_MEM=48g \
   sbt -batch "runMain graft.Verify $SF $OUT $PROBE"
 
 # sweep mode: per-oracle timeout on, which also turns on the DuckDB
-# thread-cap defaults and the detcast ceiling audit at sf10
-env GRAFT_ORACLE_TIMEOUT=1800 GRAFT_CHECK_JSON=CORRECTNESS_sf10_spot.json \
+# thread-cap defaults and the detcast ceiling audit at sf10. 3600 s cap:
+# the exact-CC trio's naive twins (post squared, grouped by pair) are the
+# heaviest legs at ~13 min each at threads=16 (r14 measured)
+env GRAFT_ORACLE_TIMEOUT=3600 GRAFT_CHECK_JSON=CORRECTNESS_sf10_spot.json \
+  GRAFT_DUCKDB_PRAGMAS="SET threads=16;SET temp_directory='target/.duck_tmp'" \
   python3 scripts/check.py "$SF" "$OUT"
