@@ -63,4 +63,33 @@ class ShufflePartitionInvarianceSpec extends SparkSpec {
       }
     } finally spark.conf.set(key, orig)
   }
+
+  test("cogroup verify is bucket-count invariant: the exact-CC queries " +
+      "are bit-identical at P = 8 / 32 / 200 with the cogroup path pinned") {
+    // the blocked cogroup verify derives its bucket count P from
+    // shuffle.partitions — the knob a real cluster turns — so varying it
+    // must only re-shape the routing, never the verified pairs. At this
+    // toy SF the auto path takes the join verify (below the cutoff);
+    // pinning the cutoff at 0 forces the cogroup branch under all three
+    // P values.
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    spark.conf.set("spark.graft.dedup.verifyJoinCutoff", "0")
+    try {
+      for (q <- Seq("dedup_components", "dedup_cluster_sizes",
+          "dedup_ppjoin_jaccard")) {
+        val legs = Seq(8, 32, 200).map { n =>
+          spark.conf.set(key, n.toString)
+          SparkEntry.queries(q)(spark, TestSpark.sfDir)
+            .collect().map(_.toString).sorted.toSeq
+        }
+        assert(legs.head.nonEmpty, s"$q returned no rows")
+        assert(legs.tail.forall(_ === legs.head),
+          s"$q: cogroup-verified results vary with bucket count")
+      }
+    } finally {
+      spark.conf.set(key, orig)
+      spark.conf.unset("spark.graft.dedup.verifyJoinCutoff")
+    }
+  }
 }
