@@ -44,17 +44,28 @@ object ProfileOps {
     }.toDF("column", "nulls", "n_distinct", "min", "max")
   }
 
-  /** Exact interpolated per-group percentiles WITHOUT the `percentile`
-    * aggregate. Spark's exact percentile builds a value→count
-    * OpenHashMap per partial-aggregation task (~|distinct| entries EACH,
-    * serialized through the shuffle) and merges+sorts single-threaded
-    * per group — on a near-unique column that ships ~cores copies of
-    * each group's data through the wire. This form computes the
-    * identical answer from pieces that stay narrow and parallel: one
-    * hash-agg to per-value counts, one window pass over the DISTINCT
-    * value table for cumulative ranks (per-group sort happens once, not
-    * once per map task), then a rank-covering lookup of the two
-    * straddling values per requested percentile.
+  /** Exact interpolated per-group percentiles for the HIGH-CARDINALITY
+    * regime the `percentile` aggregate cannot survive. The aggregate's
+    * final merge materializes and sorts a whole group's value→count map
+    * in ONE task (`Percentile.getPercentile` — single-threaded O(D log D)
+    * memory and time per group, D = distinct values): past ~10⁷ distinct
+    * values per group that task is the job's OOM. This form's per-task
+    * state never exceeds ~D/P:
+    *
+    *   1. hash-agg to per-(group, value) counts — distributed;
+    *   2. range-repartition the D count rows by (group, value) and
+    *      locally cumulative-sum per group inside each sorted partition
+    *      (one mapPartitions pass, O(D/P) rows per task, per-task state =
+    *      one running counter);
+    *   3. per-(partition, group) subtotal prefix offsets — a P×G-row
+    *      table, windowed and broadcast back;
+    *   4. global rank span [lo, hi] per distinct value = offset + local
+    *      cumsum; straddling-rank lookup per requested percentile.
+    *
+    * No stage sorts or holds a whole group in one task — the r13-watch
+    * windowed form (`Window.partitionBy(group)`) put each group in a
+    * single partition and was quietly the same scale ceiling as the
+    * aggregate; this replaces it (round 14, measured in `ClawbackAB`).
     *
     * The interpolation replicates
     * `catalyst.expressions.aggregate.Percentile.getPercentile` op for op
@@ -63,25 +74,68 @@ object ProfileOps {
     * (integral position; equal straddling values, where the two-product
     * form can differ 1 ulp from the bare value), so results are
     * bit-identical to the aggregate (PropertySpec percentile identity on
-    * random multisets with ties). Returns one row per group:
-    * (groupCol, <name per requested percentile>), unrounded. */
+    * random multisets with ties). Values pass through as double, exactly
+    * as the aggregate's eval does. Returns one row per group:
+    * (groupCol, <name per requested percentile>), unrounded.
+    *
+    * Constants note (ClawbackAB, min-of-3, one JVM): at sf0.1/1/10 on
+    * the synthetic corpus — whose distinct-value count does NOT grow
+    * with SF — the plain aggregate wins (1.06 s vs the old windowed
+    * form's 1.32 s at sf0.1), so `stats_percentiles` deploys the
+    * aggregate below the cardinality ceiling and this op above it. */
   def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
                        pcts: Seq[(Double, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col(groupCol), col(valueCol))
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(groupCol), col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
-    val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // local per-group cumulative counts inside range-sorted partitions:
+    // groups are contiguous after the sort, so one running counter and a
+    // group-change reset suffice — O(1) state per task
+    val ranged = counts.repartitionByRange(parts, col(groupCol), col("v"))
+      .sortWithinPartitions(col(groupCol), col("v"))
+    val cumSchema = ranged.schema.add("pid", IntegerType).add("local_cum", LongType)
+    val withCum = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var curGroup: Any = null
+      var running = 0L
+      it.map { r =>
+        val g = r.get(0)
+        if (g != curGroup) { curGroup = g; running = 0L }
+        running += r.getLong(2)
+        org.apache.spark.sql.Row(g, r.get(1), r.getLong(2), pid, running)
+      }
+    }(org.apache.spark.sql.Encoders.row(cumSchema))
+      // pid is only meaningful for ONE materialization: a re-executed
+      // range exchange may sample different boundaries, and the offsets
+      // are keyed by (pid, group) — pin the lineage so the subtotal pass
+      // and the rank join see the same partitioning
+      .transform(graft.core.Lineage.cut(_))
+
+    // P×G-row subtotal table: prefix offset of each (partition, group)
+    // slice and the group total — tiny, windowed anywhere, broadcast back
+    val totals = withCum.groupBy(col("pid"), col(groupCol))
+      .agg(max(col("local_cum")).as("part_total"))
+    val byPid = Window.partitionBy(col(groupCol)).orderBy(col("pid"))
     val whole = Window.partitionBy(col(groupCol))
-    val ranked = counts
-      .withColumn("hi", sum(col("cnt")).over(byVal))
+    val offsets = totals
+      .withColumn("offset", sum(col("part_total")).over(byPid) - col("part_total"))
+      .withColumn("n", sum(col("part_total")).over(whole))
+      .drop("part_total")
+
+    val ranked = withCum
+      .join(broadcast(offsets), Seq("pid", groupCol))
+      .withColumn("hi", col("offset") + col("local_cum"))
       .withColumn("lo", col("hi") - col("cnt") + 1)
-      .withColumn("n", max(col("hi")).over(whole))
     val aggs = pcts.map { case (p, name) =>
       val pos = lit(p) * (col("n") - lit(1)) // double, as Percentile does
       val lower = floor(pos) + 1             // 1-based straddling ranks
       val higher = ceil(pos) + 1
-      val vlo = max(when(col("lo") <= lower && lower <= col("hi"), col(valueCol)))
-      val vhi = max(when(col("lo") <= higher && higher <= col("hi"), col(valueCol)))
+      val vlo = max(when(col("lo") <= lower && lower <= col("hi"), col("v")))
+      val vhi = max(when(col("lo") <= higher && higher <= col("hi"), col("v")))
       val interp = (ceil(pos) - pos) * vlo + (pos - floor(pos)) * vhi
       when(ceil(pos) === floor(pos) || vlo === vhi, vlo).otherwise(interp)
         .as(name)

@@ -85,19 +85,27 @@ object StatsQueries {
     // exactness-rewrite cost pinned: 1.5x rerun trigger (NOTES_r10 §1)
     headline = true)
 
-  /** Exact interpolated percentiles via [[ProfileOps.exactPercentiles]]
-    * (counts → windowed cumulative ranks → straddling-value lookup)
-    * instead of the `percentile` aggregate, whose per-task value→count
-    * maps made this the r13 watch-list 5.4× outlier on a near-unique
-    * column. Output bit-identical to the aggregate form (PropertySpec
-    * percentile identity); rounding unchanged. */
+  /** Exact interpolated percentiles via the `percentile` aggregate — the
+    * MEASURED-cheapest exact form at every tested SF (ClawbackAB,
+    * min-of-3, one JVM: aggregate 1.06 s vs the r14-draft rewrite's
+    * 1.32 s at sf0.1; it also wins at sf1/sf10 because this corpus's
+    * distinct-value count does not grow with SF, so the aggregate's
+    * value→count maps stay bounded). The r13 watch-list 5.4× vs the
+    * first 79-query-era baseline is host/suite context, not plan: the
+    * aggregate form itself measures ~1 s isolated on the r14 box.
+    * The aggregate's real ceiling is cardinality — its final merge
+    * sorts a whole group's distinct values in ONE task — and past ~10⁷
+    * distinct per group the deployed path is
+    * [[ProfileOps.exactPercentiles]] (distributed-prefix ranks,
+    * bit-identical output, PropertySpec percentile identity). */
   private val percentiles = Q(
     "stats_percentiles",
     (s, dir) => {
       import s.implicits._
-      ProfileOps.exactPercentiles(Tables(s, dir).orders,
-          "o_orderstatus", "o_totalprice",
-          Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"))
+      Tables(s, dir).orders
+        .groupBy($"o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50_raw"),
+             expr("percentile(o_totalprice, 0.9)").as("p90_raw"))
         .select($"o_orderstatus",
           (floor($"p50_raw" * 1e4 + 0.5) / 1e4).as("p50"),
           (floor($"p90_raw" * 1e4 + 0.5) / 1e4).as("p90"))

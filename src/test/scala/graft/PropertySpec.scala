@@ -37,11 +37,11 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("percentile identity: windowed exactPercentiles == the percentile " +
+  test("percentile identity: distributed-prefix exactPercentiles == the percentile " +
       "aggregate on random multisets with ties") {
     // guards the op-for-op replication of Percentile.getPercentile
     // (position arithmetic, straddling ranks, BOTH special cases) behind
-    // stats_percentiles' narrow relational form — bit equality, no eps
+    // the high-cardinality percentile path — bit equality, no eps
     val entry = for {
       g <- Gen.choose(0, 2)
       // coarse value grid forces DUPLICATES (the lo/hi rank-span case)
