@@ -122,6 +122,13 @@ object DedupQueries {
       val withShingles = docs(s, dir)
         .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
       DedupOps.jaccardPairsDense(withShingles, "doc_id", "shingles", 0.5)
+        // repartition fence before the sort: the dense kernel's final
+        // stage (broadcast nested-loop join + overlap kernel) has no
+        // trailing exchange, so the orderBy's range-sampling pass would
+        // re-execute the whole O(n²) kernel; fenced, sampling re-reads
+        // materialized shuffle blocks of the (tiny) pair set instead
+        // (A/B: 1.76x at sf0.1)
+        .repartition(s.sparkContext.defaultParallelism)
         .orderBy($"id_a", $"id_b")
     },
     Some(exactJaccardOracle(0.5)),

@@ -81,10 +81,12 @@ object RelationalQueries {
         .join(tt.customer, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"c_mktsegment")
         .agg((floor(sum128(floor($"l_extendedprice" * 100 + 0.5) * (lit(100L) - floor($"l_discount" * 100 + 0.5))).cast("double") / 100 + 0.5) / 1e2).as("revenue"))
-        .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
-          $"c_mktsegment", $"revenue")
+        // format above the TakeOrderedAndProject: the 10 survivors get a
+        // string date, not every aggregated order (A/B: 1.11x at sf0.1)
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(10)
+        .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+          $"c_mktsegment", $"revenue")
     },
     Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            |       c_mktsegment,
@@ -263,14 +265,18 @@ object RelationalQueries {
     "f7_interval_formats",
     (s, dir) => {
       import s.implicits._
-      val d = to_date($"o_orderdate")
-      t(s, dir).orders.select(
-        $"o_orderkey",
-        CalendarOps.formatForInterval(d, "DAILY").as("fmt_daily"),
-        CalendarOps.formatForInterval(d, "MONTHLY").as("fmt_monthly"),
-        CalendarOps.formatForInterval(d, "QUARTERLY").as("fmt_quarterly"),
-        CalendarOps.formatForInterval(d, "YEARLY").as("fmt_yearly"))
+      // the f1 lesson (NOTES_r14 §4b): format AFTER the sort — the range
+      // partitioner's sampling pass evaluates the pre-sort plan, so four
+      // per-row formatters below the orderBy run twice and the sort rows
+      // carry four strings instead of one 4-byte date (A/B: 1.34x at sf0.1)
+      t(s, dir).orders
+        .select($"o_orderkey", to_date($"o_orderdate").as("d"))
         .orderBy($"o_orderkey")
+        .select($"o_orderkey",
+          CalendarOps.formatForInterval($"d", "DAILY").as("fmt_daily"),
+          CalendarOps.formatForInterval($"d", "MONTHLY").as("fmt_monthly"),
+          CalendarOps.formatForInterval($"d", "QUARTERLY").as("fmt_quarterly"),
+          CalendarOps.formatForInterval($"d", "YEARLY").as("fmt_yearly"))
     },
     Some("""SELECT o_orderkey,
            |       strftime(o_orderdate, '%Y%m%d') AS fmt_daily,
