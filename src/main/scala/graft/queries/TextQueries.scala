@@ -78,10 +78,13 @@ object TextQueries {
     "text_lang_id",
     (s, dir) => {
       import s.implicits._
-      t(s, dir).documents.select(
-        $"doc_id", $"lang",
-        TextOps.langId($"text").as("lang_pred"))
+      // sort first, classify after: the n-gram marker scan below the
+      // orderBy would run twice (range-sampling pass + sort input) —
+      // carrying text through the sort is cheaper (A/B: 1.18x at sf0.1)
+      t(s, dir).documents
+        .select($"doc_id", $"lang", $"text")
         .orderBy($"doc_id")
+        .select($"doc_id", $"lang", TextOps.langId($"text").as("lang_pred"))
     },
     Some {
       val scores = TextOps.langMarkers.map { case (lang, markers) =>
