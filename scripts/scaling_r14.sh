@@ -22,7 +22,11 @@ Q="dedup_components dedup_ppjoin_jaccard"
 run() { # run <tag> <sfdir>
   local tag=$1 sfdir=$2
   echo "=== $tag ==="
+  # SPARK_DRIVER_MEM=48g: the sf10 leg (500k docs, 354M candidate pairs
+  # through the cogroup verify) GC-thrashes for hours at the 8g default —
+  # same heap the sf10/sf30 probes use
   env SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_BENCH_OUT="$OUT/$tag.full.json" \
+    SPARK_DRIVER_MEM=48g \
     sbt -batch "runMain graft.Bench $Q" 2>&1 \
     | grep -oE '\{"metric".*\}' | tail -n1 > "$OUT/$tag.json"
   [ -s "$OUT/$tag.json" ] || { echo "leg $tag produced no metric line" >&2; exit 1; }

@@ -643,4 +643,63 @@ class PlanQualitySpec extends SparkSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  // --- r14 watch-list claw-back plan pins --------------------------------
+  // The adopted rewrites (OUTLIER_AB*.json) are shape properties of the
+  // physical plan: per-row compute ABOVE the range sort (the sampling pass
+  // re-executes everything below it), and a repartition fence below a sort
+  // whose child stage has no exchange of its own. The plan string prints
+  // root-first, so "above" = smaller string index.
+
+  test("f7: interval formatters sit above the sort (sort-first projection)") {
+    val q = SparkEntry.queries("f7_interval_formats")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    val fmt = plan.indexOf("AS fmt_daily")
+    val sort = plan.indexOf("Sort [")
+    assert(fmt >= 0 && sort >= 0, s"expected formatter and sort nodes:\n$plan")
+    assert(fmt < sort,
+      s"formatters must project above the sort, not below it (sampling " +
+        s"would run them twice):\n$plan")
+  }
+
+  test("q3: date_format applies to the top-k survivors, not below them") {
+    val q = SparkEntry.queries("q3_top_revenue_orders")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    // the optimizer collapses the post-limit select into
+    // TakeOrderedAndProject's own projectList (applied AFTER the limit) —
+    // so the formatter must appear in that node's output and NOWHERE
+    // below: a `date_format` anywhere in the plan body means some stage
+    // formatted every aggregated order again
+    val topk = plan.linesIterator
+      .find(_.contains("TakeOrderedAndProject"))
+      .getOrElse(fail(s"expected a TakeOrderedAndProject top-k:\n$plan"))
+    assert(topk.contains("order_date"),
+      s"the formatted column must be produced by the top-k projection:\n$plan")
+    assert(!plan.contains("date_format"),
+      s"date_format below the top-k would format every aggregated order:\n$plan")
+  }
+
+  test("text_lang_id: marker scan projects above the sort") {
+    val q = SparkEntry.queries("text_lang_id")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    val pred = plan.indexOf("AS lang_pred")
+    val sort = plan.indexOf("Sort [")
+    assert(pred >= 0 && sort >= 0, s"expected classifier and sort nodes:\n$plan")
+    assert(pred < sort,
+      s"langId must compute above the sort (classified once, text rows " +
+        s"sorted raw):\n$plan")
+  }
+
+  test("dedup_ngram_jaccard: repartition fence between kernel and sort") {
+    val q = SparkEntry.queries("dedup_ngram_jaccard")(spark, TestSpark.sfDir)
+    val plan = physicalPlan(q)
+    val sort = plan.indexOf("Sort [")
+    val fence = plan.indexOf("Exchange RoundRobinPartitioning")
+    val bnlj = plan.indexOf("BroadcastNestedLoopJoin")
+    assert(sort >= 0 && fence >= 0 && bnlj >= 0,
+      s"expected sort, round-robin fence and nested-loop kernel:\n$plan")
+    assert(sort < fence && fence < bnlj,
+      s"the fence must sit between the final sort and the O(n^2) kernel " +
+        s"so range-sampling re-reads shuffle blocks, not the join:\n$plan")
+  }
 }
