@@ -66,7 +66,12 @@ object Bench {
     // the driver passes no args and gets the full registry
     val names = if (args.nonEmpty) args.toSeq.sorted
                 else SparkEntry.queries.keys.toSeq.sorted
-    val passes = 2
+    // GRAFT_BENCH_PASSES=1 for multi-hour single-leg scaling probes (the
+    // sf10 exact-CC leg: 2 passes of a ~45-min query doubles a run that
+    // min-of-N noise-shedding no longer justifies at that duration); the
+    // driver and every committed anchor use the default 2.
+    val passes = sys.env.get("GRAFT_BENCH_PASSES").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(2)
     val results = names.map(n => n -> (1 to passes).map(_ => exec(n)).min)
 
     // Outlier re-measurement protocol: min-of-2 has twice manufactured
