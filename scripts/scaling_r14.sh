@@ -24,9 +24,12 @@ run() { # run <tag> <sfdir>
   echo "=== $tag ==="
   # SPARK_DRIVER_MEM=48g: the sf10 leg (500k docs, 354M candidate pairs
   # through the cogroup verify) GC-thrashes for hours at the 8g default —
-  # same heap the sf10/sf30 probes use
+  # same heap the sf10/sf30 probes use.
+  # GRAFT_BENCH_PASSES=1 on EVERY leg: min-of-2 doubles a multi-minute
+  # sf10 query for noise-shedding the duration no longer justifies, and
+  # a fit needs the same pass protocol on all three points of the axis.
   env SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_BENCH_OUT="$OUT/$tag.full.json" \
-    SPARK_DRIVER_MEM=48g \
+    SPARK_DRIVER_MEM=48g GRAFT_BENCH_PASSES=1 \
     sbt -batch "runMain graft.Bench $Q" 2>&1 \
     | grep -oE '\{"metric".*\}' | tail -n1 > "$OUT/$tag.json"
   [ -s "$OUT/$tag.json" ] || { echo "leg $tag produced no metric line" >&2; exit 1; }
@@ -42,9 +45,12 @@ import json, math, statistics, subprocess
 out = "target/scaling_r14"
 sfs = [("r14_sf1", 1.0), ("r14_sf3", 3.0), ("r14_sf10", 10.0)]
 legs = []
+passes = None
 for tag, sf in sfs:
     with open(f"{out}/{tag}.json") as f:
-        legs.append((sf, json.load(f)["queries"]))
+        leg = json.load(f)
+    legs.append((sf, leg["queries"]))
+    passes = leg.get("passes", passes)
 git_head = subprocess.run(["git", "rev-parse", "HEAD"],
                           capture_output=True, text=True).stdout.strip()
 fits = {}
@@ -62,7 +68,7 @@ for q in sorted(legs[0][1]):
     print(f"{q}: {ts} s  exponent={slope:.2f} tail(sf3->sf10)={tail:.2f}")
 with open("SCALING_r14.json", "w") as f:
     json.dump({"metric": "scaling_fit_r14",
-               "sf_axis": [sf for _, sf in sfs],
+               "sf_axis": [sf for _, sf in sfs], "passes": passes,
                "queries": fits, "git_head": git_head}, f, indent=1)
 print("\nwrote SCALING_r14.json (machine-produced)")
 PYEOF
