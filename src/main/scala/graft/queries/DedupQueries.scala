@@ -466,6 +466,13 @@ object DedupQueries {
       val withShingles = docs(s, dir)
         .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
       DedupOps.containmentPairsAuto(withShingles, "doc_id", "shingles", 0.8)
+        // repartition fence before the sort (the dedup_ngram_jaccard
+        // lesson): the dense containment kernel's final stage (broadcast
+        // NL join + overlap kernel) has no trailing exchange, so the
+        // orderBy's range-sampling pass would re-run the whole N² kernel;
+        // fenced, sampling re-reads the (tiny) materialized pair set
+        // (A/B OptAB r14: 1.30× at sf0.1)
+        .repartition(s.sparkContext.defaultParallelism)
         .orderBy($"id_a", $"id_b")
     },
     // count-based like pairCteBody (a containment ≥ 0.8 pair shares ≥ 1

@@ -79,10 +79,15 @@ object GoldQueries {
         .cut(eager = false)
       val withShingles = exactKept
         .select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
-      // PPJoin prefix-filtered near-dup stage (the 100 TB form) — same
-      // survivors as the dense kernel at 0.9: both verify exact Jaccard
+      // COST-BASED near-dup stage (DedupOps.jaccardPairsAuto — the same
+      // dispatch dedup_components deploys): above the ~10k-doc crossover
+      // it IS the PPJoin prefix index (the 100 TB form); below it the
+      // dense merge kernel wins on constants. Branches are property-
+      // tested identical, so survivors never change — A/B OptAB r14:
+      // 1.75× at sf0.1 (the quality-gated corpus sits under the
+      // crossover there)
       val nearDupLosers = graft.operators.DedupOps
-        .jaccardPairs(withShingles, "doc_id", "sh", 0.9)
+        .jaccardPairsAuto(withShingles, "doc_id", "sh", 0.9)
         .select($"id_b".as("doc_id")).distinct()
       exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
         .groupBy($"lang", $"source")

@@ -291,12 +291,16 @@ object TextQueries {
       import s.implicits._
       val dirty = concat(lit("  "), upper(substring($"text", 1, 12)),
         lit("\t"), $"text", lit(" \u00A0 "))
-      t(s, dir).documents.select(
-        $"doc_id",
-        md5(TextOps.normalizeText(dirty)).as("norm_md5"),
-        length(TextOps.normalizeText(dirty)).as("n_chars_norm"),
-        (TextOps.normalizeText($"text") === $"text").as("already_clean"))
+      // sort first, normalize after (house text_* rule): three regex
+      // pipelines below the orderBy would run twice \u2014 A/B OptAB r14:
+      // 1.22\u00D7 at sf0.1
+      t(s, dir).documents.select($"doc_id", $"text")
         .orderBy($"doc_id")
+        .select(
+          $"doc_id",
+          md5(TextOps.normalizeText(dirty)).as("norm_md5"),
+          length(TextOps.normalizeText(dirty)).as("n_chars_norm"),
+          (TextOps.normalizeText($"text") === $"text").as("already_clean"))
     },
     Some {
       // the same pipeline, spelled in DuckDB: control chars → space,
@@ -694,7 +698,11 @@ object TextQueries {
     "text_quality_classifier",
     (s, dir) => {
       import s.implicits._
-      t(s, dir).documents
+      // sort first, classify after (the house text_* rule, header comment
+      // above): the per-gram md5 fold below the orderBy would run twice
+      // (range-sampling pass + sort input) — A/B OptAB r14: 1.64× at sf0.1
+      t(s, dir).documents.select($"doc_id", $"text")
+        .orderBy($"doc_id")
         .select($"doc_id",
           TextOps.classifierMargin($"text").as("m"))
         .select($"doc_id",
@@ -702,7 +710,6 @@ object TextQueries {
           (floor(($"m.z_milli".cast("double") / ($"m.n_feats" * 1000.0)) * 1e6 + 0.5) / 1e6)
             .as("score"),
           ($"m.z_milli" > 0).as("keep"))
-        .orderBy($"doc_id")
     },
     Some("""WITH d AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
            |g AS (SELECT doc_id,
