@@ -661,8 +661,17 @@ object DedupOps {
     val prior = latestManifest(fs, base)
     val gen = prior.map(_.maxSeenGen).getOrElse(0) + 1
     val seg = segName(gen)
+    // range-partition on (band, bucket) with AQE-sized partition count
+    // (no explicit N): at bench SFs the postings coalesce to a handful of
+    // right-sized files instead of bands×filesPerBand tiny ones (the §6
+    // small-files tax measured as the dominant cost of the stored-index
+    // query at sf0.1 — 32 near-empty files per segment), while a 100 TB
+    // increment fans out to advisory-sized partitions. Contiguous range
+    // coalescing preserves the sorted-bucket min/max layout the probe's
+    // row-group pruning needs; filesPerBand stays the compaction-policy
+    // fan-out unit (appendBandedIndexMaintained).
     bandedPostings(increment, idCol, sigCol, bands, rowsPerBand)
-      .repartitionByRange(bands * filesPerBand, col("band"), col("bucket"))
+      .repartitionByRange(col("band"), col("bucket"))
       .sortWithinPartitions(col("bucket"))
       .write.mode("overwrite")
       .partitionBy("band")
@@ -919,11 +928,14 @@ object DedupOps {
       throw new IllegalStateException(s"no committed banded index at $path"))
     val postings = readBandedIndex(spark, path)
       .select(col("id"), col("band"), col("bucket"))
-    val bands = postings.agg(countDistinct(col("band"))).head().getLong(0).toInt
+    // (the pre-AQE layout needed a countDistinct(band) job here to size
+    // the explicit range-partition count; the AQE-sized form doesn't —
+    // one whole-index pass saved per compaction)
     val gen = m.maxSeenGen + 1
     val seg = segName(gen)
     postings
-      .repartitionByRange(bands * filesPerBand, col("band"), col("bucket"))
+      // AQE-sized range partitions — same rationale as writeBandedIndex
+      .repartitionByRange(col("band"), col("bucket"))
       .sortWithinPartitions(col("bucket"))
       .write.mode("overwrite").partitionBy("band")
       .parquet(new org.apache.hadoop.fs.Path(base, seg).toString)

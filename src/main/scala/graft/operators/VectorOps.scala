@@ -296,15 +296,32 @@ object VectorOps {
   }
 
   /** PQ encode: per subspace, the index of the L2-nearest codeword
-    * (tie → lowest index, via array_position-of-min). Pure scan-local
-    * expression over the literal codebooks — no joins, no shuffle. */
-  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    * (tie → lowest index). Pure scan-local expression over the literal
+    * codebooks — no joins, no shuffle. Codegen'd single-pass kernel
+    * (graft.functions.PqEncodeKernel) — bit-identical to the
+    * transform/array_position-of-min HOF chain it replaces (same
+    * left-to-right per-dimension accumulation, same first-strict-min
+    * codeword scan), but one tight primitive loop inside whole-stage
+    * codegen instead of m·k interpreted sqDist evaluations per row
+    * (measured: the HOF encode was ~80% of sim_pq_topk at sf0.1).
+    * Kernel ≡ HOF is property-tested (PropertySpec). */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.PqEncodeKernel(vec, codebooks)
+
+  /** The superseded HOF form of [[pqEncode]] — kept as the property-test
+    * twin pinning the kernel's arithmetic. */
+  private[graft] def pqEncodeHof(vec: Column,
+                                 codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val m = codebooks.size
     val sub = codebooks.head.head.size
     val cb = typedLit(codebooks)
     transform(sequence(lit(0), lit(m - 1)), s => {
       val subv = slice(toDouble(vec), s * lit(sub) + 1, lit(sub))
-      val d2s = transform(element_at(cb, s + 1), c => sqDist(c, subv))
+      // deliberately the interpreted HOF distance (not the SqDist kernel):
+      // this twin pins the kernel against an independent implementation
+      val d2s = transform(element_at(cb, s + 1), c =>
+        aggregate(zip_with(c, subv, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
       (array_position(d2s, array_min(d2s)) - 1).cast("int")
     })
   }
@@ -345,9 +362,12 @@ object VectorOps {
     val topk = udaf(new graft.functions.TopKAggregator(k))
     enc.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc2", aggregate(
-        zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      // codegen'd LUT sum (graft.functions.AdcSumKernel) — identical
+      // subspace-order accumulation to the aggregate/zip_with HOF form
+      // (property-tested), evaluated per (corpus × query) row, so the
+      // interpreted-HOF tax was paid N·|queries| times
+      .withColumn("adc2",
+        graft.functions.AdcSumKernel(col("codes"), col("lut")))
       .groupBy(col("query_id"))
       // TopKAggregator keeps the LARGEST scores: negate the distance
       .agg(topk(-col("adc2"), col("neighbor_id")).as("top"))
@@ -373,9 +393,12 @@ object VectorOps {
         centroidVecCol).select(col("residual")),
       "residual", m, k, seed, maxIter)
 
+  /** Codegen'd squared L2 distance (graft.functions.SqDist) —
+    * bit-identical to the aggregate/zip_with fold it replaces (same
+    * left-to-right accumulation; property-tested), evaluated per
+    * (row × centroid) in every assignment pass. */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.SqDist(a, b)
 
   /** L2 coarse assignment + residual in one broadcast pass: every vector
     * gets (centroid_id, residual = v − c) via a `min_by` HASH AGGREGATE
@@ -452,9 +475,9 @@ object VectorOps {
     val topk = udaf(new graft.functions.TopKAggregator(k))
     lists.join(broadcast(probes), "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc2", aggregate(
-        zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      // codegen'd LUT sum — see pqAdcTopK; per probed (code × query) row
+      .withColumn("adc2",
+        graft.functions.AdcSumKernel(col("codes"), col("lut")))
       .groupBy(col("query_id"))
       .agg(topk(-col("adc2"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))

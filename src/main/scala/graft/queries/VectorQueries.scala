@@ -410,10 +410,12 @@ object VectorQueries {
       val queries = e.filter($"vec_id" < 4)
       val adc = VectorOps.pqAdcTopK(queries, e, "vec_id", "embedding", cbs, 10)
       // identity check on every returned pair: ADC distance recomputed
-      // directly against the reconstruction
+      // directly against the reconstruction. Codegen'd SqDist kernel —
+      // same left-to-right fold as the HOF it replaces (property-tested);
+      // the gate's cost should be its deliberate brute-force SEARCH, not
+      // interpreted-HOF tax on every corpus×query row.
       def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
+        graft.functions.SqDist(a, b)
       val qv = queries.select($"vec_id".as("query_id"),
         VectorOps.toDouble($"embedding").as("qv"))
       val idOk = adc
@@ -602,9 +604,10 @@ object VectorQueries {
       val cents = e.filter($"vec_id" < 8)
       val cbs = ivfPqCbs(s, dir)
       val nprobe = 3
+      // codegen'd SqDist kernel (same fold order as the HOF; see
+      // sim_pq_invariants)
       def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
+        graft.functions.SqDist(a, b)
       val lists = VectorOps.assignWithResidual(e, cents, "vec_id",
           "embedding", "vec_id", "embedding")
         .select($"vec_id".as("neighbor_id"), $"centroid_id",

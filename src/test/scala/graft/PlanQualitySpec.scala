@@ -65,9 +65,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(gen.contains("getDouble"), "DotProduct loop not in generated code")
   }
 
-  test("clean-corpus pipeline plans with no O(N²) join (PPJoin near-dup stage)") {
-    val q = SparkEntry.queries("pipeline_clean_corpus")(spark, TestSpark.sfDir)
-    val plan = physicalPlan(q)
+  test("clean-corpus pipeline plans with no O(N²) join at scale (cost-based " +
+       "near-dup stage, PPJoin branch pinned via denseCutoff=0)") {
+    // the near-dup stage is the COST-BASED generator (r14): below the
+    // ~10k-doc crossover it deliberately plans the dense kernel
+    // (BroadcastNestedLoopJoin — cheapest exact form there, same doctrine
+    // as dedup_containment above); this spec pins the SCALE branch, which
+    // is what a 100 TB corpus plans
+    spark.conf.set("spark.graft.dedup.denseCutoff", "0")
+    val plan = try physicalPlan(
+      SparkEntry.queries("pipeline_clean_corpus")(spark, TestSpark.sfDir))
+    finally spark.conf.unset("spark.graft.dedup.denseCutoff")
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"near-dup stage must be an equi-join candidate generator, not all-pairs:\n$plan")
   }

@@ -338,4 +338,70 @@ class PropertySpec extends SparkSpec {
       assert(h1.forall(h => h >= 0 && h < (1L << 32)))
     }
   }
+
+  test("PQ kernels ≡ HOF twins: encode codes, ADC sums, and squared " +
+       "distances bit-match on random vectors and codebooks") {
+    import graft.operators.VectorOps
+    // random m/sub/k geometry + random float vectors + random codebooks,
+    // including exact-tie codewords (duplicated) so the first-min rule is
+    // exercised, and near-identical values so 1-ulp drift would surface
+    val geomGen = for {
+      m <- Gen.choose(1, 4)
+      sub <- Gen.choose(1, 4)
+      k <- Gen.choose(1, 6)
+      nVec <- Gen.choose(1, 12)
+      cells <- Gen.listOfN(m * k * sub, Gen.choose(-8, 8).map(_ / 4.0))
+      vecs <- Gen.listOfN(nVec * m * sub, Gen.choose(-16, 16).map(_ / 8.0f))
+    } yield (m, sub, k, cells, vecs.grouped(m * sub).map(_.toSeq).toSeq)
+    forAll(geomGen, n = 8) { case (m, sub, k, cells, vecs) =>
+      val cbs: Seq[Seq[Seq[Double]]] = cells.grouped(sub).map(_.toSeq)
+        .grouped(k).map(_.toSeq).toSeq
+      // duplicate codeword 0 as codeword k-1 when k ≥ 2: a guaranteed
+      // exact distance tie — both forms must pick the LOWEST index
+      val cbsTied =
+        if (k >= 2) cbs.map(book => book.updated(k - 1, book.head)) else cbs
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val both = df.select($"id",
+          VectorOps.pqEncode($"v", cbsTied).as("kernel"),
+          VectorOps.pqEncodeHof($"v", cbsTied).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+          s"encode mismatch for vec ${r.getLong(0)}")
+      }
+      // ADC sum kernel vs the aggregate/zip_with fold, on the codes the
+      // kernel just produced and a random LUT
+      val lut: Seq[Seq[Double]] =
+        cells.grouped(k).map(_.map(_ + 0.125).toSeq).toSeq.take(m)
+      val lutFull = if (lut.size == m) lut
+        else Seq.fill(m)(Seq.tabulate(k)(_ * 0.25))
+      val adc = df.select($"id",
+          VectorOps.pqEncode($"v", cbsTied).as("codes"))
+        .select($"id",
+          graft.functions.AdcSumKernel($"codes", typedLit(lutFull)).as("kernel"),
+          aggregate(zip_with($"codes", typedLit(lutFull),
+            (c, l) => element_at(l, c + 1)), lit(0.0), (acc, x) => acc + x)
+            .as("hof"))
+        .collect()
+      adc.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          s"adc mismatch for vec ${r.getLong(0)}")
+      }
+      // SqDist kernel vs the fold, vector vs itself shifted
+      val sd = df.select(
+          graft.functions.SqDist($"v".cast("array<double>"),
+            reverse($"v").cast("array<double>")).as("kernel"),
+          aggregate(zip_with($"v".cast("array<double>"),
+            reverse($"v").cast("array<double>"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+            .as("hof"))
+        .collect()
+      sd.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+    }
+  }
 }
