@@ -176,6 +176,44 @@ object OptAB {
         .repartition(par)
         .orderBy($"doc_id", $"chunk_id")
 
+    // bottom-k containment with the probe⋈posting join strategy forced
+    // (Catalyst broadcasts the full-posting side off unknown RDD stats —
+    // a shape that can't exist at 100 TB where neither side broadcasts)
+    def bottomkHinted(hint: String): DataFrame = {
+      import graft.core.Lineage.LineageOps
+      val sets = docs
+        .select($"doc_id", TextOps.shingles($"text", 3).as("shingles"))
+        .select($"doc_id",
+          sort_array(array_distinct(
+            transform(array_distinct($"shingles"), t => TextOps.hash32(t))))
+            .as("hs"))
+        .withColumn("sz", size($"hs"))
+        .filter($"sz" > 0)
+        .repartition(par)
+        .cut(eager = false)
+      val posting = sets.select($"doc_id".as("id"), explode($"hs").as("h"))
+      val probe = sets.select($"doc_id".as("id"), $"sz",
+        explode(slice($"hs", 1, 16)).as("h"))
+      val directed = probe.as("p")
+        .join(posting.hint(hint).as("q"),
+          $"p.h" === $"q.h" && $"p.id" =!= $"q.id")
+        .groupBy($"p.id".as("a"), $"q.id".as("b"), $"p.sz".as("sza"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("est", $"m".cast("double") / least(lit(16), $"sza"))
+      directed
+        .select(least($"a", $"b").as("id_a"), greatest($"a", $"b").as("id_b"),
+          when($"a" < $"b", $"est").as("eab"),
+          when($"a" > $"b", $"est").as("eba"))
+        .groupBy($"id_a", $"id_b")
+        .agg(coalesce(max($"eab"), lit(0.0)).as("rab"),
+          coalesce(max($"eba"), lit(0.0)).as("rba"))
+        .filter(greatest($"rab", $"rba") >= 0.8)
+        .select($"id_a", $"id_b",
+          (floor(($"rab") * 1e6 + 0.5) / 1e6).as("containment_ab_est"),
+          (floor(($"rba") * 1e6 + 0.5) / 1e6).as("containment_ba_est"))
+        .orderBy($"id_a", $"id_b")
+    }
+
     val cases: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("text_quality_classifier", () => classifierSortFirst, () => registry("text_quality_classifier")),
       ("text_normalize", () => normalizeSortFirst, () => registry("text_normalize")),
@@ -183,7 +221,9 @@ object OptAB {
       ("dedup_containment_verified", () => containmentVerifiedFence, () => registry("dedup_containment_verified")),
       ("pipeline_training_corpus", () => trainingCorpusAuto, () => registry("pipeline_training_corpus")),
       ("pipeline_clean_corpus", () => cleanCorpusAuto, () => registry("pipeline_clean_corpus")),
-      ("text_chunk_windows", () => chunkFence, () => registry("text_chunk_windows")))
+      ("text_chunk_windows", () => chunkFence, () => registry("text_chunk_windows")),
+      ("bottomk_merge", () => bottomkHinted("merge"), () => registry("dedup_containment_bottomk")),
+      ("bottomk_shuffle_hash", () => bottomkHinted("shuffle_hash"), () => registry("dedup_containment_bottomk")))
       .filter { case (n, _, _) => only.isEmpty || only(n) }
 
     // warmup: JVM + codegen on the first case's both forms
