@@ -214,7 +214,89 @@ object OptAB {
         .orderBy($"id_a", $"id_b")
     }
 
+    // excise with (a) the hit-id set lineage-cut (the registry form
+    // recomputes the distinct over covered three times: untouched anti,
+    // touched semi, and the reassembly's anti feed), and (b) optionally a
+    // round-robin fence before the presentation sort
+    def exciseCut(fence: Boolean): DataFrame = {
+      import graft.core.Lineage.LineageOps
+      val k = 8
+      val wins = docs
+        .select($"doc_id".as("id"), posexplode(TextOps.shingles($"text", k)))
+        .select($"id", $"pos".as("start"), $"col".as("win"))
+        .cut(eager = false)
+      val keepers = wins.groupBy($"win")
+        .agg(min(struct($"id", $"start")).as("keeper"))
+      val covered = wins.join(keepers, "win")
+        .filter(struct($"id", $"start") =!= $"keeper")
+        .select($"id", explode(sequence($"start", $"start" + lit(k - 1))).as("pos"))
+        .distinct()
+        .cut(eager = false)
+      val hitIds = covered.select($"id".as("__hit_id")).distinct()
+        .cut(eager = false)
+      val untouched = docs.join(hitIds, $"doc_id" === $"__hit_id", "left_anti")
+        .select($"doc_id", $"text".as("clean_text"),
+          TextOps.tokenCount($"text").cast("int").as("n_tokens"),
+          lit(0).as("n_removed"))
+      val touchedDocs = docs.join(hitIds, $"doc_id" === $"__hit_id", "left_semi")
+      val toks = touchedDocs
+        .select($"doc_id".as("id"), posexplode(TextOps.tokens($"text")))
+        .select($"id", $"pos", $"col".as("tok"))
+      val reassembled = toks.join(covered, Seq("id", "pos"), "left_anti")
+        .groupBy($"id")
+        .agg(concat_ws(" ",
+            transform(array_sort(collect_list(struct($"pos", $"tok"))),
+              _.getField("tok"))).as("clean_text"),
+          count(lit(1)).as("n_kept"))
+        .withColumnRenamed("id", "doc_id")
+      val touched = touchedDocs.select($"doc_id",
+          TextOps.tokenCount($"text").as("n_tokens"))
+        .join(reassembled, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"clean_text", lit("")).as("clean_text"),
+          $"n_tokens".cast("int").as("n_tokens"),
+          ($"n_tokens" - coalesce($"n_kept", lit(0L))).cast("int").as("n_removed"))
+      val out = untouched.unionByName(touched)
+      (if (fence) out.repartition(par) else out).orderBy($"doc_id")
+    }
+
+    // training corpus with the gated `train` side lineage-cut: it feeds
+    // BOTH the contamination posting and the clean anti-join, so the
+    // gate pipeline (two scans + topTokenRatio aggregate + join) executes
+    // twice in the registry form
+    def trainingCorpusTrainCut: DataFrame = {
+      import graft.operators.{HygieneOps, SamplingOps}
+      import graft.core.Lineage.LineageOps
+      val d = docs
+      val gophered = HygieneOps.gopherRules(d, "doc_id", "text")
+        .filter($"passes").select($"doc_id")
+      val train = d.join(gophered, "doc_id").filter($"doc_id" % 50 =!= 0)
+        .cut(eager = false)
+      val benchmark = d.filter($"doc_id" % 50 === 0)
+      val contaminated = HygieneOps
+        .contaminationHits(train, benchmark, "doc_id", "text", 3, minHits = 5L)
+        .select($"doc_id").distinct()
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val exactKept = clean
+        .withColumn("keep", min($"doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))))
+        .filter($"doc_id" === $"keep").drop("keep")
+        .cut(eager = false)
+      val sh = exactKept.select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
+      val pairs = DedupOps.jaccardPairs(sh, "doc_id", "sh", 0.9)
+      val nonReps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+        .filter($"id" =!= $"label").select($"id".as("doc_id"))
+      val survivors = exactKept.join(nonReps, Seq("doc_id"), "left_anti")
+      SamplingOps.trainValTestSplit(survivors, "doc_id")
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"lang", $"split")
+    }
+
     val cases: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("ptc_train_cut", () => trainingCorpusTrainCut, () => registry("pipeline_training_corpus")),
+      ("excise_hitids_cut", () => exciseCut(false), () => registry("dedup_excise_spans")),
+      ("excise_hitids_cut_fence", () => exciseCut(true), () => registry("dedup_excise_spans")),
       ("text_quality_classifier", () => classifierSortFirst, () => registry("text_quality_classifier")),
       ("text_normalize", () => normalizeSortFirst, () => registry("text_normalize")),
       ("dedup_containment", () => containmentFence, () => registry("dedup_containment")),

@@ -550,7 +550,19 @@ object DedupOps {
   def minhashCoeffs(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (2L * i + 1, 17L * i + 3))
 
+  /** Per-row signature kernel ([[graft.functions.MinHashSigKernel]], r14):
+    * one md5 per shingle, k permutation mins in a tight loop — the HOF
+    * form this replaces re-hashed every shingle PER COEFFICIENT (k× the
+    * digests, interpreted), and the explode+aggregate form paid a
+    * posting explode plus k aggregate buffers plus a shuffle. Scan-local
+    * at any scale. Identical values (including the empty-set sentinel
+    * `minhashPrime` in every slot) — property-tested against both
+    * superseded forms. */
   def minhashSignature(shingleSet: Column, k: Int): Column =
+    graft.functions.MinHashSigKernel(shingleSet, k)
+
+  /** The superseded HOF column form — kept as a property-test twin. */
+  private[graft] def minhashSignatureHof(shingleSet: Column, k: Int): Column =
     array(minhashCoeffs(k).map { case (a, b) =>
       coalesce(
         array_min(transform(shingleSet,
@@ -558,14 +570,23 @@ object DedupOps {
         lit(minhashPrime))
     }: _*)
 
-  /** MinHash signatures via explode + hash aggregate — the fast form: the
-    * per-shingle md5 is computed ONCE (HOF lambdas are CodegenFallback, so
-    * the column-expression form re-hashes every shingle per coefficient),
-    * and the k mins are codegen'd partial aggregates. Docs with an empty
-    * shingle set drop out (no posting rows) — left-join the result and
+  /** MinHash signatures per document via the scan-local kernel (r14 —
+    * previously explode + k hash-aggregate mins + a shuffle on the id;
+    * the kernel computes the same integers in one loop per doc, no
+    * shuffle). Docs with a NULL or empty shingle set drop out, exactly
+    * like the explode form (no posting rows) — left-join the result and
     * fill with `minhashPrime` if they matter. */
   def minhashSignatures(docs: DataFrame, idCol: String, setCol: String,
-                        k: Int): DataFrame = {
+                        k: Int): DataFrame =
+    docs.select(col(idCol).as("id"), col(setCol).as("__s"))
+      .filter(col("__s").isNotNull && size(col("__s")) > 0)
+      .select(col("id"),
+        graft.functions.MinHashSigKernel(col("__s"), k).as("sig"))
+
+  /** The superseded explode + aggregate form — kept as a property-test
+    * twin pinning the kernel's arithmetic and drop semantics. */
+  private[graft] def minhashSignaturesAgg(docs: DataFrame, idCol: String,
+                                          setCol: String, k: Int): DataFrame = {
     val posting = docs
       .select(col(idCol).as("id"), explode(array_distinct(col(setCol))).as("s"))
       .select(col("id"), TextOps.hash32(col("s")).as("h"))
@@ -1131,11 +1152,25 @@ object DedupOps {
     * banding a plain `posexplode`.
     *
     * Bits 0..31 come from md5 hex digits 1-8 of the token (= `hash32`),
-    * bits 32..63 from digits 9-16 — ONE md5 per token row sliced twice,
-    * because the md5-prefix hash is the portable primitive both engines
-    * share. Same explode + 64 codegen'd conditional-sum partial
-    * aggregates shape as [[simhashes]]: one shuffle on the id. */
-  def simhashes64(docs: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    * bits 32..63 from digits 9-16 — ONE md5 per token, because the
+    * md5-prefix hash is the portable primitive both engines share.
+    *
+    * Per-row kernel ([[graft.functions.SimHash64Bands]], r14 —
+    * previously explode + 64 conditional-sum aggregates + a shuffle on
+    * the id, measured as ~90% of dedup_simhash at sf0.1): the same
+    * integer votes in one loop per document, scan-local at any scale.
+    * Docs with a NULL or empty token array drop out, exactly like the
+    * explode form. Identity vs the aggregate twin is property-tested. */
+  def simhashes64(docs: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    docs.select(col(idCol).as("id"), tokensCol.as("__toks"))
+      .filter(col("__toks").isNotNull && size(col("__toks")) > 0)
+      .select(col("id"),
+        graft.functions.SimHash64Bands(col("__toks")).as("bands"))
+
+  /** The superseded explode + aggregate form — kept as a property-test
+    * twin pinning the kernel's votes, band packing, and drop semantics. */
+  private[graft] def simhashes64Agg(docs: DataFrame, idCol: String,
+                                    tokensCol: Column): DataFrame = {
     val posting = docs.select(col(idCol).as("id"), explode(tokensCol).as("t"))
       .select(col("id"), md5(col("t")).as("m"))
       .select(col("id"),

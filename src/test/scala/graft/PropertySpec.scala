@@ -339,6 +339,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("signature kernels ≡ superseded forms: simhash64 bands and minhash " +
+       "sigs bit-match the explode+aggregate and HOF twins, including " +
+       "empty-set sentinels and doc-drop semantics") {
+    import graft.operators.DedupOps
+    val docGen = for {
+      nDocs <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(nDocs, Gen.frequency(
+        4 -> Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "ccc", "the", "of",
+          "x1", "zz9", "tok")),
+        1 -> Gen.const(List.empty[String])))
+    } yield docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks) }
+    forAll(docGen, n = 6) { rows =>
+      val df = rows.toDF("doc_id", "toks")
+      // simhash64: kernel form == aggregate form (same ids, same bands)
+      val kSim = DedupOps.simhashes64(df, "doc_id", $"toks")
+        .as[(Long, Seq[Long])].collect().toMap
+      val aSim = DedupOps.simhashes64Agg(df, "doc_id", $"toks")
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(kSim === aSim)
+      // minhash: kernel df form == aggregate df form
+      val kMin = DedupOps.minhashSignatures(df, "doc_id", "toks", 16)
+        .as[(Long, Seq[Long])].collect().toMap
+      val aMin = DedupOps.minhashSignaturesAgg(df, "doc_id", "toks", 16)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(kMin === aMin)
+      // minhash column form: kernel == HOF, including the empty-set
+      // sentinel rows the df forms drop
+      val kCol = df.select($"doc_id",
+        DedupOps.minhashSignature($"toks", 16).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val hCol = df.select($"doc_id",
+        DedupOps.minhashSignatureHof($"toks", 16).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(kCol === hCol)
+    }
+  }
+
   test("PQ kernels ≡ HOF twins: encode codes, ADC sums, and squared " +
        "distances bit-match on random vectors and codebooks") {
     import graft.operators.VectorOps
