@@ -293,7 +293,44 @@ object OptAB {
         .orderBy($"lang", $"split")
     }
 
+    // dedup_components with min-label propagation WITHOUT pointer
+    // jumping: near-dup clusters are near-cliques (diameter ~2), so the
+    // label-of-label hop may buy no rounds while costing 2 joins/round
+    def componentsNoPj: DataFrame = {
+      import graft.core.Lineage.LineageOps
+      val d = docs
+      val withShingles = d
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      val pairs = DedupOps.jaccardPairsAuto(withShingles, "doc_id", "shingles", 0.5)
+      val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+        .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+        .distinct()
+        .cut(eager = false)
+      var labels = edges.groupBy($"src".as("id"))
+        .agg(least($"src", min($"dst")).as("label"))
+        .cut(eager = false)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val neighborMin = edges.join(labels, $"dst" === $"id")
+          .groupBy($"src").agg(min($"label").as("nbr_min"))
+        val updated = labels.join(neighborMin, $"id" === $"src", "left")
+          .select($"id", $"label",
+            least($"label", coalesce($"nbr_min", $"label")).as("new_label"))
+          .cut(eager = false)
+        changed = updated.filter($"new_label" < $"label").count()
+        labels = updated.select($"id", $"new_label".as("label"))
+        iter += 1
+      }
+      require(changed == 0, s"no-PJ CC did not converge")
+      d.select($"doc_id")
+        .join(labels, $"doc_id" === $"id", "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("rep"))
+        .orderBy($"doc_id")
+    }
+
     val cases: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("cc_nopj", () => componentsNoPj, () => registry("dedup_components")),
       ("ptc_train_cut", () => trainingCorpusTrainCut, () => registry("pipeline_training_corpus")),
       ("excise_hitids_cut", () => exciseCut(false), () => registry("dedup_excise_spans")),
       ("excise_hitids_cut_fence", () => exciseCut(true), () => registry("dedup_excise_spans")),

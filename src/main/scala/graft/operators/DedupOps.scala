@@ -368,16 +368,24 @@ object DedupOps {
   def substringDupProfile(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, stride: Int = 1): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    // guard size>=k BEFORE sequence(): Spark's sequence(0, negative)
-    // infers step -1 and would fabricate windows for short docs
-    val wins = docs
-      .select(col(idCol).as("id"), toks.as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("id"), explode(transform(
-        sequence(lit(0),
-          floor((size(col("toks")) - k).cast("double") / stride).cast("int")),
-        i => array_join(slice(col("toks"), i * lit(stride) + 1, lit(k)), " ")))
-        .as("win"))
+    // stride 1 windows ARE word k-shingles — use the zero-copy byte-slice
+    // kernel (TextOps.shingles, r14); its empty array for short docs
+    // makes the explode drop them, the same rows the size guard kept.
+    // The strided general form keeps the transform chain (guard size>=k
+    // BEFORE sequence(): Spark's sequence(0, negative) infers step -1
+    // and would fabricate windows for short docs).
+    val wins =
+      if (stride == 1)
+        docs.select(col(idCol).as("id"),
+          explode(TextOps.shingles(col(textCol), k)).as("win"))
+      else docs
+        .select(col(idCol).as("id"), toks.as("toks"))
+        .filter(size(col("toks")) >= k)
+        .select(col("id"), explode(transform(
+          sequence(lit(0),
+            floor((size(col("toks")) - k).cast("double") / stride).cast("int")),
+          i => array_join(slice(col("toks"), i * lit(stride) + 1, lit(k)), " ")))
+          .as("win"))
     val occ = wins.groupBy(col("win")).agg(count(lit(1)).as("n_occ"))
     wins.join(occ, "win")
       .groupBy(col("id"))

@@ -339,6 +339,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("shingles kernel ≡ fold twin on adversarial strings: multi-space, " +
+       "leading/trailing spaces, unicode, short docs, n = 1..8") {
+    val strGen = Gen.frequency(
+      5 -> Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "ccc", "Ωµ", "d1", ""))
+        .map(_.mkString(" ")),
+      1 -> Gen.const(""),
+      1 -> Gen.const(" "),
+      1 -> Gen.const("  a  b "),
+      1 -> Gen.const("one two three four five six seven eight nine"))
+    forAll(Gen.zip(Gen.listOfN(8, strGen), Gen.choose(1, 8)), n = 8) {
+      case (texts, nGram) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+        val both = df.select($"i",
+            TextOps.shingles($"t", nGram).as("kernel"),
+            TextOps.shinglesHof($"t", nGram).as("hof"))
+          .collect()
+        both.foreach { r =>
+          assert(r.getSeq[String](1) === r.getSeq[String](2),
+            s"n=$nGram text=${texts(r.getInt(0))}")
+        }
+        // null text → null in both forms
+        val nr = Seq((0, null: String)).toDF("i", "t")
+          .select(TextOps.shingles($"t", nGram).isNull.as("k"),
+            TextOps.shinglesHof($"t", nGram).isNull.as("h"))
+          .head()
+        assert(nr.getBoolean(0) && nr.getBoolean(1))
+    }
+  }
+
   test("signature kernels ≡ superseded forms: simhash64 bands and minhash " +
        "sigs bit-match the explode+aggregate and HOF twins, including " +
        "empty-set sentinels and doc-drop semantics") {
