@@ -354,18 +354,27 @@ object TextOps {
     * one `aggregate` fold evaluated once per row); no UDF, no join, no
     * shuffle — at 100 TB this is a map-only pass whose cost is the scan
     * itself. Returns struct(n_feats, z_milli). */
-  def classifierMargin(text: Column, dim: Int = 1024): Column = {
-    // the weight of bucket i is a pure function of i — materialize the
-    // whole table ONCE on the driver (java MD5 ≡ the md5 expression,
-    // spec-pinned) and ship it as a literal: the per-gram work drops to
-    // one md5 + one array lookup instead of two md5s (measured ~2× on
-    // the corpus scan; same bits, the DuckDB twin keeps the inline form)
-    val weights = typedLit(Seq.tabulate(dim) { i =>
+  private def classifierWeights(dim: Int): Seq[Long] =
+    Seq.tabulate(dim) { i =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"w#$i".getBytes("UTF-8"))
       java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) %
         2001 - 1000
-    })
+    }
+
+  def classifierMargin(text: Column, dim: Int = 1024): Column =
+    // per-row kernel (graft.functions.ClassifierMarginKernel, r14): one
+    // md5 per gram with grams sliced zero-copy from the text bytes (the
+    // ShinglesKernel identity) — the HOF form below folded an
+    // interpreted lambda per gram over concatenated token+bigram arrays.
+    // Same exact integer margin; property-tested against the twin.
+    graft.functions.ClassifierMarginKernel(text, classifierWeights(dim), dim)
+
+  /** The superseded HOF form — kept as the property-test twin. (The
+    * weight of bucket i is a pure function of i — materialized ONCE on
+    * the driver, java MD5 ≡ the md5 expression, spec-pinned.) */
+  private[graft] def classifierMarginHof(text: Column, dim: Int = 1024): Column = {
+    val weights = typedLit(classifierWeights(dim))
     val grams = concat(tokens(text), shingles(text, 2))
     val z = aggregate(grams, lit(0L), (acc, t) =>
       acc + element_at(weights, (hash32(t) % dim).cast("int") + 1))

@@ -368,6 +368,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("classifier margin kernel ≡ HOF twin: n_feats and exact integer " +
+       "z_milli match on adversarial strings") {
+    val strGen = Gen.frequency(
+      5 -> Gen.nonEmptyListOf(Gen.oneOf("a", "bb", "the", "of", "x1", ""))
+        .map(_.mkString(" ")),
+      1 -> Gen.const(""),
+      1 -> Gen.const("single"),
+      1 -> Gen.const("  two  spaced  "))
+    forAll(Gen.listOfN(10, strGen), n = 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+      val both = df.select($"i",
+          TextOps.classifierMargin($"t").as("k"),
+          TextOps.classifierMarginHof($"t").as("h"))
+        .select($"i", $"k.n_feats", $"k.z_milli", $"h.n_feats", $"h.z_milli")
+        .collect()
+      both.foreach { r =>
+        assert(r.getInt(1) === r.getInt(3), s"n_feats for '${texts(r.getInt(0))}'")
+        assert(r.getLong(2) === r.getLong(4), s"z_milli for '${texts(r.getInt(0))}'")
+      }
+    }
+  }
+
   test("signature kernels ≡ superseded forms: simhash64 bands and minhash " +
        "sigs bit-match the explode+aggregate and HOF twins, including " +
        "empty-set sentinels and doc-drop semantics") {
