@@ -100,9 +100,15 @@ object Bench {
     // smoke run silently clobbered the committed sf0.1 baseline, which
     // then disabled the outlier protocol on the next sf0.1 run (the
     // same-sf guard saw a foreign-SF prior and compared against nothing).
+    // cpu-count suffix (r15): the driver's 8-core scaling leg used to
+    // write the SAME default path as the 32-core run and clobbered it
+    // (VERDICT r14 "what's wrong" #2) — non-reference core counts get
+    // their own artifact (bench_full_c8.json), so both legs coexist and
+    // each compares against its own same-cpus prior.
+    val cpuSuffix = if (cpus == "32") "" else s"_c$cpus"
     val defaultOut =
-      if (new java.io.File(sfDir).getName == "sf0.1") "bench_full.json"
-      else s"bench_full_${new java.io.File(sfDir).getName}.json"
+      if (new java.io.File(sfDir).getName == "sf0.1") s"bench_full$cpuSuffix.json"
+      else s"bench_full_${new java.io.File(sfDir).getName}$cpuSuffix.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", outPath)
     // the round anchor only anchors the reference SF — a foreign-SF
@@ -199,6 +205,18 @@ object Bench {
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"deployed_sec":$deployedSec,"gate_sec":$gateSec,"queries":$qs$errJson$rerunJson$gitJson,"sf":"$sfDir"}"""
     println(line)
+    // Compact summary twin, printed LAST (r15 — measurement-contract fix,
+    // VERDICT r14 "what's wrong" #1 / next-round #2): at 207 queries the
+    // full line is ~12 KB but the driver retains only a ~2 KB stdout
+    // tail, which decapitated the JSON every round back to r01
+    // (BENCH_r*.json: parsed null). This line carries the same scalar
+    // fields — total, deployed/gate split, passes, error count, git head
+    // — and deliberately NO per-query map, so it always fits a bounded
+    // tail intact; in that tail it is also the only line containing
+    // "metric". Per-query ground truth is unchanged: the full line above
+    // plus the committed artifact it names in "full_artifact".
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"cpus":$cpus,"deployed_sec":$deployedSec,"gate_sec":$gateSec,"queries_n":${finalResults.size},"errors_n":${errors.size},"compact":true,"full_artifact":${jstr(outPath)}$gitJson,"sf":"$sfDir"}"""
+    println(compact)
     // driver output tails can truncate the per-query map on long registries;
     // also persist the full line as a tracked artifact so every round's
     // per-query regression check is auditable from the repo alone.

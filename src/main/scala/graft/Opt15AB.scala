@@ -1,0 +1,369 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 optimization A/B harness — same protocol as OptAB (one JVM,
+  * min-of-N, noop sink, exceptAll identity; ratio > 1 means the
+  * challenger/registry form under test wins). The round's hypotheses are
+  * the VERDICT r14 "next round" list; for each case the REGISTRY now
+  * carries the candidate optimization and the incumbent is the r14 form
+  * rebuilt inline (the window-twin / HOF-twin / sequential-write forms
+  * kept in the codebase for exactly this purpose), so the A/B runs both
+  * forms in one JVM regardless of which one is deployed.
+  *
+  * Also reports DRIVER JOB COUNTS per form (a SparkListener tick): the
+  * stored-index and CC cases are job-launch-bound at bench SFs, so the
+  * job count is the honest local metric while the wall-clock win shows
+  * at scale.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.Opt15AB [passes [case ...]]"`.
+  */
+object Opt15AB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val passes = args.headOption.map(_.toInt).getOrElse(3)
+    val only = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-opt15-ab")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      })
+
+    // min-of-N seconds plus the job count of ONE pass (jobs are
+    // deterministic per form; counted on the last pass after a bus drain)
+    def run(df: => DataFrame): (Double, Long) = {
+      var jobs = 0L
+      val t = (1 to passes).map { _ =>
+        org.apache.spark.sql.graft.bridge
+          .drainListenerBus(spark.sparkContext)
+        val j0 = jobCount.get()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.bridge
+          .drainListenerBus(spark.sparkContext)
+        jobs = jobCount.get() - j0
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
+      }.min
+      (t, jobs)
+    }
+
+    val par = spark.sparkContext.defaultParallelism
+    def registry(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    def docs = graft.core.Tables(spark, sfDir).documents
+
+    import graft.operators.{DedupOps, HygieneOps, SamplingOps, TextOps}
+    import graft.core.Lineage.LineageOps
+
+    // ---- challenger rebuild: bounded-heap-aggregate PPJoin (encodedSets
+    // + rarestPrefixesAgg + the same candidate/verify tail) — REFUTED,
+    // kept as the committed evidence (see DedupOps.rarestPrefixes) ----
+    def encodedSets(d: DataFrame, idCol: String, setCol: String): DataFrame =
+      d.select(col(idCol).as("id"),
+          sort_array(transform(array_distinct(col(setCol)), t => xxhash64(t))).as("s"))
+        .withColumn("sz", size(col("s")))
+        .repartition(par)
+        .cut(eager = false)
+
+    def jaccardPairsAggForm(d: DataFrame, idCol: String, setCol: String,
+                            threshold: Double): DataFrame = {
+      val eps = 1e-9
+      val sets = encodedSets(d, idCol, setCol)
+      val posting = sets.select(col("id"), col("sz"), explode(col("s")).as("h"))
+      val prefixLen = col("sz") - ceil(lit(threshold) * col("sz") - eps) + 1
+      val prefixes = DedupOps.rarestPrefixesAgg(posting, prefixLen)
+      val alpha = ceil(lit(threshold / (1 + threshold)) *
+        (col("l.sz") + col("r.sz")) - eps)
+      val positionOk =
+        (lit(1) + least(col("l.sz") - col("l.rn"), col("r.sz") - col("r.rn"))) >= alpha
+      val lengthOk = least(col("l.sz"), col("r.sz")).cast("double") >=
+        greatest(col("l.sz"), col("r.sz")) * threshold
+      val candidates = prefixes.as("l").join(prefixes.as("r"),
+          col("l.h") === col("r.h") && col("l.id") < col("r.id") &&
+            lengthOk && positionOk)
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
+      candidates
+        .join(sets.select(col("id").as("id_a"), col("s").as("s_a"),
+          col("sz").as("sz_a")), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("s").as("s_b"),
+          col("sz").as("sz_b")), "id_b")
+        .withColumn("common",
+          graft.functions.SortedLongOverlapCount(col("s_a"), col("s_b")).cast("double"))
+        .withColumn("raw", col("common") / (col("sz_a") + col("sz_b") - col("common")))
+        .filter(col("raw") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          (floor((col("raw")) * 1e6 + 0.5) / 1e6).as("jaccard"))
+    }
+
+    def ppjoinAgg: DataFrame = {
+      val withShingles = docs
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      jaccardPairsAggForm(withShingles, "doc_id", "shingles", 0.9)
+        .orderBy($"id_a", $"id_b")
+    }
+
+    // training corpus, identical except the agg-form PPJoin stage
+    def trainingCorpusAgg: DataFrame = {
+      val d = docs
+      val gophered = HygieneOps.gopherRules(d, "doc_id", "text")
+        .filter($"passes").select($"doc_id")
+      val train = d.join(gophered, "doc_id").filter($"doc_id" % 50 =!= 0)
+      val benchmark = d.filter($"doc_id" % 50 === 0)
+      val contaminated = HygieneOps
+        .contaminationHits(train, benchmark, "doc_id", "text", 3, minHits = 5L)
+        .select($"doc_id").distinct()
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val exactKept = clean
+        .withColumn("keep", min($"doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))))
+        .filter($"doc_id" === $"keep").drop("keep")
+        .cut(eager = false)
+      val sh = exactKept.select($"doc_id", TextOps.shingles($"text", 2).as("sh"))
+      val pairs = jaccardPairsAggForm(sh, "doc_id", "sh", 0.9)
+      val nonReps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+        .filter($"id" =!= $"label").select($"id".as("doc_id"))
+      val survivors = exactKept.join(nonReps, Seq("doc_id"), "left_anti")
+      SamplingOps.trainValTestSplit(survivors, "doc_id")
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"lang", $"split")
+    }
+
+    // ---- PQ reconstruction legs: kernel vs HOF decode, over the real
+    // codebooks and corpus of the gates ----
+    import graft.operators.VectorOps
+    def emb = graft.core.Tables(spark, sfDir).embeddings
+    lazy val pqCbs = VectorOps.pqTrainCodebooks(emb, "embedding", 16, 16)
+    def pqReconLeg(useKernel: Boolean): DataFrame = {
+      val cbs = pqCbs
+      val enc = emb.select($"vec_id",
+        VectorOps.pqEncode($"embedding", cbs).as("codes"))
+      val qv = emb.filter($"vec_id" < 4).select($"vec_id".as("query_id"),
+        VectorOps.toDouble($"embedding").as("qv"))
+      val dec = if (useKernel) VectorOps.pqDecode($"codes", cbs)
+                else VectorOps.pqDecodeHof($"codes", cbs)
+      enc.crossJoin(broadcast(qv))
+        .filter($"query_id" =!= $"vec_id")
+        .withColumn("dr", graft.functions.SqDist($"qv", dec))
+        .groupBy($"query_id")
+        .agg(min($"dr").as("mn"), sum($"dr").as("sm"), count(lit(1)).as("n"))
+        .orderBy($"query_id")
+    }
+    lazy val ivfCents = emb.filter($"vec_id" < 8)
+    lazy val ivfCbs = VectorOps.pqTrainResidualCodebooks(emb, ivfCents,
+      "vec_id", "embedding", "vec_id", "embedding", 16, 16)
+    def ivfpqReconLeg(useKernel: Boolean): DataFrame = {
+      val cbs = ivfCbs
+      val lists = VectorOps.assignWithResidual(emb, ivfCents, "vec_id",
+          "embedding", "vec_id", "embedding")
+        .select($"vec_id".as("neighbor_id"), $"centroid_id",
+          VectorOps.pqEncode($"residual", cbs).as("codes"))
+      val cv = ivfCents.select($"vec_id".as("centroid_id"),
+        VectorOps.toDouble($"embedding").as("cv"))
+      val rv = if (useKernel) VectorOps.pqReconstruct($"cv", $"codes", cbs)
+               else zip_with($"cv", VectorOps.pqDecodeHof($"codes", cbs),
+                 (a, b) => a + b)
+      lists.join(broadcast(cv), "centroid_id")
+        .select($"neighbor_id", $"centroid_id", rv.as("rv"))
+        .groupBy($"centroid_id")
+        .agg(sum(element_at($"rv", 1)).as("s1"), count(lit(1)).as("n"))
+        .orderBy($"centroid_id")
+    }
+
+    // ---- CC loop with the edges table pre-partitioned AND pre-sorted on
+    // the join key BEFORE its checkpoint: Dataset.checkpoint preserves
+    // outputPartitioning/outputOrdering into the LogicalRDD, so every
+    // round's edges⋈labels join plans NO exchange and NO sort on the
+    // edges side (one repartition+sort paid once vs one exchange+sort per
+    // round). Labels/aggregate shuffles unchanged; results identical. ----
+    def componentsEdgesPartitioned: DataFrame = {
+      val d = docs
+      val withShingles = d
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      val pairs = DedupOps.jaccardPairsAuto(withShingles, "doc_id", "shingles", 0.5)
+      val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+        .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+        .distinct()
+        .repartition(col("dst"))
+        .sortWithinPartitions($"dst")
+        .cut(eager = false)
+      var labels = edges.groupBy($"src".as("id"))
+        .agg(least($"src", min($"dst")).as("label"))
+        .cut(eager = false)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val neighborMin = edges.join(labels, $"dst" === $"id")
+          .groupBy($"src").agg(min($"label").as("nbr_min"))
+        val propagated = labels.join(neighborMin, $"id" === $"src", "left")
+          .select($"id", $"label",
+            least($"label", coalesce($"nbr_min", $"label")).as("mid_label"))
+        val parents = propagated
+          .select($"id".as("pid"), $"mid_label".as("parent"))
+        val updated = propagated
+          .join(parents, $"mid_label" === $"pid", "left")
+          .select($"id", $"label",
+            least($"mid_label", coalesce($"parent", $"mid_label")).as("new_label"))
+          .cut(eager = false)
+        changed = updated.filter($"new_label" < $"label").count()
+        labels = updated.select($"id", $"new_label".as("label"))
+        iter += 1
+      }
+      require(changed == 0, "partitioned-edges CC did not converge")
+      d.select($"doc_id")
+        .join(labels, $"doc_id" === $"id", "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("rep"))
+        .orderBy($"doc_id")
+    }
+
+    // ---- CC round with the neighbor-min and own-label fused into ONE
+    // union + tagged aggregate: the r14 round plans edges⋈labels →
+    // groupBy(src) → labels⋈neighborMin (3 shuffle boundaries before the
+    // pointer jump); here neighbors' labels and own labels union into a
+    // single groupBy(id) carrying min(all) and min(own) — one join and
+    // ~2 exchanges fewer per round, same label sequence (min is the same
+    // min), same pointer jump, same convergence count. ----
+    def ccUnionAgg(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+      val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct()
+        .cut(eager = false)
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(least(col("src"), min(col("dst"))).as("label"))
+        .cut(eager = false)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val fromNbrs = edges.join(labels, col("dst") === col("id"))
+          .select(col("src").as("id"), col("label"), lit(false).as("own"))
+        val self = labels.select(col("id"), col("label"), lit(true).as("own"))
+        val propagated = fromNbrs.unionByName(self)
+          .groupBy(col("id"))
+          .agg(min(col("label")).as("mid_label"),
+            min(when(col("own"), col("label"))).as("label"))
+        val parents = propagated
+          .select(col("id").as("pid"), col("mid_label").as("parent"))
+        val updated = propagated
+          .join(parents, col("mid_label") === col("pid"), "left")
+          .select(col("id"), col("label"),
+            least(col("mid_label"), coalesce(col("parent"), col("mid_label")))
+              .as("new_label"))
+          .cut(eager = false)
+        changed = updated.filter(col("new_label") < col("label")).count()
+        labels = updated.select(col("id"), col("new_label").as("label"))
+        iter += 1
+      }
+      require(changed == 0, "union-agg CC did not converge")
+      labels
+    }
+
+    def componentsUnionAgg: DataFrame = {
+      val d = docs
+      val withShingles = d
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      val pairs = DedupOps.jaccardPairsAuto(withShingles, "doc_id", "shingles", 0.5)
+      val comps = ccUnionAgg(pairs, "id_a", "id_b")
+      d.select($"doc_id")
+        .join(comps, $"doc_id" === $"id", "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("rep"))
+        .orderBy($"doc_id")
+    }
+
+    def semdedupUnionAgg: DataFrame = {
+      import graft.operators.VectorOps
+      val e = graft.core.Tables(spark, sfDir).embeddings
+      val pairs = VectorOps.semdedupPairs(e, e.filter($"vec_id" < 8),
+        "vec_id", "embedding", "vec_id", "embedding", 0.4)
+      val comps = ccUnionAgg(pairs, "id_a", "id_b")
+        .withColumnRenamed("label", "rep")
+      e.join(comps, $"vec_id" === $"id", "left")
+        .withColumn("survivor", coalesce($"rep", $"vec_id") === $"vec_id")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when($"survivor", 1L).otherwise(0L)).as("n_survivors"))
+        .orderBy($"label")
+    }
+
+    // ---- stored index: batched (registry) vs sequential two-write ----
+    def minhashDeltaStoredSequential: DataFrame = {
+      val withShingles = docs
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+        .select($"doc_id", array_distinct($"shingles").as("shingles"))
+        .cut(eager = false)
+      val signed = DedupOps.minhashSignatures(withShingles, "doc_id",
+          "shingles", 16)
+        .withColumnRenamed("id", "doc_id")
+        .cut(eager = false)
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_banded_index_seq_ab",
+        Integer.toHexString(sfDir.hashCode)).toString
+      DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === 1),
+        "doc_id", "sig", 4, 4, idx)
+      DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === 2),
+        "doc_id", "sig", 4, 4, idx, append = true)
+      val cands = DedupOps.lshProbeCandidatesStored(spark, idx,
+        signed.filter($"doc_id" % 3 === 0), "doc_id", "sig", 4, 4)
+      val sets = withShingles.select($"doc_id".as("id"), $"shingles".as("ss"))
+      cands
+        .join(sets.withColumnRenamed("id", "batch_id")
+          .withColumnRenamed("ss", "s_a"), "batch_id")
+        .join(sets.withColumnRenamed("id", "hist_id")
+          .withColumnRenamed("ss", "s_b"), "hist_id")
+        .withColumn("raw", size(array_intersect($"s_a", $"s_b")).cast("double") /
+          size(array_union($"s_a", $"s_b")))
+        .filter($"raw" >= 0.8)
+        .select($"batch_id", $"hist_id", (floor(($"raw") * 1e6 + 0.5) / 1e6).as("jaccard"))
+        .orderBy($"batch_id", $"hist_id")
+    }
+
+    val cases: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("ppjoin_prefix_agg",
+        () => ppjoinAgg, () => registry("dedup_ppjoin_jaccard")),
+      ("training_corpus_prefix_agg",
+        () => trainingCorpusAgg, () => registry("pipeline_training_corpus")),
+      ("pq_recon_kernel",
+        () => pqReconLeg(true), () => pqReconLeg(false)),
+      ("ivfpq_recon_kernel",
+        () => ivfpqReconLeg(true), () => ivfpqReconLeg(false)),
+      ("stored_batched_writes",
+        () => registry("dedup_minhash_delta_stored"),
+        () => minhashDeltaStoredSequential),
+      ("cc_edges_partitioned",
+        () => componentsEdgesPartitioned, () => registry("dedup_components")),
+      ("cc_union_agg",
+        () => componentsUnionAgg, () => registry("dedup_components")),
+      ("semdedup_union_agg",
+        () => semdedupUnionAgg, () => registry("pipeline_semdedup_embeddings")))
+      .filter { case (n, _, _) => only.isEmpty || only(n) }
+
+    // warmup: JVM + codegen on the first case's both forms
+    run(cases.head._2()); run(cases.head._3())
+    val out = cases.map { case (name, challenger, incumbent) =>
+      val (tCh, jCh) = run(challenger())
+      val (tInc, jInc) = run(incumbent())
+      val mismatch = challenger().exceptAll(incumbent()).count() +
+        incumbent().exceptAll(challenger()).count()
+      require(mismatch == 0, s"$name A/B forms disagree on $mismatch rows")
+      println(f"$name%-28s challenger=$tCh%.3f (jobs=$jCh) incumbent=$tInc%.3f (jobs=$jInc)  (${tInc / tCh}%.2fx win if >1)")
+      s""""$name":{"challenger_sec":$tCh,"challenger_jobs":$jCh,"incumbent_sec":$tInc,"incumbent_jobs":$jInc}"""
+    }
+    println(s"""{"metric":"opt15_ab","sf":"$sfDir","passes":$passes,${out.mkString(",")},"forms_identical":true}""")
+    spark.stop()
+  }
+}

@@ -192,3 +192,133 @@ object AdcSumKernel {
   def apply(codes: Column, lut: Column): Column =
     bridge.column(AdcSumKernel(bridge.expression(codes), bridge.expression(lut)))
 }
+
+/** PQ decode: codeword concatenation — output element s·sub+j is
+  * cb[s][codes[s]][j]. Pure array copy from the literal codebooks, no
+  * arithmetic, so the result is bit-identical to the
+  * flatten/transform/element_at HOF chain it replaces (r15 — that chain
+  * was interpreted per ROW, and the gates evaluate it per corpus×query
+  * pair in the brute-force reconstruction legs). Input `array<int>` of m;
+  * output `array<double>` of m·sub. */
+case class PqDecodeKernel(child: Expression, cb: Array[Double], m: Int,
+                          k: Int, sub: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_decode expects array<int>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * sub)
+    var s = 0
+    while (s < m) {
+      System.arraycopy(cb, (s * k + codes.getInt(s)) * sub, out, s * sub, sub)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+    nullSafeCodeGen(ctx, ev, codes => {
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      s"""
+         |double[] $out = new double[${m * sub}];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  System.arraycopy($cbRef, ($s * $k + $codes.getInt($s)) * $sub,
+         |    $out, $s * $sub, $sub);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecodeKernel =
+    copy(child = newChild)
+}
+
+object PqDecodeKernel {
+  import org.apache.spark.sql.graft.bridge
+  def apply(codes: Column, cbs: Seq[Seq[Seq[Double]]]): Column =
+    bridge.column(PqDecodeKernel(bridge.expression(codes),
+      PqKernels.flatten(cbs), cbs.size, cbs.head.size, cbs.head.head.size))
+}
+
+/** PQ reconstruction: base[i] + decode(codes)[i] elementwise — the
+  * IVF-PQ two-stage reconstruction c + decode(codes) in one pass.
+  * Identical element order and IEEE adds to the
+  * `zip_with(base, pqDecode(codes), (a, b) => a + b)` HOF it replaces
+  * (r15 — interpreted per corpus row in the ivfpq gate's recon leg).
+  * `base` is `array<double>` of m·sub; output likewise. */
+case class PqReconstructKernel(left: Expression, right: Expression,
+                               cb: Array[Double], m: Int, k: Int, sub: Int)
+    extends BinaryExpression {
+
+  // left = base vector (array<double>), right = codes (array<int>)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_reconstruct expects (array<double>, array<int>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val base = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * sub)
+    var s = 0
+    while (s < m) {
+      val off = (s * k + codes.getInt(s)) * sub
+      val voff = s * sub
+      var j = 0
+      while (j < sub) {
+        out(voff + j) = base.getDouble(voff + j) + cb(off + j)
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+    nullSafeCodeGen(ctx, ev, (base, codes) => {
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      val off = ctx.freshName("off"); val voff = ctx.freshName("voff")
+      s"""
+         |double[] $out = new double[${m * sub}];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $off = ($s * $k + $codes.getInt($s)) * $sub;
+         |  int $voff = $s * $sub;
+         |  for (int $j = 0; $j < $sub; $j++) {
+         |    $out[$voff + $j] = $base.getDouble($voff + $j) + $cbRef[$off + $j];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqReconstructKernel =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqReconstructKernel {
+  import org.apache.spark.sql.graft.bridge
+  def apply(base: Column, codes: Column, cbs: Seq[Seq[Seq[Double]]]): Column =
+    bridge.column(PqReconstructKernel(bridge.expression(base),
+      bridge.expression(codes), PqKernels.flatten(cbs), cbs.size,
+      cbs.head.size, cbs.head.head.size))
+}

@@ -344,12 +344,31 @@ object VectorOps {
   }
 
   /** PQ decode: codeword concatenation — the reconstruction the ADC
-    * distance is measured against. */
-  def pqDecode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    * distance is measured against. Codegen'd copy kernel
+    * (graft.functions.PqDecodeKernel, r15) — the flatten/element_at HOF
+    * chain it replaces was interpreted per row, and the invariant gates
+    * evaluate the decode per corpus×query pair in their brute-force
+    * reconstruction legs. Pure codeword copy, no arithmetic —
+    * bit-identical by construction; kernel ≡ HOF is property-tested. */
+  def pqDecode(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.PqDecodeKernel(codes, codebooks)
+
+  /** The superseded HOF form of [[pqDecode]] — kept as the property-test
+    * twin pinning the kernel's codeword layout. */
+  private[graft] def pqDecodeHof(codes: Column,
+                                 codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val cb = typedLit(codebooks)
     flatten(transform(sequence(lit(0), lit(codebooks.size - 1)), s =>
       element_at(element_at(cb, s + 1), element_at(codes, s + 1) + 1)))
   }
+
+  /** IVF-PQ two-stage reconstruction `base + decode(codes)` in one
+    * codegen'd pass (graft.functions.PqReconstructKernel, r15) — same
+    * element order and IEEE adds as the `zip_with(base, pqDecode(codes),
+    * _ + _)` form it replaces (property-tested). */
+  def pqReconstruct(base: Column, codes: Column,
+                    codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.PqReconstructKernel(base, codes, codebooks)
 
   /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
     * (bounded) query precomputes an m×k lookup table of subspace

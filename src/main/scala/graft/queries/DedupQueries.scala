@@ -826,10 +826,15 @@ object DedupQueries {
       val idx = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_banded_index",
         Integer.toHexString(dir.hashCode)).toString
-      DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === 1),
+      // both increments in one maintenance batch (r15): segment writes
+      // overlap on the driver pool, manifest generations publish in
+      // order — committed history identical to write-then-append
+      // (BandedIndexSpec pins batched ≡ sequential), ~half the serialized
+      // driver-job chain of the two sequential calls
+      DedupOps.writeBandedIndexIncrements(
+        Seq(signed.filter($"doc_id" % 3 === 1),
+          signed.filter($"doc_id" % 3 === 2)),
         "doc_id", "sig", 4, 4, idx)
-      DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === 2),
-        "doc_id", "sig", 4, 4, idx, append = true)
       val cands = DedupOps.lshProbeCandidatesStored(s, idx,
         signed.filter($"doc_id" % 3 === 0), "doc_id", "sig", 4, 4)
       val sets = withShingles.select($"doc_id".as("id"), $"shingles".as("ss"))

@@ -631,11 +631,11 @@ object VectorQueries {
         .select($"query_id", $"centroid_id")
       val adc = VectorOps.ivfPqTopK(queries, e, cents, "vec_id", "embedding",
         "vec_id", "embedding", cbs, 10, nprobe)
-      // reconstruction vector per corpus row: c + decode(codes)
+      // reconstruction vector per corpus row: c + decode(codes) — one
+      // codegen'd pass (r15; the zip_with form was interpreted per row)
       val recon = lists.join(broadcast(cv), "centroid_id")
         .select($"neighbor_id", $"centroid_id",
-          zip_with($"cv", VectorOps.pqDecode($"codes", cbs),
-            (a, b) => a + b).as("rv"))
+          VectorOps.pqReconstruct($"cv", $"codes", cbs).as("rv"))
       val pairChecks = adc
         .join(recon, "neighbor_id")
         .join(broadcast(qv), "query_id")

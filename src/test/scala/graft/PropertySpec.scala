@@ -490,6 +490,59 @@ class PropertySpec extends SparkSpec {
         assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
           java.lang.Double.doubleToLongBits(r.getDouble(1)))
       }
+      // decode kernel vs the flatten/element_at HOF twin, and the fused
+      // reconstruction vs zip_with(base, decode, +) — on the codes the
+      // encode kernel just produced (r15 kernels)
+      val dec = df.select($"id",
+          VectorOps.pqEncode($"v", cbsTied).as("codes"),
+          $"v".cast("array<double>").as("base"))
+        .select($"id",
+          VectorOps.pqDecode($"codes", cbsTied).as("kernel"),
+          VectorOps.pqDecodeHof($"codes", cbsTied).as("hof"),
+          VectorOps.pqReconstruct($"base", $"codes", cbsTied).as("rkernel"),
+          zip_with($"base", VectorOps.pqDecodeHof($"codes", cbsTied),
+            (a, b) => a + b).as("rhof"))
+        .collect()
+      dec.foreach { r =>
+        assert(r.getSeq[Double](1).map(java.lang.Double.doubleToLongBits) ===
+          r.getSeq[Double](2).map(java.lang.Double.doubleToLongBits),
+          s"decode mismatch for vec ${r.getLong(0)}")
+        assert(r.getSeq[Double](3).map(java.lang.Double.doubleToLongBits) ===
+          r.getSeq[Double](4).map(java.lang.Double.doubleToLongBits),
+          s"reconstruct mismatch for vec ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("rarest-prefix bounded-heap aggregate ≡ window twin: same (id, sz, " +
+       "rn, h) rows on random postings and thresholds") {
+    // pins the r15 BottomKRarestAgg CHALLENGER (A/B-refuted on cost, kept
+    // committed — see DedupOps.rarestPrefixes scaladoc) against the
+    // deployed row_number() window: identical kept rows WITH their ranks
+    // — including ties in df (broken by h), prefixLen ≥ group size (keep
+    // all), and prefixLen = 1
+    import org.apache.spark.sql.functions.{ceil => sqlCeil}
+    val doc = Gen.choose(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 14L))).map(_.distinct)
+    val corpus = Gen.listOfN(10, doc)
+    forAll(corpus, n = 6) { docsList =>
+      val sets = docsList.zipWithIndex
+        .map { case (s, i) => (i.toLong, s.sorted) }
+        .toDF("id", "s")
+        .select($"id", $"s", size($"s").as("sz"))
+        .filter($"sz" > 0)
+      val posting = sets.select($"id", $"sz", explode($"s").as("h"))
+      for (t <- Seq(0.3, 0.5, 0.9, 1.0)) {
+        val prefixLen = $"sz" - sqlCeil(lit(t) * $"sz" - 1e-9) + 1
+        def rows(d: org.apache.spark.sql.DataFrame) =
+          d.select($"id", $"sz", $"rn", $"h")
+            .as[(Long, Int, Int, Long)].collect().toSet
+        val agg = rows(graft.operators.DedupOps
+          .rarestPrefixesAgg(posting, prefixLen))
+        val win = rows(graft.operators.DedupOps
+          .rarestPrefixes(posting, prefixLen))
+        assert(agg === win, s"prefix agg != window at t=$t on $docsList")
+      }
     }
   }
 }

@@ -78,6 +78,42 @@ class BandedIndexSpec extends SparkSpec {
     }
   }
 
+  test("batched increments ≡ sequential write-then-append: same live " +
+       "generation number, same segment count, same probe results, and " +
+       "a further sequential append still works") {
+    // pins the r15 writeBandedIndexIncrements swap inside
+    // dedup_minhash_delta_stored: the concurrent segment writes + ordered
+    // manifest publishes must leave the index indistinguishable from the
+    // r14 two-call flow for every reader
+    val seqIdx = java.nio.file.Files.createTempDirectory("graft-bidx-seq").toString
+    val batIdx = java.nio.file.Files.createTempDirectory("graft-bidx-bat").toString
+    DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === 1),
+      "doc_id", "sig", 4, 4, seqIdx)
+    DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === 2),
+      "doc_id", "sig", 4, 4, seqIdx, append = true)
+    DedupOps.writeBandedIndexIncrements(
+      Seq(signed.filter($"doc_id" % 3 === 1),
+        signed.filter($"doc_id" % 3 === 2)),
+      "doc_id", "sig", 4, 4, batIdx)
+    val batch = signed.filter($"doc_id" % 3 === 0)
+    assert(probeSet(batIdx, batch) === probeSet(seqIdx, batch))
+    assert(probeSet(batIdx, batch).nonEmpty)
+    // same committed shape: generation 2 live, two live segments, all
+    // on-disk segments referenced, postings row-identical
+    for (idx <- Seq(seqIdx, batIdx)) {
+      assert(DedupOps.liveSegments(spark, idx).size === 2)
+      assert(segDirs(idx).size === 2)
+    }
+    val rows = (i: String) => DedupOps.readBandedIndex(spark, i)
+      .select($"id", $"band", $"bucket")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    assert(rows(batIdx) === rows(seqIdx))
+    // the batched index remains appendable by the sequential path
+    DedupOps.writeBandedIndex(signed.filter($"doc_id" % 3 === 0),
+      "doc_id", "sig", 4, 4, batIdx, append = true)
+    assert(DedupOps.liveSegments(spark, batIdx).size === 3)
+  }
+
   test("compaction collapses per-increment segments into ONE bucket-range " +
        "segment; probe results unchanged; superseded segments swept") {
     val idx = java.nio.file.Files.createTempDirectory("graft-bidx3").toString
