@@ -332,6 +332,62 @@ object Opt15AB {
         .orderBy($"batch_id", $"hist_id")
     }
 
+    // ---- dispatch probe: full count() vs the r15 bounded
+    // limit(cutoff+1).count() — both pick the SAME branch; this measures
+    // the probe's own local cost (at 100 TB the bounded form is O(cutoff)
+    // instead of a full corpus scan, the point of the change) ----
+    def componentsFullCountDispatch: DataFrame = {
+      val d = docs
+      val withShingles = d
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      val n = withShingles.select($"doc_id").count()
+      val pairs =
+        if (n < spark.conf.get("spark.graft.dedup.denseCutoff", "10000").toLong)
+          DedupOps.jaccardPairsDense(withShingles, "doc_id", "shingles", 0.5)
+        else DedupOps.jaccardPairs(withShingles, "doc_id", "shingles", 0.5, nDocs = n)
+      val comps = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      d.select($"doc_id")
+        .join(comps, $"doc_id" === $"id", "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("rep"))
+        .orderBy($"doc_id")
+    }
+
+    // ---- basket lift challenger, REFUTED: collect_set + double-explode
+    // pair generation (one groupBy(o) exchange, pairs map-side; 2 fewer
+    // Exchanges / 6 fewer Sorts in the plan) loses to the registry's
+    // order-local self-join — 0.81× at sf0.1 (5 passes), indeterminate
+    // at sf1 across three contended runs. ObjectHashAggregate's
+    // interpreted collect path costs more than the codegen'd SMJ it
+    // removes (the bounded-heap refutation's lesson, again). ----
+    def basketCollectPairs: DataFrame = {
+      val tt = graft.core.Tables(spark, sfDir)
+      val items = tt.lineitem
+        .join(tt.part, $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey".as("o"), $"p_brand".as("b")).distinct()
+        .cut(eager = false)
+      val nBaskets = items.select($"o").distinct()
+        .agg(count(lit(1)).as("n"))
+      val c1 = items.groupBy($"b").agg(count(lit(1)).as("c1"))
+      val pairs = items.groupBy($"o").agg(collect_set($"b").as("bs"))
+        .select(explode($"bs").as("ba"), $"bs")
+        .select($"ba", explode($"bs").as("bb"))
+        .filter($"ba" < $"bb")
+        .groupBy($"ba", $"bb")
+        .agg(count(lit(1)).as("c12"))
+        .filter($"c12" >= 50)
+      pairs
+        .join(c1.select($"b".as("ba"), $"c1".as("c1a")), "ba")
+        .join(c1.select($"b".as("bb"), $"c1".as("c1b")), "bb")
+        .crossJoin(broadcast(nBaskets))
+        .select($"ba", $"bb", $"c12",
+          (floor(($"c12".cast("double") / $"n") * 1e6 + 0.5) / 1e6).as("support"),
+          (floor(($"c12".cast("double") / $"c1a") * 1e6 + 0.5) / 1e6).as("confidence"),
+          (floor(($"c12".cast("double") * $"n" / ($"c1a" * $"c1b")) * 1e6 + 0.5) / 1e6)
+            .as("lift"))
+        .orderBy($"lift".desc, $"ba", $"bb")
+        .limit(15)
+    }
+
     val cases: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("ppjoin_prefix_agg",
         () => ppjoinAgg, () => registry("dedup_ppjoin_jaccard")),
@@ -349,7 +405,18 @@ object Opt15AB {
       ("cc_union_agg",
         () => componentsUnionAgg, () => registry("dedup_components")),
       ("semdedup_union_agg",
-        () => semdedupUnionAgg, () => registry("pipeline_semdedup_embeddings")))
+        () => semdedupUnionAgg, () => registry("pipeline_semdedup_embeddings")),
+      ("bounded_dispatch",
+        () => registry("dedup_components"), () => componentsFullCountDispatch),
+      // order-flipped twin of bounded_dispatch: the query is ~70% CC loop
+      // whose run-to-run spread this session is 2.0-3.6 s, so a 1 s gap
+      // with identical job counts smells like position, not plan — the
+      // flip separates the two (the isolated probe pins the probe-form
+      // delta itself at ~8 ms)
+      ("bounded_dispatch_flip",
+        () => componentsFullCountDispatch, () => registry("dedup_components")),
+      ("basket_collect_pairs",
+        () => basketCollectPairs, () => registry("stats_basket_lift")))
       .filter { case (n, _, _) => only.isEmpty || only(n) }
 
     // warmup: JVM + codegen on the first case's both forms

@@ -61,6 +61,23 @@ object Opt15Probe {
       println(f"[probe] t=$t%.1f agg with 1e6 fallbackThreshold: $tAggBig%.3f")
     }
 
+    // dispatch-probe cost in isolation: full count vs limit-bounded count
+    // over the shingled projection (the form every *Auto dispatch counts)
+    if (args.length <= 1 || args.contains("counts")) {
+      val withShingles = docs
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      def timeIt(label: String)(f: => Long): Unit = {
+        val t = (1 to passes).map { _ =>
+          val t0 = System.nanoTime(); val n = f
+          ((System.nanoTime() - t0) / 1e9, n)
+        }.minBy(_._1)
+        println(f"[probe] count-form $label%-22s ${t._1}%.3f s (n=${t._2})")
+      }
+      timeIt("full_count") { withShingles.select($"doc_id").count() }
+      timeIt("limit_count") { withShingles.select($"doc_id").limit(10001).count() }
+      timeIt("limit_count_100001") { withShingles.select($"doc_id").limit(100001).count() }
+    }
+
     // pipeline_semdedup_embeddings stage split (coverage record): the
     // cluster-local pair scan vs the CC resolution over its pairs
     if (args.length <= 1 || args.contains("semdedup")) {

@@ -821,10 +821,20 @@ object StatsQueries {
 
   /** Market-basket association: brand pairs co-purchased in the same
     * order, with support / confidence / lift (the Apriori first step).
-    * Baskets are per-order distinct brand sets; the pair join is
+    * Baskets are per-order distinct brand sets; pair generation is
     * order-local (Σ basket², baskets are small), margins and the basket
     * count are exact integers, so the three ratios are single float
-    * divisions of identical operands on both engines. */
+    * divisions of identical operands on both engines.
+    *
+    * r15 challenger REFUTED: `collect_set` per order + double explode
+    * (one groupBy(o) exchange, pairs emitted map-side — 2 fewer
+    * Exchanges, 6 fewer Sorts in the plan) measured CONSISTENTLY slower
+    * at sf0.1 (0.81× at 5 passes; 0.84/0.96× at 3) and indeterminate at
+    * sf1 (1.60×/1.04×/0.73× across three contended runs) — the same
+    * lesson as the r15 bounded-heap refutation: ObjectHashAggregate's
+    * interpreted per-row collect path costs more than the codegen'd SMJ
+    * machinery it removes. Evidence: Opt15AB basket_collect_pairs
+    * (exceptAll-identical) + plans/r15/stats_basket_lift_*. */
   private val basket = Q(
     "stats_basket_lift",
     (s, dir) => {
