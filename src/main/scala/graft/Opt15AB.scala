@@ -388,6 +388,110 @@ object Opt15AB {
         .limit(15)
     }
 
+    // ---- encode parallelism: encodedSets repartitions AFTER its heavy
+    // projection (shingles + array_distinct + xxhash64 + sort per doc),
+    // so on a single-split input the whole encode runs in ONE task and
+    // only the already-encoded rows fan out. Challenger moves the
+    // round-robin fan-out BEFORE the projection (the order
+    // invertedIndexPairs already uses), so the encode itself spreads
+    // across all cores; the exchange then carries raw text instead of
+    // encoded arrays (comparable bytes). ----
+    def ngramJaccardRepartFirst: DataFrame = {
+      val withShingles = docs
+        .select($"doc_id", TextOps.shingles($"text", 2).as("shingles"))
+      val sets = withShingles
+        .repartition(par)
+        .select($"doc_id".as("id"),
+          sort_array(transform(array_distinct($"shingles"), t => xxhash64(t))).as("s"))
+        .withColumn("sz", size($"s"))
+        .cut(eager = false)
+      val threshold = 0.5
+      val lengthOk = least($"a.sz", $"b.sz").cast("double") >=
+        greatest($"a.sz", $"b.sz") * threshold
+      sets.as("a").join(sets.as("b"), $"a.id" < $"b.id" && lengthOk)
+        .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+          graft.functions.SortedLongOverlapCount($"a.s", $"b.s").as("common"),
+          ($"a.sz" + $"b.sz").as("szsum"))
+        .filter(graft.functions.OptimizerBarrier(
+          $"common".cast("double") / ($"szsum" - $"common") >= threshold))
+        .select($"id_a", $"id_b", (floor(($"common".cast("double") /
+          ($"szsum" - $"common")) * 1e6 + 0.5) / 1e6).as("jaccard"))
+        .repartition(par)
+        .orderBy($"id_a", $"id_b")
+    }
+
+    // raw-docs fan-out: repartition the (doc_id, text) rows BEFORE the
+    // shingles projection, so shingling AND the md5 sketch both run
+    // parallel and the exchange carries ~3 KB text rows instead of fat
+    // shingle-string arrays
+    def bottomkRepartRaw: DataFrame = {
+      val sets = docs
+        .repartition(par)
+        .select($"doc_id", TextOps.shingles($"text", 3).as("shingles"))
+        .select($"doc_id".as("id"),
+          sort_array(array_distinct(
+            transform(array_distinct($"shingles"), t => TextOps.hash32(t))))
+            .as("hs"))
+        .withColumn("sz", size($"hs"))
+        .filter($"sz" > 0)
+        .cut(eager = false)
+      val posting = sets.select($"id", explode($"hs").as("h"))
+      val probe = sets.select($"id", $"sz", explode(slice($"hs", 1, 16)).as("h"))
+      val directed = probe.as("p")
+        .join(posting.as("q"), $"p.h" === $"q.h" && $"p.id" =!= $"q.id")
+        .groupBy($"p.id".as("a"), $"q.id".as("b"), $"p.sz".as("sza"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("est", $"m".cast("double") / least(lit(16), $"sza"))
+      directed
+        .select(least($"a", $"b").as("id_a"), greatest($"a", $"b").as("id_b"),
+          when($"a" < $"b", $"est").as("eab"),
+          when($"a" > $"b", $"est").as("eba"))
+        .groupBy($"id_a", $"id_b")
+        .agg(coalesce(max($"eab"), lit(0.0)).as("rab"),
+          coalesce(max($"eba"), lit(0.0)).as("rba"))
+        .filter(greatest($"rab", $"rba") >= 0.8)
+        .select($"id_a", $"id_b",
+          (floor(($"rab") * 1e6 + 0.5) / 1e6).as("containment_ab_est"),
+          (floor(($"rba") * 1e6 + 0.5) / 1e6).as("containment_ba_est"))
+        .orderBy($"id_a", $"id_b")
+    }
+
+    // the superseded order for the bottom-k containment sketch build
+    // (repartition AFTER the md5 sketch projection — single-task encode
+    // on a single-split input); the registry adopted repartition-first
+    // on this case's 1.11–1.13× evidence
+    def bottomkRepartLast: DataFrame = {
+      val sets = docs
+        .select($"doc_id", TextOps.shingles($"text", 3).as("shingles"))
+        .select($"doc_id".as("id"),
+          sort_array(array_distinct(
+            transform(array_distinct($"shingles"), t => TextOps.hash32(t))))
+            .as("hs"))
+        .withColumn("sz", size($"hs"))
+        .filter($"sz" > 0)
+        .repartition(par)
+        .cut(eager = false)
+      val posting = sets.select($"id", explode($"hs").as("h"))
+      val probe = sets.select($"id", $"sz", explode(slice($"hs", 1, 16)).as("h"))
+      val directed = probe.as("p")
+        .join(posting.as("q"), $"p.h" === $"q.h" && $"p.id" =!= $"q.id")
+        .groupBy($"p.id".as("a"), $"q.id".as("b"), $"p.sz".as("sza"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("est", $"m".cast("double") / least(lit(16), $"sza"))
+      directed
+        .select(least($"a", $"b").as("id_a"), greatest($"a", $"b").as("id_b"),
+          when($"a" < $"b", $"est").as("eab"),
+          when($"a" > $"b", $"est").as("eba"))
+        .groupBy($"id_a", $"id_b")
+        .agg(coalesce(max($"eab"), lit(0.0)).as("rab"),
+          coalesce(max($"eba"), lit(0.0)).as("rba"))
+        .filter(greatest($"rab", $"rba") >= 0.8)
+        .select($"id_a", $"id_b",
+          (floor(($"rab") * 1e6 + 0.5) / 1e6).as("containment_ab_est"),
+          (floor(($"rba") * 1e6 + 0.5) / 1e6).as("containment_ba_est"))
+        .orderBy($"id_a", $"id_b")
+    }
+
     val cases: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
       ("ppjoin_prefix_agg",
         () => ppjoinAgg, () => registry("dedup_ppjoin_jaccard")),
@@ -416,7 +520,15 @@ object Opt15AB {
       ("bounded_dispatch_flip",
         () => componentsFullCountDispatch, () => registry("dedup_components")),
       ("basket_collect_pairs",
-        () => basketCollectPairs, () => registry("stats_basket_lift")))
+        () => basketCollectPairs, () => registry("stats_basket_lift")),
+      ("encode_repart_first",
+        () => ngramJaccardRepartFirst, () => registry("dedup_ngram_jaccard")),
+      ("bottomk_repart_first",
+        () => registry("dedup_containment_bottomk"), () => bottomkRepartLast),
+      ("bottomk_repart_raw",
+        () => bottomkRepartRaw, () => bottomkRepartLast),
+      ("bottomk_repart_raw_vs_reg",
+        () => bottomkRepartRaw, () => registry("dedup_containment_bottomk")))
       .filter { case (n, _, _) => only.isEmpty || only(n) }
 
     // warmup: JVM + codegen on the first case's both forms
